@@ -1,0 +1,241 @@
+package graft.binlog
+
+import java.nio.file.Paths
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.model.ChangeEvent
+
+/** DataSource V2 binlog source: tails a directory of block-GZIP segment
+  * files (the WAL), exposing them as a rate-limited micro-batch stream with
+  * the reference's offset model — a per-partition `Map[Int, Long]` cursor,
+  * exactly like `S3Offset`/Connect offset storage
+  * (`/root/reference/source/src/main/java/com/spredfast/kafka/connect/s3/source/S3Offset.java:6-49`,
+  * `S3SourceTask.java:108-120`).
+  *
+  * Planning is the reference's listing protocol re-expressed: list segment
+  * indexes (cheap metadata), skip whole files below the cursor
+  * (`S3FilesReader.java:176-184`), seek into the first file via the chunk
+  * index (`:244-311`), and split large offset ranges into multiple
+  * `InputPartition`s so one binlog partition can be read by many executor
+  * cores.
+  */
+class BinlogSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-binlog"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = ChangeEvent.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new BinlogTable(properties.get("path"))
+}
+
+final class BinlogTable(path: String) extends Table with SupportsRead {
+  require(path != null, "binlog source requires option 'path'")
+  override def name(): String = s"binlog($path)"
+  override def schema(): StructType = ChangeEvent.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new BinlogScan(path, options)
+}
+
+final class BinlogScan(path: String, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with Scan {
+  override def build(): Scan = this
+  override def readSchema(): StructType = ChangeEvent.schema
+  override def description(): String = s"BinlogScan($path)"
+
+  private def maxEventsPerBatch: Long =
+    Option(options.get("maxEventsPerBatch")).map(_.toLong).getOrElse(1000000L)
+  private def eventsPerTask: Long =
+    Option(options.get("eventsPerTask")).map(_.toLong).getOrElse(50000L)
+
+  // Batch reads honor fromOffset/untilOffset options so range replays skip
+  // whole segments at planning time (≙ offset-skip file filter,
+  // S3FilesReader.java:176-184) instead of scan-then-filter.
+  private def fromOffset: Long =
+    Option(options.get("fromOffset")).map(_.toLong).getOrElse(0L)
+  private def untilOffset: Long =
+    Option(options.get("untilOffset")).map(_.toLong).getOrElse(Long.MaxValue)
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val segs = Segment.listAll(Paths.get(path))
+      val ends = BinlogOffsets.endOffsets(segs)
+      val ranges = ends.map { case (p, e) => p -> (fromOffset, math.min(e, untilOffset)) }
+        .filter { case (_, (f, u)) => u > f }
+      BinlogOffsets.splitRanges(path, ranges, eventsPerTask)
+    }
+    override def createReaderFactory(): PartitionReaderFactory = new BinlogReaderFactory
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new BinlogMicroBatchStream(path, maxEventsPerBatch, eventsPerTask)
+}
+
+/** Offset = per-partition next-offset-to-read map, JSON-serialized into the
+  * checkpoint (≙ `KafkaSourceOffset`; ≙ the reference's per-partition offset
+  * maps in Connect storage). */
+final case class BinlogOffset(parts: Map[Int, Long]) extends Offset {
+  override def json(): String = {
+    val m = new ObjectMapper()
+    val root = m.createObjectNode()
+    parts.toSeq.sortBy(_._1).foreach { case (p, o) => root.put(p.toString, o) }
+    m.writeValueAsString(root)
+  }
+}
+
+object BinlogOffset {
+  def fromJson(s: String): BinlogOffset = {
+    val root = new ObjectMapper().readTree(s)
+    val b = Map.newBuilder[Int, Long]
+    root.properties().asScala.foreach(e => b += (e.getKey.toInt -> e.getValue.asLong()))
+    BinlogOffset(b.result())
+  }
+}
+
+object BinlogOffsets {
+  /** Committed end offset (exclusive) per partition from segment indexes. */
+  def endOffsets(segs: Vector[SegmentFile]): Map[Int, Long] =
+    segs.groupBy(_.partition).map { case (p, fs) => p -> fs.map(_.endOffset).max }
+
+  /** Split per-partition ranges into ≤ eventsPerTask slices. */
+  def splitRanges(path: String, ranges: Map[Int, (Long, Long)], eventsPerTask: Long): Array[InputPartition] = {
+    val out = Array.newBuilder[InputPartition]
+    ranges.toSeq.sortBy(_._1).foreach { case (p, (from, until)) =>
+      var f = from
+      while (f < until) {
+        val u = math.min(f + eventsPerTask, until)
+        out += BinlogInputPartition(path, p, f, u)
+        f = u
+      }
+    }
+    out.result()
+  }
+}
+
+final class BinlogMicroBatchStream(path: String, maxEventsPerBatch: Long, eventsPerTask: Long)
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  private def listEnds(): Map[Int, Long] = BinlogOffsets.endOffsets(Segment.listAll(Paths.get(path)))
+
+  // Trigger.AvailableNow: freeze the target at start; microbatches advance
+  // toward it under the rate limit, then the query stops (drain semantics).
+  @volatile private var availableNowTarget: Option[Map[Int, Long]] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(listEnds())
+
+  override def initialOffset(): Offset =
+    BinlogOffset(listEnds().map { case (p, _) => p -> 0L })
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxEventsPerBatch)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("use latestOffset(start, limit)")
+
+  /** Rate-limited advance (≙ `max.poll.records`, `S3SourceTask.java:122,190`):
+    * cap total new events per batch, budget spread across partitions
+    * proportionally to their backlog. Also discovers NEW partitions mid-stream
+    * (≙ partition-growth IT, `S3SinkConnectorIT.java:406-446`). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cur = start.asInstanceOf[BinlogOffset].parts
+    val ends = availableNowTarget.getOrElse(listEnds())
+    val all = (cur.keySet ++ ends.keySet).toSeq.sorted
+    val backlog = all.map(p => p -> math.max(0L, ends.getOrElse(p, 0L) - cur.getOrElse(p, 0L)))
+    val totalBacklog = backlog.map(_._2).sum
+    val cap = limit match {
+      case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxRows => rl.maxRows()
+      case _ => Long.MaxValue
+    }
+    val next =
+      if (totalBacklog <= cap) ends.keySet.union(cur.keySet)
+        .map(p => p -> math.max(cur.getOrElse(p, 0L), ends.getOrElse(p, 0L))).toMap
+      else {
+        // proportional budget, at least 1 for any nonempty backlog while budget lasts
+        var remaining = cap
+        val m = Map.newBuilder[Int, Long]
+        backlog.foreach { case (p, b) =>
+          val share = math.min(b, math.max(1L, cap * b / math.max(1L, totalBacklog)))
+          val take = math.min(share, remaining)
+          remaining -= take
+          m += p -> (cur.getOrElse(p, 0L) + take)
+        }
+        m.result()
+      }
+    BinlogOffset(next)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[BinlogOffset].parts
+    val e = end.asInstanceOf[BinlogOffset].parts
+    val ranges = e.map { case (p, until) => p -> (s.getOrElse(p, 0L), until) }
+      .filter { case (_, (f, u)) => u > f }
+    BinlogOffsets.splitRanges(path, ranges, eventsPerTask)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new BinlogReaderFactory
+  override def deserializeOffset(json: String): Offset = BinlogOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+final case class BinlogInputPartition(path: String, partition: Int, from: Long, until: Long)
+    extends InputPartition
+
+final class BinlogReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[BinlogInputPartition]
+    new BinlogPartitionReader(p)
+  }
+}
+
+/** Pull-based reader (≙ `RecordReader.readAll` iterator adaptor,
+  * `common/.../RecordReader.java:21-61`), emitting InternalRow directly —
+  * no Row → InternalRow conversion on the hot path. */
+final class BinlogPartitionReader(p: BinlogInputPartition)
+    extends PartitionReader[InternalRow] {
+  private val it = Segment.readRange(Paths.get(p.path), p.partition, p.from, p.until)
+  private var cur: ChangeEvent = _
+  override def next(): Boolean = {
+    if (it.hasNext) { cur = it.next(); true } else false
+  }
+  override def get(): InternalRow = {
+    val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(7)
+    r.setInt(0, cur.partition)
+    r.setLong(1, cur.offset)
+    r.update(2, UTF8String.fromString(cur.op))
+    r.update(3, UTF8String.fromString(cur.url))
+    r.setLong(4, cur.warc_ts.getTime * 1000L + (cur.warc_ts.getNanos / 1000) % 1000)
+    r.update(5, cur.html)
+    r.update(6, if (cur.lang == null) null else UTF8String.fromString(cur.lang))
+    r
+  }
+  override def close(): Unit = ()
+}
+
+/** Batch-read helpers over the binlog store. */
+object BinlogRead {
+  /** Distributed read of offsets [from, until) of every partition — the
+    * range is pushed into planning (segment skip + chunk seek), not filtered
+    * post-scan. */
+  def range(spark: org.apache.spark.sql.SparkSession, dir: String,
+      from: Long, until: Long): org.apache.spark.sql.DataFrame = {
+    spark.read.format("graft.binlog.BinlogSourceProvider").option("path", dir)
+      .option("fromOffset", from).option("untilOffset", until).load()
+  }
+
+  /** Full scan. */
+  def all(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    spark.read.format("graft.binlog.BinlogSourceProvider").option("path", dir).load()
+}

@@ -1,0 +1,193 @@
+package graft.binlog
+
+import java.io._
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.model.ChangeEvent
+
+/** Block-GZIP segment writer: the reference's chunked-output design
+  * (`/root/reference/sink/src/main/java/com/spredfast/kafka/connect/s3/sink/BlockGZIPFileWriter.java:102-227`)
+  * re-expressed for the binlog store. A segment is a concatenation of
+  * independently-decompressible gzip members ("chunks"); a JSON chunk index
+  * maps offsets → byte ranges so a reader can resume mid-file with a range
+  * read (≙ S3 range GET, `source/.../S3FilesReader.java:280-295`).
+  *
+  * File naming encodes `(partition, startOffset)` zero-padded so that
+  * lexicographic order == offset order (≙ `GroupedByDateLayout.java:33-38`
+  * `%s-%05d-%012d`).
+  */
+final class SegmentWriter(dir: Path, partition: Int, startOffset: Long,
+    chunkThreshold: Long = 64L * 1024 * 1024) {
+
+  require(chunkThreshold > 0)
+  Files.createDirectories(dir)
+
+  val baseName: String = f"p$partition%05d-$startOffset%012d"
+  private val dataTmp = dir.resolve(baseName + ".gz.tmp")
+  private val out = new BufferedOutputStream(Files.newOutputStream(dataTmp), 1 << 16)
+
+  private var gz: GZIPOutputStream = _
+  private val chunks = ArrayBuffer.empty[Chunk]
+  private var chunkFirstOffset = startOffset
+  private var chunkRecords = 0L
+  private var chunkRawBytes = 0L
+  private var bytesWrittenBefore = 0L // compressed bytes before current chunk
+  private var nextOffset = startOffset
+  private var closed = false
+
+  // CountingOutputStream over `out` so we know compressed chunk lengths.
+  private object counting extends FilterOutputStream(out) {
+    var count = 0L
+    override def write(b: Int): Unit = { this.out.write(b); count += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = { this.out.write(b, off, len); count += len }
+  }
+
+  private def openChunk(): Unit = {
+    gz = new GZIPOutputStream(counting, 1 << 16)
+    chunkFirstOffset = nextOffset
+    chunkRecords = 0L
+    chunkRawBytes = 0L
+  }
+
+  private def sealChunk(): Unit = {
+    if (gz == null) return
+    gz.finish()
+    gz = null
+    val compressedLen = counting.count - bytesWrittenBefore
+    chunks += Chunk(chunkFirstOffset, chunkRecords, bytesWrittenBefore, compressedLen, chunkRawBytes)
+    bytesWrittenBefore = counting.count
+  }
+
+  openChunk()
+
+  /** Append one framed record; rotate the gzip member when the uncompressed
+    * chunk would exceed the threshold (≙ `BlockGZIPFileWriter.java:167-185`). */
+  def write(framed: Array[Byte]): Unit = {
+    require(!closed)
+    if (chunkRecords > 0 && chunkRawBytes + framed.length > chunkThreshold) {
+      sealChunk(); openChunk()
+    }
+    gz.write(framed)
+    chunkRawBytes += framed.length
+    chunkRecords += 1
+    nextOffset += 1
+  }
+
+  def writeEvent(e: ChangeEvent, version: Byte = EventCodec.V2): Unit =
+    write(EventCodec.frame(e.url.getBytes(StandardCharsets.UTF_8), EventCodec.encodeValue(e, version)))
+
+  def recordCount: Long = nextOffset - startOffset
+
+  /** Seal the file: flush last chunk, write `<base>.index.json`, atomically
+    * publish both (tmp + rename, so a crashed writer never leaves a
+    * half-visible segment). Returns the index. */
+  def close(): ChunkIndex = {
+    require(!closed)
+    closed = true
+    if (chunkRecords > 0) sealChunk() else { gz.finish(); gz = null }
+    out.close()
+    val index = ChunkIndex(chunks.toVector)
+    val idxTmp = dir.resolve(baseName + ".index.json.tmp")
+    Files.write(idxTmp, index.toJson.getBytes(StandardCharsets.UTF_8))
+    // data first, then index — readers treat the index as the commit marker,
+    // mirroring the reference's upload order (S3Writer.java:47-67).
+    Files.move(dataTmp, dir.resolve(baseName + ".gz"), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(idxTmp, dir.resolve(baseName + ".index.json"), StandardCopyOption.ATOMIC_MOVE)
+    index
+  }
+
+  /** Abandon: delete temp files (≙ `BlockGZIPFileWriter.delete`). */
+  def delete(): Unit = {
+    closed = true
+    try out.close() catch { case _: IOException => }
+    Files.deleteIfExists(dataTmp)
+    Files.deleteIfExists(dir.resolve(baseName + ".gz"))
+    Files.deleteIfExists(dir.resolve(baseName + ".index.json"))
+  }
+}
+
+/** One published segment file (data + index pair). */
+final case class SegmentFile(path: Path, partition: Int, startOffset: Long) {
+  def indexPath: Path = Paths.get(path.toString.stripSuffix(".gz") + ".index.json")
+  lazy val index: ChunkIndex = ChunkIndex.fromBytes(Files.readAllBytes(indexPath))
+  def endOffset: Long = index.nextOffset // exclusive
+}
+
+object Segment {
+  private val Name = """p(\d{5})-(\d{12})\.gz""".r
+
+  /** List committed segments of one partition in offset order. A `.gz`
+    * without its `.index.json` is an uncommitted torn write — skipped. */
+  def list(dir: Path, partition: Int): Vector[SegmentFile] = listAll(dir).filter(_.partition == partition)
+
+  def listAll(dir: Path): Vector[SegmentFile] = {
+    if (!Files.isDirectory(dir)) return Vector.empty
+    val out = Vector.newBuilder[SegmentFile]
+    val s = Files.list(dir)
+    try {
+      s.iterator().forEachRemaining { p =>
+        p.getFileName.toString match {
+          case Name(part, off) =>
+            val sf = SegmentFile(p, part.toInt, off.toLong)
+            if (Files.exists(sf.indexPath)) out += sf
+          case _ =>
+        }
+      }
+    } finally s.close()
+    out.result().sortBy(f => (f.partition, f.startOffset))
+  }
+
+  /** Read events of one segment starting at `fromOffset` (inclusive): seek to
+    * the chunk containing it via the index (range read), decompress only the
+    * tail chunks, skip records below `fromOffset` within the first chunk —
+    * the reference's resume path (`S3FilesReader.java:244-311`). `untilOffset`
+    * is exclusive. */
+  def read(f: SegmentFile, fromOffset: Long, untilOffset: Long = Long.MaxValue): Iterator[ChangeEvent] = {
+    val idx = f.index
+    if (idx.chunks.isEmpty || fromOffset >= idx.nextOffset || fromOffset >= untilOffset) return Iterator.empty
+    val from = math.max(fromOffset, f.startOffset)
+    val chunk = idx.chunkContaining(from).getOrElse(return Iterator.empty)
+    val ch = Files.newByteChannel(f.path)
+    ch.position(chunk.byteOffset) // range read: skip preceding chunks entirely
+    val raw = new BufferedInputStream(java.nio.channels.Channels.newInputStream(ch), 1 << 16)
+    val in = new GZIPInputStream(raw, 1 << 16) // gzip members concatenate; stream reads across them
+
+    var offset = chunk.firstRecordOffset
+    var closed = false
+    def closeOnce(): Unit = if (!closed) { closed = true; in.close() }
+
+    new Iterator[ChangeEvent] {
+      private var nextEvt: ChangeEvent = _
+      private def advance(): Unit = {
+        nextEvt = null
+        while (nextEvt == null && offset < untilOffset && !closed) {
+          val fr = EventCodec.readFrame(in, s"${f.path.getFileName}:$offset")
+          if (fr == null) { closeOnce() }
+          else {
+            val o = offset
+            offset += 1
+            if (o >= from) nextEvt = EventCodec.decodeValue(f.partition, o, fr._2)
+          }
+        }
+        if (nextEvt == null) closeOnce()
+      }
+      advance()
+      override def hasNext: Boolean = nextEvt != null
+      override def next(): ChangeEvent = {
+        val e = nextEvt; advance(); e
+      }
+    }
+  }
+
+  /** Read a partition's events in [fromOffset, untilOffset). */
+  def readRange(dir: Path, partition: Int, fromOffset: Long, untilOffset: Long): Iterator[ChangeEvent] = {
+    val segs = list(dir, partition)
+    segs.iterator
+      .filter(s => s.endOffset > fromOffset && s.startOffset < untilOffset)
+      .flatMap(s => read(s, fromOffset, untilOffset))
+  }
+}

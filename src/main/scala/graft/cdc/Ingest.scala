@@ -1,0 +1,83 @@
+package graft.cdc
+
+import java.nio.file.{Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.storage.StorageLevel
+
+import graft.lake.{LakeTable, PartLineage}
+
+/** The streaming CDC apply pipeline: binlog tail → dedup → MERGE, with
+  * exactly-once batch markers.
+  *
+  * Equivalent of the reference's sink task loop
+  * (`/root/reference/sink/src/main/java/com/spredfast/kafka/connect/s3/sink/S3SinkTask.java:152-183`)
+  * with commit-after-durable-write semantics
+  * (`S3SinkTask.java:368-395`): Spark's checkpoint replays offsets after a
+  * crash; the `(batchId → lineage)` marker in the snapshot summary makes the
+  * replayed MERGE a no-op, so the pair gives end-to-end exactly-once.
+  */
+object Ingest {
+
+  /** Apply one microbatch (callable from foreachBatch or batch replay). */
+  def applyBatch(spark: SparkSession, table: LakeTable)(df: DataFrame, batchId: Long): Unit = {
+    val snap = table.currentSnapshot
+    if (snap.committedBatchIds.contains(batchId)) return // replayed batch: already durable
+    val events = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // per-partition lineage (startOffset, count): the gap-free chain of the
+      // reference's chunk index (BlockGZIPFileWriter.java:174-176)
+      val lineage = events.groupBy(col("partition"))
+        .agg(min(col("offset")).as("start"), count(lit(1)).as("cnt"))
+        .collect()
+        .map(r => PartLineage(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(2)))
+        .toSeq.sortBy(_.partition)
+      if (lineage.isEmpty) return
+      val deduped = Dedup.latestPerUrl(events)
+      Merge(spark, table, deduped, batchId, lineage)
+    } finally events.unpersist()
+  }
+
+  /** Start the streaming ingest from a binlog directory. */
+  def startStream(spark: SparkSession, binlogDir: String, tableRoot: Path,
+      checkpointDir: String, maxEventsPerBatch: Long = 1000000L,
+      trigger: Trigger = Trigger.AvailableNow(), nBuckets: Int = 32): StreamingQuery = {
+    val table =
+      if (LakeTable.exists(tableRoot)) LakeTable.load(tableRoot)
+      else LakeTable.create(tableRoot, nBuckets)
+    val stream = spark.readStream
+      .format("graft.binlog.BinlogSourceProvider")
+      .option("path", binlogDir)
+      .option("maxEventsPerBatch", maxEventsPerBatch)
+      .load()
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch((df: DataFrame, id: Long) => applyBatch(spark, table)(df, id))
+      .start()
+  }
+
+  /** Batch (non-streaming) replay of a binlog directory in fixed-size batches
+    * — used by tests and the bench (same code path as streaming apply). */
+  def replayBatch(spark: SparkSession, binlogDir: String, tableRoot: Path,
+      eventsPerBatch: Long, nBuckets: Int = 32, firstBatchId: Long = 0L): LakeTable = {
+    val table =
+      if (LakeTable.exists(tableRoot)) LakeTable.load(tableRoot)
+      else LakeTable.create(tableRoot, nBuckets)
+    val segs = graft.binlog.Segment.listAll(Paths.get(binlogDir))
+    if (segs.isEmpty) return table
+    val maxEnd = segs.map(_.endOffset).max
+    var batchId = firstBatchId
+    var from = 0L
+    while (from < maxEnd) {
+      val until = math.min(from + eventsPerBatch, maxEnd)
+      val df = graft.binlog.BinlogRead.range(spark, binlogDir, from, until)
+      applyBatch(spark, table)(df, batchId)
+      batchId += 1
+      from = until
+    }
+    table
+  }
+}

@@ -1,0 +1,203 @@
+package graft.lake
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.collection.parallel.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Self-built Iceberg-style table ("LakeTable"): Parquet data files + JSON
+  * snapshot metadata + an atomically-swapped version pointer.
+  *
+  * This re-expresses the reference's durable-commit protocol as table
+  * metadata: upload data, then index, then overwrite the cursor file
+  * (`/root/reference/sink/src/main/java/com/spredfast/kafka/connect/s3/S3Writer.java:47-109`)
+  * becomes: write data files → write snapshot JSON → atomic-rename the
+  * `VERSION` pointer with a parent-version check (best-effort CAS — the
+  * ingest pipeline is single-writer per table, like one sink task per
+  * partition in the reference).
+  *
+  * Layout:
+  * {{{
+  *   <root>/data/s<snapshotId>/bucket=<n>/part-*.parquet
+  *   <root>/meta/snap-<snapshotId>.json
+  *   <root>/meta/VERSION            — contains the current snapshotId
+  * }}}
+  *
+  * Scale notes (100 TB): all per-file metadata ops here are O(#files touched
+  * per commit), not O(table); reads prune by bucket + url bounds before any
+  * Parquet footer is opened; old snapshots are retained for time travel and
+  * GC'd separately.
+  */
+final class LakeTable(val root: Path) {
+
+  private def metaDir = root.resolve("meta")
+  private def versionFile = metaDir.resolve("VERSION")
+  private def snapFile(id: Long) = metaDir.resolve(s"snap-$id.json")
+
+  def currentSnapshotId: Long =
+    new String(Files.readAllBytes(versionFile), StandardCharsets.UTF_8).trim.toLong
+
+  def snapshot(id: Long): Snapshot =
+    Snapshot.fromJson(new String(Files.readAllBytes(snapFile(id)), StandardCharsets.UTF_8))
+
+  def currentSnapshot: Snapshot = snapshot(currentSnapshotId)
+
+  /** All snapshot ids, ascending (time travel surface). */
+  def snapshotIds: Vector[Long] = {
+    val s = Files.list(metaDir)
+    try {
+      val b = Vector.newBuilder[Long]
+      s.iterator().forEachRemaining { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("snap-") && n.endsWith(".json"))
+          b += n.stripPrefix("snap-").stripSuffix(".json").toLong
+      }
+      b.result().sorted
+    } finally s.close()
+  }
+
+  /** Commit `next` whose parent must be the current version (CAS). */
+  def commit(next: Snapshot): Unit = {
+    val cur = currentSnapshotId
+    require(next.parentId == cur,
+      s"concurrent commit detected: parent ${next.parentId} != current $cur")
+    val tmp = metaDir.resolve(s".snap-${next.snapshotId}.json.tmp")
+    Files.write(tmp, next.toJson.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, snapFile(next.snapshotId), StandardCopyOption.ATOMIC_MOVE)
+    val vTmp = metaDir.resolve(s".VERSION.${next.snapshotId}.tmp")
+    Files.write(vTmp, next.snapshotId.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(vTmp, versionFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Evolve the table's logical schema (add column / widen type): a pure
+    * metadata commit — no data files touched. Old files keep their physical
+    * schema and are aligned at read time; subsequent MERGEs write the new
+    * version. Replaying old batches after a widen yields identical logical
+    * rows (north_rule schema-evolution requirement). */
+  def evolveSchema(newVersion: Int): Snapshot = {
+    val snap = currentSnapshot
+    require(newVersion > snap.schemaVersion, s"cannot downgrade ${snap.schemaVersion} → $newVersion")
+    TableSchemas.forVersion(newVersion) // validate
+    val next = snap.copy(snapshotId = snap.snapshotId + 1, parentId = snap.snapshotId,
+      schemaVersion = newVersion)
+    commit(next)
+    next
+  }
+
+  /** Read the table at a snapshot (default: current) as a DataFrame in the
+    * CURRENT logical schema. Files written under older physical schemas are
+    * read with their own schema, cast (widening) and null-backfilled
+    * (added columns) — Iceberg-style evolution without Iceberg.
+    * User-facing: tombstones filtered, internal columns dropped. */
+  def read(spark: SparkSession, snapshotId: Option[Long] = None): DataFrame = {
+    val raw = readRaw(spark, snapshotId)
+    raw.filter(!col("_deleted")).drop(TableSchemas.internalNames: _*)
+  }
+
+  /** Full physical read including tombstones and internal columns. */
+  def readRaw(spark: SparkSession, snapshotId: Option[Long] = None): DataFrame = {
+    val snap = snapshotId.map(snapshot).getOrElse(currentSnapshot)
+    readFiles(spark, snap, snap.files)
+  }
+
+  /** Read only the given files of a snapshot, aligned to the current logical
+    * schema. */
+  def readFiles(spark: SparkSession, snap: Snapshot, files: Seq[DataFile]): DataFrame = {
+    val logical = TableSchemas.forVersion(snap.schemaVersion)
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logical)
+    val byVersion = files.groupBy(_.schemaVersion)
+    val parts = byVersion.toSeq.sortBy(_._1).map { case (v, fs) =>
+      val physical = TableSchemas.forVersion(v)
+      val df = spark.read.schema(physical).parquet(fs.map(f => root.resolve(f.path).toString): _*)
+      align(df, physical, logical)
+    }
+    parts.reduce(_.unionByName(_))
+  }
+
+  /** Project `df` (physical schema) onto `logical`: cast widened columns,
+    * null-fill added ones. */
+  private def align(df: DataFrame, physical: StructType, logical: StructType): DataFrame = {
+    val phys = physical.fieldNames.toSet
+    val cols: Seq[Column] = logical.fields.toSeq.map { f =>
+      if (phys.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    df.select(cols: _*)
+  }
+
+  /** Write `df` (current-schema columns + an int `bucket` column) as one
+    * parquet file per bucket under `data/s<newSnapshotId>/`, rows sorted by
+    * `url` within each file (deterministic content for replay-idempotence —
+    * SURVEY.md §7.4.3). Returns manifest entries with exact per-file row
+    * counts (from parquet footers) and per-bucket url bounds. */
+  def writeDataFiles(df: DataFrame, newSnapshotId: Long, schemaVersion: Int,
+      statsByBucket: Map[Int, (Long, String, String)]): Vector[DataFile] = {
+    val relDir = s"data/s$newSnapshotId"
+    val outDir = root.resolve(relDir)
+    df.write.mode("overwrite").partitionBy("bucket").parquet(outDir.toString)
+    // enumerate written files
+    val found = Vector.newBuilder[(Path, Int)]
+    if (Files.isDirectory(outDir)) {
+      val ds = Files.list(outDir)
+      try ds.iterator().forEachRemaining { bdir =>
+        val n = bdir.getFileName.toString
+        if (n.startsWith("bucket=")) {
+          val b = n.stripPrefix("bucket=").toInt
+          val fs = Files.list(bdir)
+          try fs.iterator().forEachRemaining { f =>
+            if (f.getFileName.toString.endsWith(".parquet")) found += ((f, b))
+          } finally fs.close()
+        }
+      } finally ds.close()
+    }
+    val files = found.result()
+    // exact row counts from parquet footers (metadata-only reads, parallel)
+    files.par.map { case (p, b) =>
+      val rows = LakeTable.parquetRowCount(p)
+      val (_, uMin, uMax) = statsByBucket.getOrElse(b, (rows, "", "￿"))
+      DataFile(root.relativize(p).toString, b, rows, uMin, uMax, schemaVersion,
+        Files.size(p))
+    }.toVector.seq.sortBy(f => (f.bucket, f.path))
+  }
+}
+
+object LakeTable {
+  /** Create an empty table with an initial snapshot 0. */
+  def create(root: Path, nBuckets: Int, schemaVersion: Int = TableSchemas.current): LakeTable = {
+    Files.createDirectories(root.resolve("meta"))
+    Files.createDirectories(root.resolve("data"))
+    val t = new LakeTable(root)
+    val snap0 = Snapshot(0L, -1L, schemaVersion, nBuckets, Vector.empty, Vector.empty, 0L)
+    Files.write(root.resolve("meta").resolve("snap-0.json"),
+      snap0.toJson.getBytes(StandardCharsets.UTF_8))
+    Files.write(root.resolve("meta").resolve("VERSION"), "0".getBytes(StandardCharsets.UTF_8))
+    t
+  }
+
+  def load(root: Path): LakeTable = {
+    require(Files.exists(root.resolve("meta").resolve("VERSION")), s"no table at $root")
+    new LakeTable(root)
+  }
+
+  def exists(root: Path): Boolean = Files.exists(root.resolve("meta").resolve("VERSION"))
+
+  /** Exact row count from the parquet footer (no data pages read). */
+  def parquetRowCount(p: Path): Long = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toUri), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** The table's hash-bucket of a url column: `pmod(xxhash64(url), n)` —
+    * built-in, codegen'd, identical on executor and driver. */
+  def bucketOf(urlCol: Column, nBuckets: Int): Column =
+    pmod(xxhash64(urlCol), lit(nBuckets.toLong)).cast("int")
+}

@@ -1,0 +1,100 @@
+package graft.lake
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+/** One tracked Parquet data file with pruning stats (≙ an Iceberg manifest
+  * entry; plays the role of the reference's per-file `ChunksIndex` —
+  * `/root/reference/common/src/main/java/com/spredfast/kafka/connect/s3/json/ChunksIndex.java:7-37`).
+  *
+  * `bucket` is the table's hash-partition of `url`
+  * (`pmod(xxhash64(url), nBuckets)`); MERGE only rewrites files whose bucket
+  * intersects the incoming batch — the skip-scan the reference gets from its
+  * chunk index.
+  */
+final case class DataFile(
+    path: String, // relative to table root
+    bucket: Int,
+    rowCount: Long,
+    urlMin: String,
+    urlMax: String,
+    schemaVersion: Int,
+    bytes: Long)
+
+/** Lineage of one binlog partition within one committed batch
+  * (≙ the gap-free chain `next.first = prev.first + prev.num_records`,
+  * `sink/.../BlockGZIPFileWriter.java:174-176`, `S3Writer.java:92-96`). */
+final case class PartLineage(partition: Int, startOffset: Long, count: Long, rows: Long)
+
+/** One committed microbatch's marker: the exactly-once key `(batchId,
+  * partitions…)` stored in the snapshot summary (per north_star). */
+final case class BatchMarker(batchId: Long, lineage: Seq[PartLineage], upserts: Long, deletes: Long)
+
+/** A table snapshot (≙ Iceberg snapshot + metadata file; also ≙ the
+  * reference's cursor file + index chain, `sink/.../S3Writer.java:102-109`). */
+final case class Snapshot(
+    snapshotId: Long,
+    parentId: Long, // -1 for first
+    schemaVersion: Int,
+    nBuckets: Int,
+    files: Vector[DataFile],
+    batches: Vector[BatchMarker],
+    totalRows: Long) {
+
+  def committedBatchIds: Set[Long] = batches.map(_.batchId).toSet
+
+  def toJson: String = {
+    val m = Snapshot.mapper
+    val root = m.createObjectNode()
+    root.put("snapshot_id", snapshotId)
+    root.put("parent_id", parentId)
+    root.put("schema_version", schemaVersion)
+    root.put("n_buckets", nBuckets)
+    root.put("total_rows", totalRows)
+    val fa = root.putArray("files")
+    files.foreach { f =>
+      val o = fa.addObject()
+      o.put("path", f.path); o.put("bucket", f.bucket); o.put("row_count", f.rowCount)
+      o.put("url_min", f.urlMin); o.put("url_max", f.urlMax)
+      o.put("schema_version", f.schemaVersion); o.put("bytes", f.bytes)
+    }
+    val ba = root.putArray("batches")
+    batches.foreach { b =>
+      val o = ba.addObject()
+      o.put("batch_id", b.batchId); o.put("upserts", b.upserts); o.put("deletes", b.deletes)
+      val la = o.putArray("lineage")
+      b.lineage.foreach { l =>
+        val lo = la.addObject()
+        lo.put("partition", l.partition); lo.put("start_offset", l.startOffset)
+        lo.put("count", l.count); lo.put("rows", l.rows)
+      }
+    }
+    m.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+}
+
+object Snapshot {
+  private[lake] val mapper = new ObjectMapper()
+
+  def fromJson(json: String): Snapshot = {
+    val root = mapper.readTree(json)
+    def arr(n: JsonNode, f: String): Iterator[JsonNode] = {
+      val a = n.get(f).asInstanceOf[ArrayNode]
+      val it = a.elements(); Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+    }
+    val files = arr(root, "files").map { o =>
+      DataFile(o.get("path").asText(), o.get("bucket").asInt(), o.get("row_count").asLong(),
+        o.get("url_min").asText(), o.get("url_max").asText(),
+        o.get("schema_version").asInt(), o.get("bytes").asLong())
+    }.toVector
+    val batches = arr(root, "batches").map { o =>
+      BatchMarker(o.get("batch_id").asLong(),
+        arr(o, "lineage").map(l => PartLineage(l.get("partition").asInt(),
+          l.get("start_offset").asLong(), l.get("count").asLong(), l.get("rows").asLong())).toVector,
+        o.get("upserts").asLong(), o.get("deletes").asLong())
+    }.toVector
+    Snapshot(root.get("snapshot_id").asLong(), root.get("parent_id").asLong(),
+      root.get("schema_version").asInt(), root.get("n_buckets").asInt(),
+      files, batches, root.get("total_rows").asLong())
+  }
+}

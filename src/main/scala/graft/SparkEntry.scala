@@ -1,13 +1,479 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DedupOps, Multimodal, Similarity, TextOps}
+
+/** Driver contract: one `queries` entry per implemented operator
+  * (SURVEY.md §2 inventory + the training-data pipeline ops), with
+  * column-identical DuckDB oracle SQL in `oracleSql` where the operator is
+  * SQL-expressible. Timestamps are surfaced as epoch micros (BIGINT) and
+  * fractional aggregates as decimal-summed doubles so Spark and DuckDB
+  * results hash identically.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Testdata parquet timestamps read as TIMESTAMP_NTZ under Spark 4; with a
+    * UTC session the instant cast is the identity wall-clock mapping, and
+    * matches DuckDB's naive `epoch_us`. */
+  private def usOf(c: Column): Column = unix_micros(c.cast("timestamp"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("cdc_merge_final_state")(spark, "/root/testdata/sf0.001")
+
+  // ---- CDC engine E2E: events → changelog → dedup → MERGE → final state --
+  /** Runs the REAL pipeline (Dedup + Merge + LakeTable) over a changelog
+    * derived from the events table, split into 3 microbatches to exercise
+    * cross-batch LWW + tombstones, then reads the final table back. */
+  private def cdcMergeFinalState(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val changelog = ev.select(
+      pmod(col("user_id"), lit(4)).cast("int").as("partition"),
+      col("event_id").as("offset"),
+      when(col("event_type") === "error", "delete").otherwise("upsert").as("op"),
+      concat(lit("u"), col("user_id").cast("string")).as("url"),
+      col("ts").as("warc_ts"),
+      when(col("event_type") === "error", lit(null).cast("binary"))
+        .otherwise(to_binary(col("props"), lit("utf-8"))).as("html"),
+      lit("en").as("lang"))
+    val root = Files.createTempDirectory("graft-q-lake")
+    val table = graft.lake.LakeTable.create(root, nBuckets = 8)
+    val bounds = ev.agg(min("event_id"), max("event_id")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val step = math.max(1L, (hi - lo + 1) / 3 + 1)
+    var b = 0L
+    var from = lo
+    while (from <= hi) {
+      val until = from + step
+      graft.cdc.Ingest.applyBatch(s, table)(
+        changelog.filter(col("offset") >= from && col("offset") < until), b)
+      b += 1
+      from = until
+    }
+    table.read(s).select(
+      col("url"),
+      unix_micros(col("warc_ts")).as("warc_us"),
+      col("text"),
+      col("content_len"))
+  }
+
+  // ------------------------------- queries --------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "cdc_merge_final_state" -> ((s, dir) => cdcMergeFinalState(s, dir)),
+
+    // per-key latest-event dedup (A3): the max(warc_ts) window over key
+    "cdc_latest_per_key" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), usOf(col("ts")).as("ts_us"),
+          col("event_type"), col("value"), col("event_id"))
+    }),
+
+    // latest-per-key with delete fold (upsert/delete semantics)
+    "cdc_upsert_fold" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .filter(col("event_type") =!= "error")
+        .select(col("user_id"), usOf(col("ts")).as("ts_us"), col("event_type"))
+    }),
+
+    // per-group offset bookkeeping (A4/A5 lineage bounds)
+    "cdc_lineage_bounds" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("event_type")).agg(
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+        count(lit(1)).as("cnt"))),
+
+    // gap-free chain check (T3), shuffle-free formulation
+    "cdc_gap_scan" -> ((s, dir) =>
+      t(s, dir, "events").agg(
+        (max(col("event_id")) - min(col("event_id")) + 1 -
+          count_distinct(col("event_id"))).as("n_missing"),
+        count(lit(1)).as("n_events"))),
+
+    // event-time tumbling flush window (W1)
+    "cdc_window_tumbling" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(usOf(date_trunc("hour", col("ts"))).as("wstart_us"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))),
+
+    // message-key exclude anti-filter (F4)
+    "cdc_exclude_filter" -> ((s, dir) =>
+      t(s, dir, "events")
+        .filter(!col("props").contains("\"k\": 1") && !col("props").contains("\"k\": 2"))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))),
+
+    // topic remap projection (F8)
+    "cdc_remap_topic" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("topic",
+          when(col("event_type").isin("click", "view"), "interaction")
+            .when(col("event_type") === "purchase", "conversion")
+            .otherwise(col("event_type")))
+        .groupBy(col("topic")).agg(count(lit(1)).as("cnt"))),
+
+    // wall-clock flush buckets (W2/W5 cadence analog)
+    "cdc_flush_windows" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy((floor(usOf(col("ts")) / lit(21600000000L))).as("bucket"))
+        .agg(count(lit(1)).as("cnt"), count_distinct(col("user_id")).as("users"))),
+
+    // scan + filter + hash aggregate (pricing summary)
+    "q1_pricing" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+            .cast("double").as("sum_disc"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+            .cast("decimal(18,6)")).cast("double").as("sum_charge"),
+          count(lit(1)).as("count_order"))),
+
+    // 3-way join + agg + top-k (broadcast dims, shuffle fact)
+    "q3_shipping" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), usOf(col("o_orderdate")).as("odate_us"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
+    }),
+
+    // semi join (EXISTS)
+    "q_semi_join" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem").filter(col("l_quantity") > 49).select(col("l_orderkey"))
+      t(s, dir, "orders").join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("cnt"))
+    }),
+
+    // anti join (NOT EXISTS)
+    "q_anti_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000).select(col("o_custkey"))
+      t(s, dir, "customer").join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("cnt"))
+    }),
+
+    // set operation (EXCEPT): (user, day) pairs with purchases but no errors
+    "q_setops" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def pairs(et: String) = ev.filter(col("event_type") === et)
+        .select(col("user_id"), usOf(date_trunc("day", col("ts"))).as("day_us")).distinct()
+      pairs("purchase").except(pairs("error"))
+    }),
+
+    // analytic window: deterministic running sum
+    "w_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem").filter(col("l_suppkey") < 5)
+        .withColumn("run_qty", sum(col("l_quantity").cast("decimal(18,2)")).over(w).cast("double"))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("run_qty"))
+    }),
+
+    // ranking window: top-n per group
+    "w_topn_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc, col("p_partkey"))
+      t(s, dir, "part").withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("rn"))
+    }),
+
+    // join + multi-aggregate
+    "agg_nation_stats" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      t(s, dir, "customer").join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"),
+          min(col("c_name")).as("min_name"), max(col("c_name")).as("max_name"))
+    }),
+
+    // ---------------- training-data pipeline operators ----------------
+
+    // exact dedup by normalized-text fingerprint
+    "doc_exact_dedup" -> ((s, dir) =>
+      DedupOps.exactGroups(t(s, dir, "documents"))),
+
+    // token counting
+    "doc_token_stats" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+        .withColumn("chars_per_token",
+          round(col("n_chars").cast("double") / col("n_tokens").cast("double"), 4))),
+
+    // quality scoring
+    "doc_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.stopwordCount(col("text")).as("n_stop"),
+        TextOps.punctCount(col("text")).as("n_punct"),
+        TextOps.qualityScore(col("text")).as("quality"))),
+
+    // language identification (n-gram/stopword heuristic)
+    "doc_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), col("lang").as("meta_lang"),
+        TextOps.langId(col("text")).as("lang_guess"))),
+
+    // minhash signatures (4 permutations over distinct 3-gram shingles)
+    "doc_minhash_sig" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(TextOps.shingles(col("text"), 3))).as("s"))
+      sh.groupBy(col("doc_id")).agg(
+        min(md5(concat(lit("0|"), col("s")))).as("mh0"),
+        min(md5(concat(lit("1|"), col("s")))).as("mh1"),
+        min(md5(concat(lit("2|"), col("s")))).as("mh2"),
+        min(md5(concat(lit("3|"), col("s")))).as("mh3"))
+    }),
+
+    // exact n-gram Jaccard near-dup pairs (inverted-index join)
+    "doc_ngram_neardup" -> ((s, dir) =>
+      DedupOps.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.6)),
+
+    // MinHash-LSH near-dup pairs (band join + exact verify) — the scale path
+    "doc_minhash_neardup" -> ((s, dir) =>
+      DedupOps.minhashNearDups(t(s, dir, "documents"), "text", "doc_id",
+        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.6)),
+
+    // SimHash near-dup pairs (Hamming ≤ 3 via 16-bit block banding)
+    "doc_simhash_neardup" -> ((s, dir) =>
+      DedupOps.simhashNearDups(t(s, dir, "documents"), "text", "doc_id", maxDist = 3)),
+
+    // rolling-hash document fingerprint
+    "doc_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.fingerprintMd5(col("text")).as("fp_md5"),
+        TextOps.rollingHash(col("text")).as("fp_roll"))),
+
+    // embedding norms per label
+    "emb_norm_stats" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("label"), round(Similarity.norm(col("embedding")), 4).as("n"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("cnt"), min(col("n")).as("min_norm"), max(col("n")).as("max_norm"))),
+
+    // brute-force cosine top-k (ANN baseline)
+    "emb_cosine_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 3)),
+
+    // LSH-bucketed near pairs (ANN scale path; recall vs brute force in specs)
+    "emb_lsh_pairs" -> ((s, dir) =>
+      Similarity.lshNearPairs(t(s, dir, "embeddings"), threshold = 0.5, nBits = 8, tables = 8)),
+
+    // IVF top-k (ANN scale path)
+    "emb_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L, 3L, 4L),
+        k = 3, nLists = 16, nprobe = 4)),
+
+    // multimodal: binary payload + metadata → partition-batched features
+    "mm_features" -> ((s, dir) => {
+      val media = Multimodal.synthMedia(t(s, dir, "documents"))
+      Multimodal.extractFeatures(s, media).toDF()
+        .select(col("doc_id"), col("kind"), col("n_bytes"), col("frames"))
+    })
+  )
+
+  // ------------------------------ oracles ---------------------------------
+  def oracleSql: Map[String, String] = Map(
+
+    "cdc_merge_final_state" ->
+      """WITH ranked AS (
+        |  SELECT user_id, ts, event_id, event_type, props,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT 'u' || CAST(user_id AS VARCHAR) AS url, epoch_us(ts) AS warc_us,
+        |       props AS text, CAST(strlen(props) AS BIGINT) AS content_len
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    "cdc_latest_per_key" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, event_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "cdc_upsert_fold" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+        |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    "cdc_lineage_bounds" ->
+      "SELECT event_type, min(event_id) AS min_id, max(event_id) AS max_id, count(*) AS cnt FROM events GROUP BY 1",
+
+    "cdc_gap_scan" ->
+      "SELECT max(event_id) - min(event_id) + 1 - count(DISTINCT event_id) AS n_missing, count(*) AS n_events FROM events",
+
+    "cdc_window_tumbling" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS wstart_us, event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "cdc_exclude_filter" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+        |WHERE props NOT LIKE '%"k": 1%' AND props NOT LIKE '%"k": 2%' GROUP BY 1""".stripMargin,
+
+    "cdc_remap_topic" ->
+      """SELECT CASE WHEN event_type IN ('click','view') THEN 'interaction'
+        |            WHEN event_type = 'purchase' THEN 'conversion'
+        |            ELSE event_type END AS topic, count(*) AS cnt
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "cdc_flush_windows" ->
+      """SELECT CAST(floor(epoch_us(ts) / 21600000000) AS BIGINT) AS bucket,
+        |  count(*) AS cnt, count(DISTINCT user_id) AS users FROM events GROUP BY 1""".stripMargin,
+
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q3_shipping" ->
+      """SELECT o_orderkey, epoch_us(o_orderdate) AS odate_us,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00' AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS cnt FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+        |GROUP BY 1""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS cnt FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |GROUP BY 1""".stripMargin,
+
+    "q_setops" ->
+      """SELECT DISTINCT user_id, epoch_us(date_trunc('day', ts)) AS day_us
+        |FROM events WHERE event_type = 'purchase'
+        |EXCEPT SELECT DISTINCT user_id, epoch_us(date_trunc('day', ts)) AS day_us
+        |FROM events WHERE event_type = 'error'""".stripMargin,
+
+    "w_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_qty
+        |FROM lineitem WHERE l_suppkey < 5""".stripMargin,
+
+    "w_topn_per_group" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) rn
+        |  FROM part) WHERE rn <= 3""".stripMargin,
+
+    "agg_nation_stats" ->
+      """SELECT n_name, count(*) AS cnt,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+        |  min(c_name) AS min_name, max(c_name) AS max_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1""".stripMargin,
+
+    "doc_exact_dedup" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '[ \t\n\r]+', ' ', 'g')) AS fp,
+        |  count(*) AS n_dups, min(doc_id) AS canonical_id
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "doc_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[^ \t\n\r]+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  round(CAST(length(text) AS DOUBLE) / CAST(len(regexp_extract_all(text, '[^ \t\n\r]+')) AS DOUBLE), 4) AS chars_per_token
+        |FROM documents""".stripMargin,
+
+    "doc_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|it)\b')) AS BIGINT) AS n_stop,
+        |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+        |  round(CASE WHEN len(regexp_extract_all(text, '[^ \t\n\r]+')) = 0 THEN 0.0 ELSE
+        |    0.4 * least(CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|it)\b')) AS DOUBLE)
+        |          / CAST(len(regexp_extract_all(text, '[^ \t\n\r]+')) AS DOUBLE) * 8.0, 1.0)
+        |  + 0.3 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        |  + 0.3 * (1.0 - least(CAST(len(regexp_extract_all(text, '[.,!?;:]')) + len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+        |          / CAST(greatest(length(text), 1) AS DOUBLE) * 10.0, 1.0)) END, 4) AS quality
+        |FROM documents""".stripMargin,
+
+    "doc_langid" ->
+      """WITH sc AS (SELECT doc_id, lang AS meta_lang,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS BIGINT) en,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS BIGINT) de,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(le|la|et|les|est)\b')) AS BIGINT) fr,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|es|y)\b')) AS BIGINT) es
+        |  FROM documents)
+        |SELECT doc_id, meta_lang,
+        |  CASE WHEN en > 0 AND en = greatest(en,de,fr,es) THEN 'en'
+        |       WHEN de > 0 AND de = greatest(en,de,fr,es) THEN 'de'
+        |       WHEN fr > 0 AND fr = greatest(en,de,fr,es) THEN 'fr'
+        |       WHEN es > 0 AND es = greatest(en,de,fr,es) THEN 'es'
+        |       ELSE 'unknown' END AS lang_guess
+        |FROM sc""".stripMargin,
+
+    "doc_minhash_sig" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(trim(text), '[^ \t\n\r]+') ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+        |         i -> array_to_string(ws[i:i+2], ' ')))) s
+        |       FROM w WHERE len(ws) >= 3)
+        |SELECT doc_id, min(md5('0|' || s)) AS mh0, min(md5('1|' || s)) AS mh1,
+        |       min(md5('2|' || s)) AS mh2, min(md5('3|' || s)) AS mh3
+        |FROM sh GROUP BY 1""".stripMargin,
+
+    "doc_ngram_neardup" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(trim(text), '[^ \t\n\r]+') ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+        |         i -> array_to_string(ws[i:i+2], ' ')))) s
+        |       FROM w WHERE len(ws) >= 3),
+        |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id id1, b.doc_id id2, count(*) inter
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id1, id2,
+        |  round(CAST(inter AS DOUBLE) / CAST(x.n + y.n - inter AS DOUBLE), 4) AS jaccard
+        |FROM p JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+        |WHERE CAST(inter AS DOUBLE) / CAST(x.n + y.n - inter AS DOUBLE) >= 0.6""".stripMargin,
+
+    "emb_norm_stats" ->
+      """SELECT label, count(*) AS cnt,
+        |  min(round(sqrt(list_dot_product(embedding, embedding)), 4)) AS min_norm,
+        |  max(round(sqrt(list_dot_product(embedding, embedding)), 4)) AS max_norm
+        |FROM embeddings GROUP BY 1""".stripMargin,
+
+    "emb_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+        |c AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |        round(list_dot_product(q.qv, e.embedding) /
+        |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.embedding, e.embedding))), 4) AS cos
+        |      FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, cos, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+        |  FROM c) WHERE rank <= 3""".stripMargin,
+
+    "mm_features" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN greatest(1, strlen(text) // 512) ELSE 1 END AS INT) AS frames
+        |FROM documents""".stripMargin
+  )
 }

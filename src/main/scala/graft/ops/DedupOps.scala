@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document-deduplication operators for training-data pipelines.
+  *
+  * Scale design notes (100 TB):
+  *  - exact dedup is a hash-aggregate on a fingerprint — map-side partial
+  *    aggregation collapses duplicates before the shuffle;
+  *  - MinHash-LSH never materializes the O(n²) pair space: candidates come
+  *    from an equi-join on (band, bucket) keys, so shuffle volume is
+  *    O(n · bands), and verification runs only on candidates;
+  *  - all hashes are portable MD5/xxhash64 expressions — no UDFs, fully
+  *    codegen'd, identical plan on every executor.
+  */
+object DedupOps {
+
+  /** Exact dedup: canonical doc per identical (normalized) text. */
+  def exactGroups(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(TextOps.fingerprintMd5(col(textCol)).as("fp"))
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("canonical_id"))
+
+  /** One MinHash value: min over shingles of md5(seed_i ++ shingle).
+    * Using the md5 hex string itself as the hash domain keeps it portable to
+    * the SQL oracle; min over a uniform hash is a valid permutation proxy. */
+  def minhash(shinglesCol: Column, seed: Int): Column =
+    array_min(transform(shinglesCol, s => md5(to_binary(concat(lit(seed.toString), lit("|"), s), lit("utf-8")))))
+
+  /** MinHash signature as k columns named mh0..mh{k-1}. */
+  def withMinhashes(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
+    val sh = TextOps.shingles(col(textCol), n)
+    (0 until k).foldLeft(docs.withColumn("_sh", sh)) { (d, i) =>
+      d.withColumn(s"mh$i", minhash(col("_sh"), i))
+    }.drop("_sh")
+  }
+
+  /** MinHash-LSH candidate pairs: band the k minhashes into `bands` groups
+    * of `rowsPerBand`, bucket-join on (band, md5(band minhashes)), emit
+    * candidate (id1 < id2) pairs, then verify with EXACT n-gram Jaccard.
+    * Returns pairs with jaccard ≥ threshold. */
+  def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
+      threshold: Double = 0.6): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigs = withMinhashes(docs.select(col(idCol).as("id"), col(textCol).as("txt")), "txt", n, k)
+    // band keys: one row per (doc, band)
+    val bandKeys = sigs.select(
+      col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          md5(to_binary(concat_ws("|", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*), lit("utf-8"))).as("bucket"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val a = bandKeys.alias("a")
+    val b = bandKeys.alias("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    verifyJaccard(candidates, docs, textCol, idCol, n, threshold)
+  }
+
+  /** Exact n-gram Jaccard over candidate pairs (id1, id2). */
+  def verifyJaccard(pairs: DataFrame, docs: DataFrame, textCol: String, idCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = docs.select(col(idCol).as("jid"),
+      array_distinct(TextOps.shingles(col(textCol), n)).as("jsh"))
+    pairs
+      .join(sh.withColumnRenamed("jid", "id1").withColumnRenamed("jsh", "sh1"), "id1")
+      .join(sh.withColumnRenamed("jid", "id2").withColumnRenamed("jsh", "sh2"), "id2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("uni", (size(col("sh1")) + size(col("sh2")) - col("inter")).cast("double"))
+      .withColumn("jaccard", round(when(col("uni") === 0.0, 0.0).otherwise(col("inter") / col("uni")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** Exact all-pairs n-gram Jaccard ≥ threshold via an inverted shingle
+    * index (the SQL-oracle-able baseline; LSH is the scale path). The join
+    * fans out by shingle, so shuffle is O(Σ shingles), never O(n²). */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      array_distinct(TextOps.shingles(col(textCol), n)).as("sh"))
+    val inv = sh.select(col("id"), col("sh"), explode(col("sh")).as("s"))
+    val a = inv.select(col("id").as("id1"), size(col("sh")).as("n1"), col("s"))
+    val b = inv.select(col("id").as("id2"), size(col("sh")).as("n2"), col("s"))
+    a.join(b, Seq("s")).filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"), col("n1"), col("n2"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("n1") + col("n2") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over tokens: per-bit weighted majority of xxhash64(token).
+    * Built with HOFs only: for each bit, sum ±1 over tokens, then assemble.
+    * Near-dup = small Hamming distance; pairs found by exact-match banding
+    * on 16-bit sub-blocks (any pair within Hamming ≤ 3 shares ≥1 of 4 blocks). */
+  def simhash64(text: Column): Column = {
+    val words = split(trim(text), "[ \\t\\n\\r]+")
+    val hashes = transform(words, w => xxhash64(w))
+    // bit i of simhash = 1 if Σ_tokens sign(bit_i(h)) > 0
+    val bits = (0 until 64).map { i =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("int")
+
+  /** SimHash near-dup pairs with Hamming ≤ maxDist via 4×16-bit block
+    * banding (exact for maxDist ≤ 3, then verified). */
+  def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    val blocks = sigs.select(col("id"), col("sig"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("blk"), shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.blk").as("blk"), col("bk.key").as("key"))
+    val a = blocks.alias("a")
+    val b = blocks.alias("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        hamming64(col("a.sig"), col("b.sig")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+}

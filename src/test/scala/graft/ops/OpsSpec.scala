@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Properties of the training-data ops: approximate paths (MinHash-LSH,
+  * SimHash, embedding LSH, IVF) are checked against their exact baselines on
+  * the deterministic testdata — recall floors chosen with margin below the
+  * observed values so the suites stay stable. */
+class OpsSpec extends SparkSpec {
+  private val dir = sfDir("0.01")
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+  private lazy val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash LSH near-dups: no false positives (verified) and high recall vs exact") {
+    val exact = pairSet(DedupOps.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.6))
+    val lsh = pairSet(DedupOps.minhashNearDups(docs, "text", "doc_id", 3, 4, 2, 0.6))
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    assert(lsh.subsetOf(exact), "verify step must remove sub-threshold candidates")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall too low (found ${lsh.size}/${exact.size})")
+  }
+
+  test("simhash near-dups: deterministic and aligned with high-jaccard pairs") {
+    val a = pairSet(DedupOps.simhashNearDups(docs, "text", "doc_id", 3))
+    val b = pairSet(DedupOps.simhashNearDups(docs, "text", "doc_id", 3))
+    assert(a == b, "simhash must be deterministic")
+    assert(a.nonEmpty)
+    val exact09 = pairSet(DedupOps.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.9))
+    val overlap = a.intersect(exact09).size.toDouble / math.max(1, exact09.size)
+    assert(overlap >= 0.5, s"simhash should find most jaccard≥0.9 pairs, got $overlap")
+  }
+
+  test("embedding LSH pairs: subset of brute-force pairs at same threshold, decent recall") {
+    // exact pairs at cos >= 0.5 via brute force over all ids
+    val ids = embs.select("vec_id").collect().map(_.getLong(0))
+    val bf = Similarity.bruteForceTopK(embs, ids.toSeq, k = 5)
+      .filter(col("cos") >= 0.5)
+      .select(least(col("query_id"), col("neighbor_id")).as("id1"),
+        greatest(col("query_id"), col("neighbor_id")).as("id2"))
+    val exact = bf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = pairSet(Similarity.lshNearPairs(embs, 0.5, nBits = 8, tables = 8))
+    assert(lsh.forall { case (i, j) => i < j })
+    if (exact.nonEmpty) {
+      val recall = lsh.intersect(exact).size.toDouble / exact.size
+      assert(recall >= 0.5, s"embedding LSH recall $recall (found ${lsh.size}, exact ${exact.size})")
+    }
+  }
+
+  test("IVF top-k: recall vs brute force on probe queries") {
+    val qs = Seq(0L, 1L, 2L, 3L, 4L)
+    val bf = Similarity.bruteForceTopK(embs, qs, 3).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(embs, qs, 3, nLists = 16, nprobe = 4)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.4, s"IVF recall@3 = $recall")
+    assert(ivf.size == bf.size) // same k returned
+  }
+
+  test("multimodal feature extraction: batch shape, determinism, metadata") {
+    val media = Multimodal.synthMedia(docs)
+    val feats = Multimodal.extractFeatures(spark, media, dim = 16).collect()
+    assert(feats.length == docs.count())
+    assert(feats.forall(_.features.length == 16))
+    assert(feats.filter(_.kind == "video").forall(_.frames >= 1))
+    val again = Multimodal.extractFeatures(spark, media, dim = 16).collect()
+    assert(feats.sortBy(_.doc_id).zip(again.sortBy(_.doc_id))
+      .forall { case (x, y) => x.features.sameElements(y.features) && x.frames == y.frames })
+  }
+
+  test("rolling hash and fingerprint: deterministic, whitespace-normalization semantics") {
+    import spark.implicits._
+    val df = Seq((1L, "hello  world foo"), (2L, "hello world\tfoo"), (3L, "different words here"))
+      .toDF("doc_id", "text")
+    val fp = df.select(col("doc_id"), TextOps.fingerprintMd5(col("text")).as("f")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L)) // normalized equal
+    assert(fp(1L) != fp(3L))
+    val rh = df.select(col("doc_id"), TextOps.rollingHash(col("text")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rh(1L) == rh(2L) && rh(1L) != rh(3L))
+  }
+
+  test("token count and quality: edge cases") {
+    import spark.implicits._
+    val df = Seq((1L, ""), (2L, "   "), (3L, "one"), (4L, "the cat, and the 42 dog."))
+      .toDF("doc_id", "text")
+    val tc = df.select(col("doc_id"), TextOps.tokenCount(col("text")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tc == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 6L))
+    val q = df.select(TextOps.qualityScore(col("text"))).collect().map(_.getDouble(0))
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.app
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.binlog.{ChangeEventGen, GenProfile, Segment}
+import graft.cdc.Ingest
+
+/** Shared benchmark plumbing: deterministic skewed binlog generation (cached
+  * on disk keyed by profile shape) and a timed ingest run at a given
+  * parallelism. */
+object BenchUtil {
+
+  def skewedProfile(totalEvents: Long, partitions: Int = 8): GenProfile =
+    GenProfile.skewed(seed = 42L, partitions = partitions,
+      perPartition = totalEvents / partitions)
+
+  /** Generate (or reuse cached) binlog segments for a profile. */
+  def ensureBinlog(p: GenProfile, baseDir: String = "/tmp/graft-bench"): Path = {
+    val dir = Paths.get(baseDir,
+      s"binlog-${p.name}-p${p.partitions}-n${p.eventsPerPartition}-s${p.seed}")
+    val marker = dir.resolve("_COMPLETE")
+    if (Files.exists(marker)) return dir
+    if (Files.exists(dir)) { // partial from a crashed run — rebuild
+      Segment.listAll(dir).foreach { f => Files.deleteIfExists(f.path); Files.deleteIfExists(f.indexPath) }
+    }
+    val t0 = System.nanoTime()
+    ChangeEventGen.writeSegments(p, dir, segmentEvents = 100000, chunkThreshold = 8L * 1024 * 1024)
+    Files.createFile(marker)
+    System.err.println(f"[bench] generated ${p.partitions * p.eventsPerPartition} events in ${(System.nanoTime() - t0) / 1e9}%.1f s → $dir")
+    dir
+  }
+
+  def newSession(cores: Int, shufflePartitions: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** One timed CDC ingest of the binlog into a fresh LakeTable via the
+    * streaming pipeline. Returns (events, seconds, events/sec). */
+  def timedIngest(spark: SparkSession, binlog: Path, maxEventsPerBatch: Long,
+      nBuckets: Int): (Long, Double, Double) = {
+    val work = Files.createTempDirectory("graft-bench-run")
+    val events = Segment.listAll(binlog).map(_.index.totalRecords).sum
+    val t0 = System.nanoTime()
+    val q = Ingest.startStream(spark, binlog.toString, work.resolve("table"),
+      work.resolve("ckpt").toString, maxEventsPerBatch = maxEventsPerBatch,
+      nBuckets = nBuckets)
+    q.awaitTermination()
+    val sec = (System.nanoTime() - t0) / 1e9
+    // clean up the table (bench tables are large)
+    def rm(p: Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).forEach(rm)
+      Files.deleteIfExists(p)
+    }
+    rm(work)
+    (events, sec, events / sec)
+  }
+}

@@ -1,0 +1,37 @@
+package graft.app
+
+/** Single-parallelism timed CDC ingest, repeated N times (fresh table each
+  * rep, same cached binlog), reporting best-of-N — run once per cluster size
+  * in its own JVM by scripts/scaling_bench.sh to produce the two-cluster-size
+  * scaling evidence (BASELINE.md "Sandbox scaling-evidence protocol").
+  * Best-of-N in separate JVMs controls for host noise and cross-session GC.
+  *
+  * Usage: runMain graft.app.ScalingBench <totalEvents> <cores> [reps]
+  */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val total = args(0).toLong
+    val cores = args(1).toInt
+    val reps = args.lift(2).map(_.toInt).getOrElse(3)
+    val profile = BenchUtil.skewedProfile(total)
+    val binlog = BenchUtil.ensureBinlog(profile)
+    val maxBatch = math.max(250000L, total / 8)
+    val nBuckets = 64
+
+    val spark = BenchUtil.newSession(cores, shufflePartitions = cores)
+    // warmup: small ingest to JIT the whole pipeline
+    val warmDir = BenchUtil.ensureBinlog(BenchUtil.skewedProfile(40000L))
+    BenchUtil.timedIngest(spark, warmDir, 20000L, 16)
+
+    val runs = (1 to reps).map { i =>
+      val (ev, sec, eps) = BenchUtil.timedIngest(spark, binlog, maxBatch, nBuckets)
+      System.err.println(f"[scaling] local[$cores] rep $i: $ev events in $sec%.1f s = $eps%.0f ev/s")
+      (ev, sec, eps)
+    }
+    val best = runs.maxBy(_._3)
+    println(
+      s"""{"metric":"ingest_eps","cores":$cores,"events":${best._1},"best_sec":${f"${best._2}%.2f"},""" +
+        s""""best_eps":${f"${best._3}%.0f"},"reps":$reps,"max_batch":$maxBatch,"n_buckets":$nBuckets}""")
+    spark.stop()
+  }
+}

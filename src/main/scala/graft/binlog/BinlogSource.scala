@@ -59,7 +59,7 @@ final class BinlogScan(path: String, options: CaseInsensitiveStringMap)
   private def maxEventsPerBatch: Long =
     Option(options.get("maxEventsPerBatch")).map(_.toLong).getOrElse(1000000L)
   private def eventsPerTask: Long =
-    Option(options.get("eventsPerTask")).map(_.toLong).getOrElse(50000L)
+    Option(options.get("eventsPerTask")).map(_.toLong).getOrElse(8000L)
 
   // Batch reads honor fromOffset/untilOffset options so range replays skip
   // whole segments at planning time (≙ offset-skip file filter,

@@ -21,23 +21,62 @@ import graft.lake.{LakeTable, PartLineage}
   */
 object Ingest {
 
+  /** Lineage from the source's own planned offset ranges: when every leaf
+    * scan of the batch is our binlog source, the `(partition, from, until)`
+    * input partitions ARE the offset bookkeeping (≙ the reference's chunk
+    * metadata, `BlockMetadata.java:5-21`) — no data pass needed. */
+  private def lineageFromPlan(df: DataFrame): Option[Seq[PartLineage]] = {
+    import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, MicroBatchScanExec}
+    import graft.binlog.{BinlogMicroBatchStream, BinlogScan}
+    val plan = df.queryExecution.executedPlan
+    val leaves = plan.collectLeaves()
+    val parts: Seq[org.apache.spark.sql.connector.read.InputPartition] = leaves.flatMap {
+      case m: MicroBatchScanExec if m.stream.isInstanceOf[BinlogMicroBatchStream] =>
+        m.stream.asInstanceOf[BinlogMicroBatchStream].planInputPartitions(m.start, m.end).toSeq
+      case b: BatchScanExec if b.scan.isInstanceOf[BinlogScan] =>
+        b.scan.asInstanceOf[BinlogScan].toBatch.planInputPartitions().toSeq
+      case _ => return None // a non-binlog leaf: fall back to data-pass lineage
+    }
+    val bl = parts.collect { case p: graft.binlog.BinlogInputPartition => p }
+    if (bl.size != parts.size || bl.isEmpty) return None
+    Some(bl.groupBy(_.partition).toSeq.sortBy(_._1).map { case (p, ps) =>
+      val start = ps.map(_.from).min
+      val cnt = ps.map(r => r.until - r.from).sum
+      PartLineage(p, start, cnt, cnt)
+    })
+  }
+
   /** Apply one microbatch (callable from foreachBatch or batch replay). */
   def applyBatch(spark: SparkSession, table: LakeTable)(df: DataFrame, batchId: Long): Unit = {
     val snap = table.currentSnapshot
     if (snap.committedBatchIds.contains(batchId)) return // replayed batch: already durable
-    val events = df.persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      // per-partition lineage (startOffset, count): the gap-free chain of the
-      // reference's chunk index (BlockGZIPFileWriter.java:174-176)
-      val lineage = events.groupBy(col("partition"))
-        .agg(min(col("offset")).as("start"), count(lit(1)).as("cnt"))
-        .collect()
-        .map(r => PartLineage(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(2)))
-        .toSeq.sortBy(_.partition)
-      if (lineage.isEmpty) return
-      val deduped = Dedup.latestPerUrl(events)
-      Merge(spark, table, deduped, batchId, lineage)
-    } finally events.unpersist()
+    val t0 = System.nanoTime()
+    // Fast path: lineage straight from the scan's planned offset ranges —
+    // no extra pass, no cache of the raw batch (it is consumed exactly once
+    // by the dedup aggregation). Fallback (non-binlog input): aggregate it,
+    // caching the batch since it is then read twice.
+    lineageFromPlan(df) match {
+      case Some(lineage) =>
+        if (lineage.isEmpty) return
+        Merge(spark, table, Dedup.latestPerUrl(df), batchId, lineage)
+        if (sys.env.contains("GRAFT_TIMING")) System.err.println(
+          f"[timing] batch $batchId: dedup+merge ${(System.nanoTime() - t0) / 1e9}%.1f s, rows ${lineage.map(_.count).sum} (plan lineage)")
+      case None =>
+        val events = df.persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          // per-partition lineage (startOffset, count): the gap-free chain of
+          // the reference's chunk index (BlockGZIPFileWriter.java:174-176)
+          val lineage = events.groupBy(col("partition"))
+            .agg(min(col("offset")).as("start"), count(lit(1)).as("cnt"))
+            .collect()
+            .map(r => PartLineage(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(2)))
+            .toSeq.sortBy(_.partition)
+          if (lineage.isEmpty) return
+          Merge(spark, table, Dedup.latestPerUrl(events), batchId, lineage)
+          if (sys.env.contains("GRAFT_TIMING")) System.err.println(
+            f"[timing] batch $batchId: dedup+merge ${(System.nanoTime() - t0) / 1e9}%.1f s, rows ${lineage.map(_.count).sum} (agg lineage)")
+        } finally events.unpersist()
+    }
   }
 
   /** Start the streaming ingest from a binlog directory. */

@@ -44,6 +44,13 @@ object Merge {
     if (snap.committedBatchIds.contains(batchId)) return snap // exactly-once replay skip
 
     val nBuckets = snap.nBuckets
+    val timing = sys.env.contains("GRAFT_TIMING")
+    var tMark = System.nanoTime()
+    def mark(what: String): Unit = if (timing) {
+      val now = System.nanoTime()
+      System.err.println(f"[timing]   merge/$what ${(now - tMark) / 1e9}%.1f s")
+      tMark = now
+    }
     val withBucket = batch.withColumn("bucket", LakeTable.bucketOf(col("url"), nBuckets))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -54,6 +61,7 @@ object Merge {
         min(col("url")).as("umin"), max(col("url")).as("umax"),
         sum(when(col("op") === "upsert", 1L).otherwise(0L)).as("ups"))
         .collect()
+      mark("batch-stats")
       if (stats.isEmpty) return snap
       val srcBuckets = stats.map(r => r.getInt(0)).toSet
       val bounds = stats.map(r => r.getInt(0) -> (r.getString(2), r.getString(3))).toMap
@@ -102,17 +110,25 @@ object Merge {
       val allCols = dataCols ++ TableSchemas.internalNames :+ "bucket"
       val merged = joined.select(allCols.map(pick): _*)
 
-      // 4. per-bucket stats for the manifest, then deterministic write
+      // 4. per-bucket stats for the manifest, then deterministic write.
+      // `merged` is persisted so the join + text extraction run ONCE (the
+      // stats pass and the write pass would otherwise both compute it).
+      val mergedP = merged.persist(StorageLevel.MEMORY_AND_DISK)
       val nextId = snap.snapshotId + 1
-      val mergedStats = merged.groupBy(col("bucket")).agg(
-        count(lit(1)).as("n"), min(col("url")).as("umin"), max(col("url")).as("umax"))
-        .collect()
-        .map(r => r.getInt(0) -> (r.getLong(1), r.getString(2), r.getString(3))).toMap
-      val writePartitions = math.max(1, mergedStats.size)
-      val out = merged
-        .repartition(writePartitions, col("bucket"))
-        .sortWithinPartitions(col("bucket"), col("url"))
-      val newFiles = table.writeDataFiles(out, nextId, snap.schemaVersion, mergedStats)
+      val newFiles = try {
+        val mergedStats = mergedP.groupBy(col("bucket")).agg(
+          count(lit(1)).as("n"), min(col("url")).as("umin"), max(col("url")).as("umax"))
+          .collect()
+          .map(r => r.getInt(0) -> (r.getLong(1), r.getString(2), r.getString(3))).toMap
+        mark("join+extract+stats")
+        val writePartitions = math.max(1, mergedStats.size)
+        val out = mergedP
+          .repartition(writePartitions, col("bucket"))
+          .sortWithinPartitions(col("bucket"), col("url"))
+        val nf = table.writeDataFiles(out, nextId, snap.schemaVersion, mergedStats)
+        mark("write+footers")
+        nf
+      } finally mergedP.unpersist()
 
       val newTotal = untouched.map(_.rowCount).sum + newFiles.map(_.rowCount).sum
       val next = snap.copy(

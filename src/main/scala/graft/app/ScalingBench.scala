@@ -15,7 +15,7 @@ object ScalingBench {
     val reps = args.lift(2).map(_.toInt).getOrElse(3)
     val profile = BenchUtil.skewedProfile(total)
     val binlog = BenchUtil.ensureBinlog(profile)
-    val maxBatch = math.max(250000L, total / 8)
+    val maxBatch = math.max(250000L, total / 4)
     val nBuckets = 64
 
     val spark = BenchUtil.newSession(cores, shufflePartitions = cores)

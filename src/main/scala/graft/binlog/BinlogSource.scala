@@ -181,6 +181,7 @@ final class BinlogMicroBatchStream(path: String, maxEventsPerBatch: Long, events
     val e = end.asInstanceOf[BinlogOffset].parts
     val ranges = e.map { case (p, until) => p -> (s.getOrElse(p, 0L), until) }
       .filter { case (_, (f, u)) => u > f }
+    BinlogLineage.record(path, ranges)
     BinlogOffsets.splitRanges(path, ranges, eventsPerTask)
   }
 
@@ -192,6 +193,18 @@ final class BinlogMicroBatchStream(path: String, maxEventsPerBatch: Long, events
 
 final case class BinlogInputPartition(path: String, partition: Int, from: Long, until: Long)
     extends InputPartition
+
+/** Driver-side registry of the most recently planned offset ranges per
+  * binlog path. foreachBatch hands the sink an opaque `LogicalRDD`, so the
+  * ingest pipeline cannot recover the batch's offset ranges from the plan;
+  * the source records them here at planning time instead (exactly the
+  * reference's per-poll offset bookkeeping, `S3SourceTask.java:214-224`).
+  * Streaming runs one batch at a time per query — single producer. */
+object BinlogLineage {
+  private val last = new java.util.concurrent.ConcurrentHashMap[String, Map[Int, (Long, Long)]]()
+  def record(path: String, ranges: Map[Int, (Long, Long)]): Unit = last.put(path, ranges)
+  def lastPlanned(path: String): Option[Map[Int, (Long, Long)]] = Option(last.get(path))
+}
 
 final class BinlogReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {

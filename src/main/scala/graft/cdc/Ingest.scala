@@ -26,16 +26,22 @@ object Ingest {
     * input partitions ARE the offset bookkeeping (≙ the reference's chunk
     * metadata, `BlockMetadata.java:5-21`) — no data pass needed. */
   private def lineageFromPlan(df: DataFrame): Option[Seq[PartLineage]] = {
-    import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, MicroBatchScanExec}
+    import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation, StreamingDataSourceV2ScanRelation}
     import graft.binlog.{BinlogMicroBatchStream, BinlogScan}
-    val plan = df.queryExecution.executedPlan
-    val leaves = plan.collectLeaves()
+    // match on the LOGICAL plan: independent of AQE wrapping, no physical
+    // planning forced just to read offsets
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
     val parts: Seq[org.apache.spark.sql.connector.read.InputPartition] = leaves.flatMap {
-      case m: MicroBatchScanExec if m.stream.isInstanceOf[BinlogMicroBatchStream] =>
-        m.stream.asInstanceOf[BinlogMicroBatchStream].planInputPartitions(m.start, m.end).toSeq
-      case b: BatchScanExec if b.scan.isInstanceOf[BinlogScan] =>
+      case s: StreamingDataSourceV2ScanRelation
+          if s.stream.isInstanceOf[BinlogMicroBatchStream] && s.startOffset.isDefined && s.endOffset.isDefined =>
+        s.stream.asInstanceOf[BinlogMicroBatchStream]
+          .planInputPartitions(s.startOffset.get, s.endOffset.get).toSeq
+      case b: DataSourceV2ScanRelation if b.scan.isInstanceOf[BinlogScan] =>
         b.scan.asInstanceOf[BinlogScan].toBatch.planInputPartitions().toSeq
-      case _ => return None // a non-binlog leaf: fall back to data-pass lineage
+      case other =>
+        if (sys.env.contains("GRAFT_TIMING"))
+          System.err.println(s"[timing] lineage fallback: leaf ${other.getClass.getName}")
+        return None // a non-binlog leaf: fall back to data-pass lineage
     }
     val bl = parts.collect { case p: graft.binlog.BinlogInputPartition => p }
     if (bl.size != parts.size || bl.isEmpty) return None
@@ -46,21 +52,24 @@ object Ingest {
     })
   }
 
-  /** Apply one microbatch (callable from foreachBatch or batch replay). */
-  def applyBatch(spark: SparkSession, table: LakeTable)(df: DataFrame, batchId: Long): Unit = {
+  /** Apply one microbatch (callable from foreachBatch or batch replay).
+    * `knownLineage`: offset ranges recovered out-of-band (streaming registry).
+    * Within-batch dedup happens INSIDE the merge aggregation (same max_by),
+    * so the raw batch flows straight through — one pass, one shuffle. */
+  def applyBatch(spark: SparkSession, table: LakeTable,
+      knownLineage: Option[Seq[PartLineage]] = None)(df: DataFrame, batchId: Long): Unit = {
     val snap = table.currentSnapshot
     if (snap.committedBatchIds.contains(batchId)) return // replayed batch: already durable
     val t0 = System.nanoTime()
-    // Fast path: lineage straight from the scan's planned offset ranges —
-    // no extra pass, no cache of the raw batch (it is consumed exactly once
-    // by the dedup aggregation). Fallback (non-binlog input): aggregate it,
-    // caching the batch since it is then read twice.
-    lineageFromPlan(df) match {
+    // Fast path: lineage from the registry or the scan's planned offset
+    // ranges — no extra data pass. Fallback (non-binlog input): aggregate
+    // it, caching the batch since it is then read twice.
+    knownLineage.filter(_.nonEmpty).orElse(lineageFromPlan(df)) match {
       case Some(lineage) =>
         if (lineage.isEmpty) return
-        Merge(spark, table, Dedup.latestPerUrl(df), batchId, lineage)
+        Merge(spark, table, df, batchId, lineage)
         if (sys.env.contains("GRAFT_TIMING")) System.err.println(
-          f"[timing] batch $batchId: dedup+merge ${(System.nanoTime() - t0) / 1e9}%.1f s, rows ${lineage.map(_.count).sum} (plan lineage)")
+          f"[timing] batch $batchId: merge ${(System.nanoTime() - t0) / 1e9}%.1f s, rows ${lineage.map(_.count).sum} (plan lineage)")
       case None =>
         val events = df.persist(StorageLevel.MEMORY_AND_DISK)
         try {
@@ -72,9 +81,9 @@ object Ingest {
             .map(r => PartLineage(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(2)))
             .toSeq.sortBy(_.partition)
           if (lineage.isEmpty) return
-          Merge(spark, table, Dedup.latestPerUrl(events), batchId, lineage)
+          Merge(spark, table, events, batchId, lineage)
           if (sys.env.contains("GRAFT_TIMING")) System.err.println(
-            f"[timing] batch $batchId: dedup+merge ${(System.nanoTime() - t0) / 1e9}%.1f s, rows ${lineage.map(_.count).sum} (agg lineage)")
+            f"[timing] batch $batchId: merge ${(System.nanoTime() - t0) / 1e9}%.1f s, rows ${lineage.map(_.count).sum} (agg lineage)")
         } finally events.unpersist()
     }
   }
@@ -94,7 +103,14 @@ object Ingest {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch((df: DataFrame, id: Long) => applyBatch(spark, table)(df, id))
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        // foreachBatch wraps the batch as an opaque LogicalRDD, so recover
+        // the batch's offset ranges from the source's planning registry —
+        // one pass saved per batch vs aggregating them from the data.
+        val lineage = graft.binlog.BinlogLineage.lastPlanned(binlogDir).map(_.toSeq.sortBy(_._1)
+          .map { case (p, (from, until)) => PartLineage(p, from, until - from, until - from) })
+        applyBatch(spark, table, lineage)(df, id)
+      }
       .start()
   }
 

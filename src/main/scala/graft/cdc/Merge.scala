@@ -7,37 +7,54 @@ import org.apache.spark.storage.StorageLevel
 import graft.lake._
 import graft.model.TextExtract
 
-/** Copy-on-write MERGE INTO for the url-keyed LakeTable.
+/** Copy-on-write MERGE INTO for the url-keyed LakeTable, as a SINGLE-SHUFFLE
+  * aggregation.
   *
   * The reference has no joins; its analog of this operator is the
   * cursor→index→data dereference plus idempotent overwrite-on-replay
   * (`/root/reference/sink/src/main/java/com/spredfast/kafka/connect/s3/S3Writer.java:47-109`,
   * proven idempotent by the rewind IT,
-  * `sink/src/test/.../S3SinkConnectorIT.java:474-612`). Here MERGE is a real
-  * equi-join with last-writer-wins resolution:
+  * `sink/src/test/.../S3SinkConnectorIT.java:474-612`). Here, last-writer-wins
+  * MERGE is expressed as `max_by` over the union of (touched target rows ∪
+  * raw batch events), keyed by url and ordered by the `S3Offset`-style total
+  * order `(warc_ts, offset, partition)` (`S3Offset.java:46-49`):
   *
-  *  1. prune — only target files whose `bucket` (and url bounds) intersect
-  *     the batch are rewritten; everything else is carried forward untouched
-  *     (manifest skip-scan ≙ chunk-index skip-scan),
-  *  2. full-outer join target(touched) ↔ batch on (url, bucket); per url the
-  *     winner is the side with greater `(warc_ts, offset, partition)` — the
-  *     `S3Offset` total order — so a late event can never clobber a newer
-  *     row, regardless of which microbatch it arrived in (SURVEY.md §2.9 T7),
-  *  3. a winning delete is persisted as a TOMBSTONE row (`_deleted = true`):
-  *     final state must be independent of how the log was split into
+  *  1. prune — only target files whose `bucket` (and url bounds, from
+  *     parquet footers) intersect the batch are rewritten; everything else
+  *     is carried forward untouched (manifest skip-scan ≙ chunk-index
+  *     skip-scan);
+  *  2. union target + batch (batch needs NO pre-dedup — within-batch dedup
+  *     and merge-against-table happen in the same aggregation), then
+  *     `repartition(nBuckets, $"url")` + `groupBy(url).agg(max_by(…))`.
+  *     The explicit repartition satisfies the aggregation's clustering
+  *     requirement, so this is the ONLY shuffle; and because
+  *     `bucketOf(url) == Spark's partitionId(url)` by construction
+  *     (see [[LakeTable.bucketOf]]), each output task holds exactly one
+  *     bucket — the per-bucket write that follows needs no second shuffle;
+  *  3. a winning delete is persisted as a TOMBSTONE (`_deleted = true`):
+  *     the final state must be independent of how the log is split into
   *     batches, and only a durable tombstone beats a late upsert replayed
-  *     after it,
-  *  4. write per-bucket, sorted by url (deterministic replay), commit a new
-  *     snapshot with the `(batchId, lineage)` marker.
+  *     after it (SURVEY.md §2.9 T7);
+  *  4. text extraction runs POST-aggregation, only on batch-side winners
+  *     (target winners carry their stored text) — the extractor cost is
+  *     O(surviving rows), never O(events);
+  *  5. write per-bucket sorted by url (deterministic replay), manifest
+  *     stats from parquet footers, commit with the `(batchId, lineage)`
+  *     marker.
   *
-  * Scale: shuffle bounded by (touched target rows + batch rows); `nBuckets`
-  * sizes rewrite granularity; AQE splits skewed buckets in the join; text
-  * extraction runs only on post-dedup winners.
+  * Scale: shuffle bounded by (touched target rows + batch rows); map-side
+  * partial `max_by` collapses hot-url duplicates before the exchange (the
+  * Zipf-head defense); `nBuckets` sizes rewrite granularity and write
+  * parallelism; AQE is bypassed deliberately (explicit partitioning).
   */
 object Merge {
 
-  /** Apply one deduped batch. `batch` columns: url, op, warc_ts, html, lang,
-    * partition, offset (one row per url). Returns the committed snapshot. */
+  /** Debug hook: print the next merge's physical plan (used by PlanCheck). */
+  @volatile var explainNext: Boolean = false
+
+  /** Apply one RAW batch of change events (columns: partition, offset, op,
+    * url, warc_ts, html, lang — duplicates allowed). Returns the committed
+    * snapshot. */
   def apply(spark: SparkSession, table: LakeTable, batch: DataFrame,
       batchId: Long, lineage: Seq[PartLineage]): Snapshot = {
     val snap = table.currentSnapshot
@@ -51,11 +68,12 @@ object Merge {
       System.err.println(f"[timing]   merge/$what ${(now - tMark) / 1e9}%.1f s")
       tMark = now
     }
+
     val withBucket = batch.withColumn("bucket", LakeTable.bucketOf(col("url"), nBuckets))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // batch-side stats: touched buckets, url bounds, upsert/delete counts —
-      // one small aggregate, O(nBuckets) on the driver.
+      // batch-side stats for pruning: touched buckets, url bounds,
+      // upsert/delete counts — one aggregate, O(nBuckets) on the driver.
       val stats = withBucket.groupBy(col("bucket")).agg(
         count(lit(1)).as("n"),
         min(col("url")).as("umin"), max(col("url")).as("umax"),
@@ -78,57 +96,52 @@ object Merge {
       }
 
       val logical = TableSchemas.forVersion(snap.schemaVersion)
+      val typeOf = logical.fields.map(f => f.name -> f.dataType).toMap
       val dataCols = logical.fieldNames.toSeq.filterNot(TableSchemas.internalNames.contains)
 
-      // 2. batch side in table shape: text recomputed from html (the
-      //    invariant: text is ALWAYS extractor(html), never trusted from the
-      //    wire), deletes become tombstone candidates.
-      val srcRows = withBucket
-        .withColumn("text",
-          when(col("op") === "upsert", TextExtract.udf(col("html"))).otherwise(lit(null)))
-        .withColumn("content_len",
-          when(col("html").isNull, lit(null)).otherwise(length(col("html")).cast("long")))
+      // 2. union target + batch, aligned to the logical schema + `_xt` flag
+      //    (does this row still need text extraction?)
+      val target = table.readFiles(spark, snap, touched)
+        .withColumn("_xt", lit(false))
+      val srcAligned = withBucket
+        .withColumn("text", lit(null).cast("string"))
+        .withColumn("content_len", lit(null).cast(typeOf("content_len")))
         .withColumn("_seq_part", col("partition"))
         .withColumn("_seq_offset", col("offset"))
         .withColumn("_deleted", col("op") === "delete")
-      // align to the logical schema's types (v1 tables store content_len
-      // narrow; v1 has no lang — dataCols already reflects that)
-      val typeOf = logical.fields.map(f => f.name -> f.dataType).toMap
-      val srcCols = (dataCols ++ TableSchemas.internalNames).map(c => col(c).cast(typeOf(c)).as(c)) :+ col("bucket")
-      val source = srcRows.select(srcCols: _*)
+        .withColumn("_xt", lit(true))
+      val allCols = (dataCols ++ TableSchemas.internalNames :+ "_xt")
+      val aligned = (df: DataFrame) => df.select(allCols.map(c => col(c).cast(
+        if (c == "_xt") org.apache.spark.sql.types.BooleanType else typeOf.getOrElse(c, org.apache.spark.sql.types.BooleanType)).as(c)): _*)
+      val unioned = aligned(target).unionByName(aligned(srcAligned))
 
-      // 3. conditional LWW resolution via full-outer join on (url, bucket)
-      val target = table.readFiles(spark, snap, touched)
+      // 3. ONE shuffle: repartition by url into exactly nBuckets (== bucket
+      //    layout), then the groupBy reuses that partitioning.
+      val payload = struct((dataCols.filterNot(_ == "url") ++ TableSchemas.internalNames :+ "_xt").map(col): _*)
+      val seq = struct(col("warc_ts"), col("_seq_offset"), col("_seq_part"))
+      val winners = unioned
+        .repartition(nBuckets, col("url"))
+        .groupBy(col("url"))
+        .agg(max_by(payload, seq).as("w"))
+        .select(col("url") +: (dataCols.filterNot(_ == "url") ++ TableSchemas.internalNames :+ "_xt").map(c => col(s"w.$c").as(c)): _*)
+
+      // 4. finish rows: extract text only for batch-side winners; recompute
+      //    content_len; bucket == physical partition id by construction.
+      val merged = winners
+        .withColumn("text", when(col("_xt") && !col("_deleted"), TextExtract.udf(col("html")))
+          .otherwise(col("text")))
+        .withColumn("content_len",
+          when(col("html").isNull, lit(null)).otherwise(length(col("html"))).cast(typeOf("content_len")))
         .withColumn("bucket", LakeTable.bucketOf(col("url"), nBuckets))
-      val t = target.alias("t")
-      val s = source.alias("s")
-      val joined = t.join(s, col("t.url") === col("s.url"), "full_outer")
-      val tSeq = struct(col("t.warc_ts"), col("t._seq_offset"), col("t._seq_part"))
-      val sSeq = struct(col("s.warc_ts"), col("s._seq_offset"), col("s._seq_part"))
-      val takeSource = col("t.url").isNull || (col("s.url").isNotNull && sSeq > tSeq)
-      def pick(c: String): Column = when(takeSource, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
-      val allCols = dataCols ++ TableSchemas.internalNames :+ "bucket"
-      val merged = joined.select(allCols.map(pick): _*)
+        .drop("_xt")
+        .sortWithinPartitions(col("url"))
 
-      // 4. per-bucket stats for the manifest, then deterministic write.
-      // `merged` is persisted so the join + text extraction run ONCE (the
-      // stats pass and the write pass would otherwise both compute it).
-      val mergedP = merged.persist(StorageLevel.MEMORY_AND_DISK)
+      if (Merge.explainNext) { Merge.explainNext = false; merged.explain("formatted") }
+
+      // 5. write + manifest from footers + commit
       val nextId = snap.snapshotId + 1
-      val newFiles = try {
-        val mergedStats = mergedP.groupBy(col("bucket")).agg(
-          count(lit(1)).as("n"), min(col("url")).as("umin"), max(col("url")).as("umax"))
-          .collect()
-          .map(r => r.getInt(0) -> (r.getLong(1), r.getString(2), r.getString(3))).toMap
-        mark("join+extract+stats")
-        val writePartitions = math.max(1, mergedStats.size)
-        val out = mergedP
-          .repartition(writePartitions, col("bucket"))
-          .sortWithinPartitions(col("bucket"), col("url"))
-        val nf = table.writeDataFiles(out, nextId, snap.schemaVersion, mergedStats)
-        mark("write+footers")
-        nf
-      } finally mergedP.unpersist()
+      val newFiles = table.writeDataFiles(merged, nextId, snap.schemaVersion)
+      mark("merge-write")
 
       val newTotal = untouched.map(_.rowCount).sum + newFiles.map(_.rowCount).sum
       val next = snap.copy(
@@ -138,6 +151,7 @@ object Merge {
         batches = snap.batches :+ BatchMarker(batchId, lineage, upserts, deletes),
         totalRows = newTotal)
       table.commit(next)
+      mark("commit")
       next
     } finally withBucket.unpersist()
   }

@@ -134,10 +134,10 @@ final class LakeTable(val root: Path) {
   /** Write `df` (current-schema columns + an int `bucket` column) as one
     * parquet file per bucket under `data/s<newSnapshotId>/`, rows sorted by
     * `url` within each file (deterministic content for replay-idempotence —
-    * SURVEY.md §7.4.3). Returns manifest entries with exact per-file row
-    * counts (from parquet footers) and per-bucket url bounds. */
-  def writeDataFiles(df: DataFrame, newSnapshotId: Long, schemaVersion: Int,
-      statsByBucket: Map[Int, (Long, String, String)]): Vector[DataFile] = {
+    * SURVEY.md §7.4.3). Manifest entries carry exact per-file row counts and
+    * url bounds, both read from the parquet footers (metadata-only, parallel)
+    * — no extra stats pass over the data. */
+  def writeDataFiles(df: DataFrame, newSnapshotId: Long, schemaVersion: Int): Vector[DataFile] = {
     val relDir = s"data/s$newSnapshotId"
     val outDir = root.resolve(relDir)
     df.write.mode("overwrite").partitionBy("bucket").parquet(outDir.toString)
@@ -156,11 +156,8 @@ final class LakeTable(val root: Path) {
         }
       } finally ds.close()
     }
-    val files = found.result()
-    // exact row counts from parquet footers (metadata-only reads, parallel)
-    files.par.map { case (p, b) =>
-      val rows = LakeTable.parquetRowCount(p)
-      val (_, uMin, uMax) = statsByBucket.getOrElse(b, (rows, "", "￿"))
+    found.result().par.map { case (p, b) =>
+      val (rows, uMin, uMax) = LakeTable.parquetStats(p, "url")
       DataFile(root.relativize(p).toString, b, rows, uMin, uMax, schemaVersion,
         Files.size(p))
     }.toVector.seq.sortBy(f => (f.bucket, f.path))
@@ -196,8 +193,44 @@ object LakeTable {
     try r.getRecordCount finally r.close()
   }
 
-  /** The table's hash-bucket of a url column: `pmod(xxhash64(url), n)` —
-    * built-in, codegen'd, identical on executor and driver. */
+  /** (rowCount, urlMin, urlMax) from the parquet footer — metadata-only.
+    * Parquet's binary stats truncation keeps min a lower bound and max an
+    * upper bound, so the values are always safe pruning bounds. Falls back
+    * to the widest bounds if stats are absent. */
+  def parquetStats(p: Path, column: String): (Long, String, String) = {
+    import scala.jdk.CollectionConverters._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toUri), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val rows = r.getRecordCount
+      var mn: String = null
+      var mx: String = null
+      r.getFooter.getBlocks.asScala.foreach { b =>
+        b.getColumns.asScala.foreach { c =>
+          if (c.getPath.toDotString == column) {
+            val st = c.getStatistics
+            if (st != null && st.hasNonNullValue) {
+              val bmin = new String(st.getMinBytes, java.nio.charset.StandardCharsets.UTF_8)
+              val bmax = new String(st.getMaxBytes, java.nio.charset.StandardCharsets.UTF_8)
+              if (mn == null || bmin < mn) mn = bmin
+              if (mx == null || bmax > mx) mx = bmax
+            }
+          }
+        }
+      }
+      (rows, if (mn == null) "" else mn, if (mx == null) "￿" else mx)
+    } finally r.close()
+  }
+
+  /** The table's hash-bucket of a url column: `pmod(murmur3_hash(url), n)` —
+    * deliberately IDENTICAL to Spark's `HashPartitioning.partitionIdExpression`
+    * for a shuffle on `url` with n partitions. This makes the MERGE
+    * aggregation's shuffle layout coincide with the table's bucket layout:
+    * after `repartition(n, $"url")` + `groupBy(url)`, every task holds
+    * exactly one bucket, so the per-bucket file write needs NO second
+    * shuffle. Codegen'd, identical on executor and driver. */
   def bucketOf(urlCol: Column, nBuckets: Int): Column =
-    pmod(xxhash64(urlCol), lit(nBuckets.toLong)).cast("int")
+    pmod(hash(urlCol), lit(nBuckets)).cast("int")
 }

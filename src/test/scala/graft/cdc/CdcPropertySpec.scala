@@ -1,0 +1,66 @@
+package graft.cdc
+
+import java.sql.Timestamp
+
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Oracle, SparkSpec}
+import graft.model.ChangeEvent
+
+/** ScalaCheck property: for RANDOM interleavings of upserts/deletes over a
+  * small key space — including exact (warc_ts) ties and arbitrary batch
+  * splits — the engine's final table state equals the single-threaded
+  * last-writer-wins oracle. The reference has no property tests (SURVEY.md
+  * §5); this generalizes its rewind/replay ITs. */
+class CdcPropertySpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkSpec.session
+
+  private val genEvent: Gen[(Int, String, Int, Int)] = for {
+    part <- Gen.choose(0, 2)
+    op <- Gen.frequency(7 -> Gen.const("upsert"), 3 -> Gen.const("delete"))
+    key <- Gen.choose(0, 11) // small pool → dense collisions
+    tsBucket <- Gen.choose(0, 5) // few buckets → exact timestamp ties
+  } yield (part, op, key, tsBucket)
+
+  private def materialize(raw: List[(Int, String, Int, Int)]): Vector[ChangeEvent] = {
+    val perPart = scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+    raw.map { case (part, op, key, tsb) =>
+      val off = perPart(part)
+      perPart(part) = off + 1
+      val ts = new Timestamp(1700000000000L + tsb * 1000L)
+      val html = if (op == "delete") null
+        else s"<html><body>k$key v$off p$part</body></html>".getBytes("UTF-8")
+      ChangeEvent(part, off, op, s"https://k$key.example.org/", ts, html, "en")
+    }.toVector
+  }
+
+  test("random op interleavings + random batch splits == LWW oracle") {
+    import spark.implicits._
+    val prop = Prop.forAll(Gen.listOfN(60, genEvent), Gen.choose(7, 40)) { (raw, batchSize) =>
+      val events = materialize(raw)
+      if (events.isEmpty) true
+      else {
+        val oracle = Oracle.fold(events.iterator).collect {
+          case (url, w) if w.op == ChangeEvent.OpUpsert =>
+            url -> ((w.warcMicros, graft.model.TextExtract.extract(w.html)))
+        }
+        val root = java.nio.file.Files.createTempDirectory("prop-lake")
+        val table = graft.lake.LakeTable.create(root, nBuckets = 4)
+        events.grouped(batchSize).zipWithIndex.foreach { case (chunk, i) =>
+          Ingest.applyBatch(spark, table)(spark.createDataset(chunk).toDF(), i.toLong)
+        }
+        val got = table.read(spark).collect().map { r =>
+          r.getAs[String]("url") ->
+            ((Oracle.micros(r.getAs[Timestamp]("warc_ts")), r.getAs[String]("text")))
+        }.toMap
+        got == oracle
+      }
+    }
+    val params = org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(12)
+      .withInitialSeed(org.scalacheck.rng.Seed(42L)) // deterministic suite
+    val res = org.scalacheck.Test.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+}

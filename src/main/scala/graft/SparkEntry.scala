@@ -129,6 +129,36 @@ object SparkEntry {
         .groupBy((floor(usOf(col("ts")) / lit(21600000000L))).as("bucket"))
         .agg(count(lit(1)).as("cnt"), count_distinct(col("user_id")).as("users"))),
 
+    // converter projection (C8/F6 analog): parse the JSON payload
+    "cdc_props_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("cnt"))),
+
+    // partition filter (F1): restrict to a subset of stream partitions
+    "cdc_partition_filter" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("partition", pmod(col("user_id"), lit(4)))
+        .filter(col("partition").isin(0, 2))
+        .groupBy(col("partition")).agg(count(lit(1)).as("cnt"),
+          count_distinct(col("user_id")).as("users"))),
+
+    // the ENGINE's dedup operator (cdc.Dedup.latestPerUrl) on an
+    // events-derived changelog — graded against the SQL window oracle
+    "cdc_dedup_maxby" -> ((s, dir) => {
+      val changelog = t(s, dir, "events").select(
+        pmod(col("user_id"), lit(4)).cast("int").as("partition"),
+        col("event_id").as("offset"),
+        when(col("event_type") === "error", "delete").otherwise("upsert").as("op"),
+        concat(lit("u"), col("user_id").cast("string")).as("url"),
+        col("ts").cast("timestamp").as("warc_ts"),
+        lit(null).cast("binary").as("html"),
+        col("event_type").as("lang"))
+      graft.cdc.Dedup.latestPerUrl(changelog)
+        .select(col("url"), unix_micros(col("warc_ts")).as("ts_us"), col("op"), col("offset"))
+    }),
+
     // scan + filter + hash aggregate (pricing summary)
     "q1_pricing" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -338,6 +368,21 @@ object SparkEntry {
     "cdc_flush_windows" ->
       """SELECT CAST(floor(epoch_us(ts) / 21600000000) AS BIGINT) AS bucket,
         |  count(*) AS cnt, count(DISTINCT user_id) AS users FROM events GROUP BY 1""".stripMargin,
+
+    "cdc_props_extract" ->
+      """SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  count(*) AS cnt FROM events GROUP BY 1""".stripMargin,
+
+    "cdc_partition_filter" ->
+      """SELECT user_id % 4 AS partition, count(*) AS cnt, count(DISTINCT user_id) AS users
+        |FROM events WHERE user_id % 4 IN (0, 2) GROUP BY 1""".stripMargin,
+
+    "cdc_dedup_maxby" ->
+      """SELECT 'u' || CAST(user_id AS VARCHAR) AS url, epoch_us(ts) AS ts_us,
+        |  CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+        |  event_id AS "offset"
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+        |      FROM events) WHERE rn = 1""".stripMargin,
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,

@@ -16,8 +16,19 @@ object BenchUtil {
     GenProfile.skewed(seed = 42L, partitions = partitions,
       perPartition = totalEvents / partitions)
 
+  /** RAM-backed scratch (tmpfs) for benches: the sandbox's /tmp is a slow
+    * virtual disk that saturates around the shuffle rates of a 16-core run,
+    * which would measure the disk, not the engine. A production executor
+    * has NVMe-class local storage; tmpfs stands in for it here (noted in
+    * BENCH_SCALING.md). */
+  val scratch: String = {
+    val shm = Paths.get("/dev/shm")
+    if (Files.isDirectory(shm) && Files.isWritable(shm)) "/dev/shm/graft-bench"
+    else "/tmp/graft-bench"
+  }
+
   /** Generate (or reuse cached) binlog segments for a profile. */
-  def ensureBinlog(p: GenProfile, baseDir: String = "/tmp/graft-bench"): Path = {
+  def ensureBinlog(p: GenProfile, baseDir: String = scratch): Path = {
     val dir = Paths.get(baseDir,
       s"binlog-${p.name}-p${p.partitions}-n${p.eventsPerPartition}-s${p.seed}")
     val marker = dir.resolve("_COMPLETE")
@@ -41,6 +52,13 @@ object BenchUtil {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      .config("spark.local.dir", s"$scratch/spark-local")
+      // lz4 shuffle compression wins even on tmpfs (fewer bytes through the
+      // memory bus beats the codec cost — measured 40.6s vs 58.6s at 4M/16c)
+      .config("spark.shuffle.compress", sys.env.getOrElse("GRAFT_SHUFFLE_COMPRESS", "true"))
+      .config("spark.shuffle.spill.compress", sys.env.getOrElse("GRAFT_SHUFFLE_COMPRESS", "true"))
+      .config("spark.memory.offHeap.enabled", sys.env.getOrElse("GRAFT_OFFHEAP", "false"))
+      .config("spark.memory.offHeap.size", "16g")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -50,7 +68,8 @@ object BenchUtil {
     * streaming pipeline. Returns (events, seconds, events/sec). */
   def timedIngest(spark: SparkSession, binlog: Path, maxEventsPerBatch: Long,
       nBuckets: Int): (Long, Double, Double) = {
-    val work = Files.createTempDirectory("graft-bench-run")
+    Files.createDirectories(Paths.get(scratch))
+    val work = Files.createTempDirectory(Paths.get(scratch), "run")
     val events = Segment.listAll(binlog).map(_.index.totalRecords).sum
     val t0 = System.nanoTime()
     val q = Ingest.startStream(spark, binlog.toString, work.resolve("table"),

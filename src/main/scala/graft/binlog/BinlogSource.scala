@@ -60,6 +60,16 @@ final class BinlogScan(path: String, options: CaseInsensitiveStringMap)
     Option(options.get("maxEventsPerBatch")).map(_.toLong).getOrElse(1000000L)
   private def eventsPerTask: Long =
     Option(options.get("eventsPerTask")).map(_.toLong).getOrElse(8000L)
+  /** Partition filter (≙ reference F1: `partitions` config applied at
+    * listing time, `S3FilesReader.java:81-104`): only these stream
+    * partitions are listed/planned. */
+  private def partitionFilter: Option[Set[Int]] =
+    Option(options.get("partitions")).map(_.split(",").map(_.trim.toInt).toSet)
+  /** Key-exclude anti-filter (≙ reference F4: drop records whose key
+    * contains any configured substring, `S3FilesReader.java:344-384`) —
+    * applied in the reader after decode, before any shuffle. */
+  private def excludeUrlContains: Seq[String] =
+    Option(options.get("excludeUrlContains")).map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
 
   // Batch reads honor fromOffset/untilOffset options so range replays skip
   // whole segments at planning time (≙ offset-skip file filter,
@@ -73,15 +83,18 @@ final class BinlogScan(path: String, options: CaseInsensitiveStringMap)
     override def planInputPartitions(): Array[InputPartition] = {
       val segs = Segment.listAll(Paths.get(path))
       val ends = BinlogOffsets.endOffsets(segs)
+        .filter { case (p, _) => partitionFilter.forall(_.contains(p)) }
       val ranges = ends.map { case (p, e) => p -> (fromOffset, math.min(e, untilOffset)) }
         .filter { case (_, (f, u)) => u > f }
       BinlogOffsets.splitRanges(path, ranges, eventsPerTask)
     }
-    override def createReaderFactory(): PartitionReaderFactory = new BinlogReaderFactory
+    override def createReaderFactory(): PartitionReaderFactory =
+      new BinlogReaderFactory(excludeUrlContains)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new BinlogMicroBatchStream(path, maxEventsPerBatch, eventsPerTask)
+    new BinlogMicroBatchStream(path, maxEventsPerBatch, eventsPerTask,
+      partitionFilter, excludeUrlContains)
 }
 
 /** Offset = per-partition next-offset-to-read map, JSON-serialized into the
@@ -125,10 +138,13 @@ object BinlogOffsets {
   }
 }
 
-final class BinlogMicroBatchStream(path: String, maxEventsPerBatch: Long, eventsPerTask: Long)
+final class BinlogMicroBatchStream(path: String, maxEventsPerBatch: Long, eventsPerTask: Long,
+    partitionFilter: Option[Set[Int]] = None, excludeUrlContains: Seq[String] = Nil)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
-  private def listEnds(): Map[Int, Long] = BinlogOffsets.endOffsets(Segment.listAll(Paths.get(path)))
+  private def listEnds(): Map[Int, Long] =
+    BinlogOffsets.endOffsets(Segment.listAll(Paths.get(path)))
+      .filter { case (p, _) => partitionFilter.forall(_.contains(p)) }
 
   // Trigger.AvailableNow: freeze the target at start; microbatches advance
   // toward it under the rate limit, then the query stops (drain semantics).
@@ -185,7 +201,8 @@ final class BinlogMicroBatchStream(path: String, maxEventsPerBatch: Long, events
     BinlogOffsets.splitRanges(path, ranges, eventsPerTask)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new BinlogReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BinlogReaderFactory(excludeUrlContains)
   override def deserializeOffset(json: String): Offset = BinlogOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -206,19 +223,25 @@ object BinlogLineage {
   def lastPlanned(path: String): Option[Map[Int, (Long, Long)]] = Option(last.get(path))
 }
 
-final class BinlogReaderFactory extends PartitionReaderFactory {
+final class BinlogReaderFactory(excludeUrlContains: Seq[String] = Nil)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[BinlogInputPartition]
-    new BinlogPartitionReader(p)
+    new BinlogPartitionReader(p, excludeUrlContains)
   }
 }
 
 /** Pull-based reader (≙ `RecordReader.readAll` iterator adaptor,
   * `common/.../RecordReader.java:21-61`), emitting InternalRow directly —
-  * no Row → InternalRow conversion on the hot path. */
-final class BinlogPartitionReader(p: BinlogInputPartition)
+  * no Row → InternalRow conversion on the hot path. The key-exclude
+  * anti-filter runs here, before any shuffle (≙ `S3FilesReader.java:344-384`). */
+final class BinlogPartitionReader(p: BinlogInputPartition,
+    excludeUrlContains: Seq[String] = Nil)
     extends PartitionReader[InternalRow] {
-  private val it = Segment.readRange(Paths.get(p.path), p.partition, p.from, p.until)
+  private val base = Segment.readRange(Paths.get(p.path), p.partition, p.from, p.until)
+  private val it =
+    if (excludeUrlContains.isEmpty) base
+    else base.filter(e => !excludeUrlContains.exists(e.url.contains))
   private var cur: ChangeEvent = _
   override def next(): Boolean = {
     if (it.hasNext) { cur = it.next(); true } else false

@@ -1,0 +1,75 @@
+package graft.lake
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Table maintenance: compaction, tombstone GC, snapshot expiry.
+  *
+  * At 10^10-event scale a url-keyed COW table accumulates (a) many files per
+  * bucket across snapshots, (b) delete tombstones, (c) orphaned data files
+  * referenced only by expired snapshots. These are the background jobs an
+  * Iceberg deployment runs (rewrite_data_files / expire_snapshots),
+  * re-expressed over our in-repo format.
+  */
+object Maintain {
+
+  /** Rewrite the table so each bucket holds one compacted file, optionally
+    * dropping tombstones with `warc_ts` ≤ `dropTombstonesOlderThanMicros`.
+    *
+    * TOMBSTONE SAFETY: a tombstone may only be dropped once no replayable
+    * part of the change log can still deliver an OLDER upsert for that url —
+    * i.e. the caller passes a watermark ≤ (oldest event time that can still
+    * arrive). Passing Long.MinValue keeps all tombstones (pure compaction).
+    *
+    * Produces a maintenance snapshot: same batches/lineage, new files. */
+  def compact(spark: SparkSession, table: LakeTable,
+      dropTombstonesOlderThanMicros: Long = Long.MinValue): Snapshot = {
+    val snap = table.currentSnapshot
+    if (snap.files.isEmpty) return snap
+    val nBuckets = snap.nBuckets
+    val df = table.readFiles(spark, snap, snap.files)
+    val kept =
+      if (dropTombstonesOlderThanMicros == Long.MinValue) df
+      else df.filter(!col("_deleted") ||
+        unix_micros(col("warc_ts")) > dropTombstonesOlderThanMicros)
+    val out = kept
+      .withColumn("bucket", LakeTable.bucketOf(col("url"), nBuckets))
+      .repartition(nBuckets, col("url"))
+      .sortWithinPartitions(col("url"))
+    val nextId = snap.snapshotId + 1
+    val newFiles = table.writeDataFiles(out, nextId, snap.schemaVersion)
+    val next = snap.copy(snapshotId = nextId, parentId = snap.snapshotId,
+      files = newFiles, totalRows = newFiles.map(_.rowCount).sum)
+    table.commit(next)
+    next
+  }
+
+  /** Expire all snapshots except the newest `keepLast` (and the current);
+    * delete their metadata and any data file no retained snapshot
+    * references. Time travel remains valid for retained snapshots. */
+  def expireSnapshots(table: LakeTable, keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1)
+    val ids = table.snapshotIds
+    val retain = ids.takeRight(keepLast).toSet + table.currentSnapshotId
+    val expire = ids.filterNot(retain.contains)
+    if (expire.isEmpty) return (0, 0)
+    val referenced: Set[String] =
+      retain.flatMap(id => table.snapshot(id).files.map(_.path))
+    val candidates: Set[String] =
+      expire.flatMap(id => table.snapshot(id).files.map(_.path)).toSet
+    val orphans = candidates -- referenced
+    var deletedFiles = 0
+    orphans.foreach { rel =>
+      val p = table.root.resolve(rel)
+      if (Files.deleteIfExists(p)) deletedFiles += 1
+      // prune empty bucket dirs opportunistically
+      val dir = p.getParent
+      try if (Files.isDirectory(dir) && !Files.list(dir).findFirst().isPresent) Files.delete(dir)
+      catch { case _: Exception => }
+    }
+    expire.foreach(id => Files.deleteIfExists(table.root.resolve("meta").resolve(s"snap-$id.json")))
+    (expire.size, deletedFiles)
+  }
+}

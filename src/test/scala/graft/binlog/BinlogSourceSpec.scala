@@ -63,6 +63,22 @@ class BinlogSourceSpec extends SparkSpec {
     assert(viaSpark.sameElements(direct))
   }
 
+  test("source options: partition filter prunes at listing; url exclude filters in reader") {
+    val dir = tmpDir("srcf")
+    val p = GenProfile.uniformSmall().copy(partitions = 3, eventsPerPartition = 200)
+    ChangeEventGen.writeSegments(p, dir, segmentEvents = 200)
+    val onlyP02 = spark.read.format("graft.binlog.BinlogSourceProvider")
+      .option("path", dir.toString).option("partitions", "0,2").load()
+    assert(onlyP02.select("partition").distinct().collect().map(_.getInt(0)).toSet == Set(0, 2))
+    val excluded = spark.read.format("graft.binlog.BinlogSourceProvider")
+      .option("path", dir.toString).option("excludeUrlContains", "/doc1,/doc2").load()
+    val urls = excluded.select("url").collect().map(_.getString(0))
+    assert(urls.nonEmpty)
+    assert(urls.forall(u => !u.contains("/doc1") && !u.contains("/doc2")))
+    val full = BinlogRead.all(spark, dir.toString)
+    assert(excluded.count() < full.count())
+  }
+
   test("empty directory: zero partitions, empty stream is safe") {
     val dir = tmpDir("src3")
     Files.createDirectories(dir)

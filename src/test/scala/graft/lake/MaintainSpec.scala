@@ -1,0 +1,67 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+
+import graft.{Oracle, SparkSpec}
+import graft.binlog.{ChangeEventGen, GenProfile}
+import graft.cdc.Ingest
+
+class MaintainSpec extends SparkSpec {
+
+  private def build(): (LakeTable, Map[String, (Long, String, String, Long)], GenProfile) = {
+    val p = GenProfile.uniformSmall().copy(partitions = 2, eventsPerPartition = 1200)
+    val binlog = tmpDir("mbl")
+    ChangeEventGen.writeSegments(p, binlog, segmentEvents = 600)
+    val table = Ingest.replayBatch(spark, binlog.toString, tmpDir("mtbl"), eventsPerBatch = 400, nBuckets = 8)
+    (table, Oracle.finalState(p), p)
+  }
+
+  test("compaction preserves live state; tombstone GC shrinks storage") {
+    val (table, oracle, _) = build()
+    val liveBefore = table.read(spark).count()
+    val storedBefore = table.readRaw(spark).count()
+    assert(storedBefore > liveBefore) // tombstones exist
+    // pure compaction: everything preserved, one file per bucket
+    Maintain.compact(spark, table)
+    assert(table.readRaw(spark).count() == storedBefore)
+    assert(table.currentSnapshot.files.groupBy(_.bucket).values.forall(_.size == 1))
+    // GC all tombstones (watermark = +inf is safe here: the log is fully applied)
+    Maintain.compact(spark, table, dropTombstonesOlderThanMicros = Long.MaxValue)
+    assert(table.readRaw(spark).count() == liveBefore)
+    // live rows unchanged and still equal to the oracle
+    val got = table.read(spark).collect().map { r =>
+      r.getAs[String]("url") -> Oracle.micros(r.getAs[java.sql.Timestamp]("warc_ts"))
+    }.toMap
+    assert(got.size == oracle.size)
+    assert(got.forall { case (u, ts) => oracle(u)._1 == ts })
+    // batch markers (exactly-once history) survive maintenance commits
+    assert(table.currentSnapshot.batches.nonEmpty)
+  }
+
+  test("expireSnapshots removes orphaned files but retained snapshots stay readable") {
+    val (table, _, _) = build()
+    val allIds = table.snapshotIds
+    assert(allIds.size >= 4)
+    val curCount = table.read(spark).count()
+    val dataFilesBefore = countDataFiles(table)
+    val (expired, deleted) = Maintain.expireSnapshots(table, keepLast = 2)
+    assert(expired > 0 && deleted > 0)
+    assert(countDataFiles(table) < dataFilesBefore)
+    // current snapshot unaffected
+    assert(table.read(spark).count() == curCount)
+    // retained older snapshot still time-travelable
+    val retained = table.snapshotIds
+    assert(retained.size <= 3)
+    retained.foreach(id => table.read(spark, Some(id)).count())
+    // expired metadata gone
+    assert(!retained.contains(allIds.head) || allIds.head == table.currentSnapshotId)
+  }
+
+  private def countDataFiles(table: LakeTable): Int = {
+    val data = table.root.resolve("data")
+    val out = new java.util.concurrent.atomic.AtomicInteger()
+    java.nio.file.Files.walk(data).forEach(p =>
+      if (p.toString.endsWith(".parquet")) out.incrementAndGet())
+    out.get()
+  }
+}

@@ -64,6 +64,14 @@ object BenchUtil {
     s
   }
 
+  /** Merge mode under test: GRAFT_MERGE_MODE=cow|mor (default mor — the
+    * 10^10-scale strategy is what the north-star metric grades). */
+  def mergeMode: graft.cdc.MergeMode =
+    sys.env.getOrElse("GRAFT_MERGE_MODE", "mor").toLowerCase match {
+      case "cow" => graft.cdc.Cow
+      case _ => graft.cdc.Mor
+    }
+
   /** One timed CDC ingest of the binlog into a fresh LakeTable via the
     * streaming pipeline. Returns (events, seconds, events/sec). */
   def timedIngest(spark: SparkSession, binlog: Path, maxEventsPerBatch: Long,
@@ -74,7 +82,7 @@ object BenchUtil {
     val t0 = System.nanoTime()
     val q = Ingest.startStream(spark, binlog.toString, work.resolve("table"),
       work.resolve("ckpt").toString, maxEventsPerBatch = maxEventsPerBatch,
-      nBuckets = nBuckets)
+      nBuckets = nBuckets, mode = mergeMode)
     q.awaitTermination()
     val sec = (System.nanoTime() - t0) / 1e9
     // clean up the table (bench tables are large)

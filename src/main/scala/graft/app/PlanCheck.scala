@@ -26,9 +26,17 @@ object PlanCheck {
     val table = LakeTable.create(work.resolve("table"), nBuckets = 8)
     Ingest.applyBatch(spark, table)(BinlogRead.range(spark, binlog.toString, 0, 1000), 0L)
 
-    println("==== MERGE physical plan (expect ONE Exchange; partial max_by before it) ====")
+    println("==== COW MERGE physical plan (expect ONE Exchange) ====")
     graft.cdc.Merge.explainNext = true
     Ingest.applyBatch(spark, table)(BinlogRead.range(spark, binlog.toString, 1000, 2000), 1L)
+
+    println("==== MOR MERGE physical plan (expect ONE Exchange, NO table scan) ====")
+    val morTable = LakeTable.create(work.resolve("mor-table"), nBuckets = 8)
+    Ingest.applyBatch(spark, morTable, mode = graft.cdc.Mor)(
+      BinlogRead.range(spark, binlog.toString, 0, 1000), 0L)
+    graft.cdc.Merge.explainNext = true
+    Ingest.applyBatch(spark, morTable, mode = graft.cdc.Mor)(
+      BinlogRead.range(spark, binlog.toString, 1000, 2000), 1L)
 
     println("==== headline query plan: q3_shipping (broadcast joins expected) ====")
     graft.SparkEntry.queries("q3_shipping")(spark, "/root/testdata/sf0.001").explain("formatted")

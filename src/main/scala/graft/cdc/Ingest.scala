@@ -57,7 +57,8 @@ object Ingest {
     * Within-batch dedup happens INSIDE the merge aggregation (same max_by),
     * so the raw batch flows straight through — one pass, one shuffle. */
   def applyBatch(spark: SparkSession, table: LakeTable,
-      knownLineage: Option[Seq[PartLineage]] = None)(df: DataFrame, batchId: Long): Unit = {
+      knownLineage: Option[Seq[PartLineage]] = None,
+      mode: MergeMode = Cow)(df: DataFrame, batchId: Long): Unit = {
     val snap = table.currentSnapshot
     if (snap.committedBatchIds.contains(batchId)) return // replayed batch: already durable
     val t0 = System.nanoTime()
@@ -67,7 +68,7 @@ object Ingest {
     knownLineage.filter(_.nonEmpty).orElse(lineageFromPlan(df)) match {
       case Some(lineage) =>
         if (lineage.isEmpty) return
-        Merge(spark, table, df, batchId, lineage)
+        Merge(spark, table, df, batchId, lineage, mode)
         if (sys.env.contains("GRAFT_TIMING")) System.err.println(
           f"[timing] batch $batchId: merge ${(System.nanoTime() - t0) / 1e9}%.1f s, rows ${lineage.map(_.count).sum} (plan lineage)")
       case None =>
@@ -81,7 +82,7 @@ object Ingest {
             .map(r => PartLineage(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(2)))
             .toSeq.sortBy(_.partition)
           if (lineage.isEmpty) return
-          Merge(spark, table, events, batchId, lineage)
+          Merge(spark, table, events, batchId, lineage, mode)
           if (sys.env.contains("GRAFT_TIMING")) System.err.println(
             f"[timing] batch $batchId: merge ${(System.nanoTime() - t0) / 1e9}%.1f s, rows ${lineage.map(_.count).sum} (agg lineage)")
         } finally events.unpersist()
@@ -91,7 +92,8 @@ object Ingest {
   /** Start the streaming ingest from a binlog directory. */
   def startStream(spark: SparkSession, binlogDir: String, tableRoot: Path,
       checkpointDir: String, maxEventsPerBatch: Long = 1000000L,
-      trigger: Trigger = Trigger.AvailableNow(), nBuckets: Int = 32): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(), nBuckets: Int = 32,
+      mode: MergeMode = Cow): StreamingQuery = {
     val table =
       if (LakeTable.exists(tableRoot)) LakeTable.load(tableRoot)
       else LakeTable.create(tableRoot, nBuckets)
@@ -109,7 +111,7 @@ object Ingest {
         // one pass saved per batch vs aggregating them from the data.
         val lineage = graft.binlog.BinlogLineage.lastPlanned(binlogDir).map(_.toSeq.sortBy(_._1)
           .map { case (p, (from, until)) => PartLineage(p, from, until - from, until - from) })
-        applyBatch(spark, table, lineage)(df, id)
+        applyBatch(spark, table, lineage, mode)(df, id)
       }
       .start()
   }
@@ -117,7 +119,8 @@ object Ingest {
   /** Batch (non-streaming) replay of a binlog directory in fixed-size batches
     * — used by tests and the bench (same code path as streaming apply). */
   def replayBatch(spark: SparkSession, binlogDir: String, tableRoot: Path,
-      eventsPerBatch: Long, nBuckets: Int = 32, firstBatchId: Long = 0L): LakeTable = {
+      eventsPerBatch: Long, nBuckets: Int = 32, firstBatchId: Long = 0L,
+      mode: MergeMode = Cow): LakeTable = {
     val table =
       if (LakeTable.exists(tableRoot)) LakeTable.load(tableRoot)
       else LakeTable.create(tableRoot, nBuckets)
@@ -129,7 +132,7 @@ object Ingest {
     while (from < maxEnd) {
       val until = math.min(from + eventsPerBatch, maxEnd)
       val df = graft.binlog.BinlogRead.range(spark, binlogDir, from, until)
-      applyBatch(spark, table)(df, batchId)
+      applyBatch(spark, table, mode = mode)(df, batchId)
       batchId += 1
       from = until
     }

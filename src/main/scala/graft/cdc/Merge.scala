@@ -47,15 +47,115 @@ import graft.model.TextExtract
   * Zipf-head defense); `nBuckets` sizes rewrite granularity and write
   * parallelism; AQE is bypassed deliberately (explicit partitioning).
   */
+/** Merge strategy: copy-on-write (rewrite touched buckets each batch — reads
+  * amplify writes, zero read overhead) vs merge-on-read (append per-bucket
+  * delta files of batch winners — O(batch) writes regardless of table size,
+  * LWW resolved at read, bounded by incremental compaction). MOR is the
+  * 10^10-scale path: COW's per-batch cost grows with the table, MOR's does
+  * not (≙ Iceberg v1 overwrite vs v2 row-level deltas). */
+sealed trait MergeMode
+case object Cow extends MergeMode
+case object Mor extends MergeMode
+
 object Merge {
 
   /** Debug hook: print the next merge's physical plan (used by PlanCheck). */
   @volatile var explainNext: Boolean = false
 
+  /** MOR: compact a bucket once it accumulates this many delta files —
+    * bounds read amplification to ~maxFilesPerBucket-way resolves. */
+  val MaxFilesPerBucket = 8
+
   /** Apply one RAW batch of change events (columns: partition, offset, op,
     * url, warc_ts, html, lang — duplicates allowed). Returns the committed
     * snapshot. */
   def apply(spark: SparkSession, table: LakeTable, batch: DataFrame,
+      batchId: Long, lineage: Seq[PartLineage], mode: MergeMode = Cow): Snapshot =
+    mode match {
+      case Cow => applyCow(spark, table, batch, batchId, lineage)
+      case Mor => applyMor(spark, table, batch, batchId, lineage)
+    }
+
+  /** MERGE-ON-READ apply: dedup the batch to per-url winners (same single
+    * bucket-aligned shuffle as COW, but the union side is EMPTY — the table
+    * is never read), append the winners as per-bucket DELTA files, then
+    * incrementally compact any bucket that exceeded MaxFilesPerBucket.
+    * Per-batch cost is O(batch), independent of table size. */
+  private def applyMor(spark: SparkSession, table: LakeTable, batch: DataFrame,
+      batchId: Long, lineage: Seq[PartLineage]): Snapshot = {
+    val snap = table.currentSnapshot
+    if (snap.committedBatchIds.contains(batchId)) return snap
+
+    val nBuckets = snap.nBuckets
+    val logical = TableSchemas.forVersion(snap.schemaVersion)
+    val typeOf = logical.fields.map(f => f.name -> f.dataType).toMap
+    val dataCols = logical.fieldNames.toSeq.filterNot(TableSchemas.internalNames.contains)
+
+    val srcAligned = batch
+      .withColumn("text", lit(null).cast("string"))
+      .withColumn("content_len", lit(null).cast(typeOf("content_len")))
+      .withColumn("_seq_part", col("partition"))
+      .withColumn("_seq_offset", col("offset"))
+      .withColumn("_deleted", col("op") === "delete")
+      .select((dataCols ++ TableSchemas.internalNames).map(c => col(c).cast(typeOf(c)).as(c)): _*)
+
+    val winners = graft.lake.Resolve.lww(srcAligned.repartition(nBuckets, col("url")), dataCols)
+    val obs = org.apache.spark.sql.Observation()
+    val merged = winners
+      .withColumn("text", when(!col("_deleted"), TextExtract.udf(col("html"))).otherwise(lit(null)))
+      .withColumn("content_len",
+        when(col("html").isNull, lit(null)).otherwise(length(col("html"))).cast(typeOf("content_len")))
+      .withColumn("bucket", LakeTable.bucketOf(col("url"), nBuckets))
+      .sortWithinPartitions(col("url"))
+      .observe(obs, count(lit(1)).as("n"),
+        sum(when(col("_deleted"), 1L).otherwise(0L)).as("dels"))
+
+    if (explainNext) { explainNext = false; merged.explain("formatted") }
+    val nextId = snap.snapshotId + 1
+    val newFiles = table.writeDataFiles(merged, nextId, snap.schemaVersion)
+    val row = obs.get
+    val dels = row("dels").asInstanceOf[Long]
+    val n = row("n").asInstanceOf[Long]
+    val next = snap.copy(
+      snapshotId = nextId,
+      parentId = snap.snapshotId,
+      files = snap.files ++ newFiles,
+      // marker counts are post-dedup winners in MOR (raw counts would need
+      // an extra pass; lineage carries the raw coverage)
+      batches = snap.batches :+ BatchMarker(batchId, lineage, n - dels, dels),
+      totalRows = snap.totalRows + newFiles.map(_.rowCount).sum)
+    table.commit(next)
+
+    // incremental compaction: only crowded buckets, only their files
+    val crowded = next.files.groupBy(_.bucket).filter(_._2.size > MaxFilesPerBucket).keySet
+    if (crowded.nonEmpty) compactBuckets(spark, table, crowded) else next
+  }
+
+  /** Fold all files of the given buckets into one resolved file per bucket
+    * (tombstones retained — GC is Maintain.compact's explicit call). */
+  def compactBuckets(spark: SparkSession, table: LakeTable, buckets: Set[Int]): Snapshot = {
+    val snap = table.currentSnapshot
+    val nBuckets = snap.nBuckets
+    val (sel, keep) = snap.files.partition(f => buckets.contains(f.bucket))
+    if (sel.isEmpty) return snap
+    val logical = TableSchemas.forVersion(snap.schemaVersion)
+    val dataCols = logical.fieldNames.toSeq.filterNot(TableSchemas.internalNames.contains)
+    val resolved = graft.lake.Resolve.lww(
+      table.readFiles(spark, snap, sel).repartition(nBuckets, col("url")), dataCols)
+      .withColumn("bucket", LakeTable.bucketOf(col("url"), nBuckets))
+      .sortWithinPartitions(col("url"))
+    val nextId = snap.snapshotId + 1
+    val newFiles = table.writeDataFiles(resolved, nextId, snap.schemaVersion)
+    val next = snap.copy(snapshotId = nextId, parentId = snap.snapshotId,
+      files = keep ++ newFiles,
+      totalRows = keep.map(_.rowCount).sum + newFiles.map(_.rowCount).sum)
+    table.commit(next)
+    next
+  }
+
+  /** COPY-ON-WRITE apply: see object doc — union of pruned target files and
+    * the raw batch, one bucket-aligned shuffle, touched buckets rewritten. */
+  private def applyCow(spark: SparkSession, table: LakeTable, batch: DataFrame,
       batchId: Long, lineage: Seq[PartLineage]): Snapshot = {
     val snap = table.currentSnapshot
     if (snap.committedBatchIds.contains(batchId)) return snap // exactly-once replay skip

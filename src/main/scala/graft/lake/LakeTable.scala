@@ -93,13 +93,22 @@ final class LakeTable(val root: Path) {
     * CURRENT logical schema. Files written under older physical schemas are
     * read with their own schema, cast (widening) and null-backfilled
     * (added columns) — Iceberg-style evolution without Iceberg.
-    * User-facing: tombstones filtered, internal columns dropped. */
+    * User-facing: multi-version rows (merge-on-read delta files) are
+    * LWW-resolved, tombstones filtered, internal columns dropped. */
   def read(spark: SparkSession, snapshotId: Option[Long] = None): DataFrame = {
-    val raw = readRaw(spark, snapshotId)
-    raw.filter(!col("_deleted")).drop(TableSchemas.internalNames: _*)
+    val snap = snapshotId.map(snapshot).getOrElse(currentSnapshot)
+    val raw = readFiles(spark, snap, snap.files)
+    // resolve only when some bucket holds >1 file (MOR deltas present);
+    // compacted/COW tables skip the aggregation entirely
+    val needsResolve = snap.files.groupBy(_.bucket).exists(_._2.size > 1)
+    val dataCols = TableSchemas.forVersion(snap.schemaVersion)
+      .fieldNames.toSeq.filterNot(TableSchemas.internalNames.contains)
+    val resolved = if (needsResolve) Resolve.lww(raw, dataCols) else raw
+    resolved.filter(!col("_deleted")).drop(TableSchemas.internalNames: _*)
   }
 
-  /** Full physical read including tombstones and internal columns. */
+  /** Full physical read including tombstones, internal columns, and (under
+    * merge-on-read) unresolved multi-version rows. */
   def readRaw(spark: SparkSession, snapshotId: Option[Long] = None): DataFrame = {
     val snap = snapshotId.map(snapshot).getOrElse(currentSnapshot)
     readFiles(spark, snap, snap.files)

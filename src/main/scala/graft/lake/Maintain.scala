@@ -29,14 +29,21 @@ object Maintain {
     val snap = table.currentSnapshot
     if (snap.files.isEmpty) return snap
     val nBuckets = snap.nBuckets
-    val df = table.readFiles(spark, snap, snap.files)
+    val dataCols = TableSchemas.forVersion(snap.schemaVersion)
+      .fieldNames.toSeq.filterNot(TableSchemas.internalNames.contains)
+    // resolve first: under merge-on-read a url may have several versions
+    // across delta files — the compacted file must hold exactly the winner
+    // (read()'s single-file-per-bucket fast path depends on it)
+    val df = Resolve.lww(table.readFiles(spark, snap, snap.files)
+      .repartition(nBuckets, col("url")), dataCols)
     val kept =
       if (dropTombstonesOlderThanMicros == Long.MinValue) df
       else df.filter(!col("_deleted") ||
         unix_micros(col("warc_ts")) > dropTombstonesOlderThanMicros)
+    // already hash-partitioned by url into nBuckets from the resolve input —
+    // filter/withColumn preserve partitioning, so no further shuffle
     val out = kept
       .withColumn("bucket", LakeTable.bucketOf(col("url"), nBuckets))
-      .repartition(nBuckets, col("url"))
       .sortWithinPartitions(col("url"))
     val nextId = snap.snapshotId + 1
     val newFiles = table.writeDataFiles(out, nextId, snap.schemaVersion)

@@ -1,0 +1,90 @@
+package graft.cdc
+
+import java.nio.file.Path
+
+import graft.{Oracle, SparkSpec}
+import graft.binlog.{ChangeEventGen, GenProfile}
+import graft.lake.{LakeTable, Maintain}
+
+/** Merge-on-read mode: same replay-equivalence guarantees as COW (oracle
+  * equality, batch-split invariance, idempotence, restart), plus the
+  * MOR-specific mechanics — delta accumulation, incremental compaction,
+  * resolve-on-read, and Maintain.compact over multi-version files. */
+class MorPipelineSpec extends SparkSpec {
+
+  private def engineState(table: LakeTable): Map[String, (Long, String)] =
+    table.read(spark).collect().map { r =>
+      r.getAs[String]("url") ->
+        ((Oracle.micros(r.getAs[java.sql.Timestamp]("warc_ts")), r.getAs[String]("text")))
+    }.toMap
+
+  private def oracleOf(p: GenProfile): Map[String, (Long, String)] =
+    Oracle.finalState(p).map { case (u, (ts, text, _, _)) => u -> ((ts, text)) }
+
+  private def gen(p: GenProfile): Path = {
+    val dir = tmpDir("morbl")
+    ChangeEventGen.writeSegments(p, dir, segmentEvents = 1000)
+    dir
+  }
+
+  test("MOR replay equals oracle; deltas accumulate then compact incrementally") {
+    val p = GenProfile.uniformSmall().copy(eventsPerPartition = 2500)
+    val binlog = gen(p)
+    // many small batches on few buckets → guaranteed > MaxFilesPerBucket
+    // deltas per bucket → the incremental compaction path runs
+    val table = Ingest.replayBatch(spark, binlog.toString, tmpDir("mortbl"),
+      eventsPerBatch = 400, nBuckets = 4, mode = Mor)
+    val filesPerBucket = table.currentSnapshot.files.groupBy(_.bucket).values.map(_.size)
+    assert(filesPerBucket.max <= Merge.MaxFilesPerBucket + 1,
+      s"compaction must bound delta count, got ${filesPerBucket.toSeq.sorted}")
+    val got = engineState(table)
+    val want = oracleOf(p)
+    assert(got.size == want.size)
+    want.foreach { case (u, (ts, text)) =>
+      assert(got(u)._1 == ts, s"ts mismatch at $u")
+      assert(got(u)._2 == text, s"text mismatch at $u")
+    }
+  }
+
+  test("MOR state invariant to batch split; duplicate batch is a no-op") {
+    val p = GenProfile.adversarialOrder().copy(partitions = 2, eventsPerPartition = 1000)
+    val binlog = gen(p)
+    val want = oracleOf(p)
+    val t1 = Ingest.replayBatch(spark, binlog.toString, tmpDir("m1"), 170, nBuckets = 4, mode = Mor)
+    val t2 = Ingest.replayBatch(spark, binlog.toString, tmpDir("m2"), 100000, nBuckets = 4, mode = Mor)
+    assert(engineState(t1) == want && engineState(t2) == want)
+    // duplicate delivery of batch 0
+    val before = t1.currentSnapshotId
+    Ingest.applyBatch(spark, t1, mode = Mor)(
+      graft.binlog.BinlogRead.range(spark, binlog.toString, 0, 170), 0L)
+    assert(t1.currentSnapshotId == before)
+    assert(engineState(t1) == want)
+  }
+
+  test("MOR streaming with kill/restart; Maintain.compact folds deltas + GCs tombstones") {
+    val p = GenProfile.uniformSmall().copy(partitions = 2, eventsPerPartition = 1500)
+    val binlog = tmpDir("morbl3")
+    val root = tmpDir("mortbl3")
+    val ckpt = tmpDir("morck").toString
+    ChangeEventGen.writeSegments(p.copy(eventsPerPartition = 800), binlog, segmentEvents = 400)
+    val q1 = Ingest.startStream(spark, binlog.toString, root, ckpt,
+      maxEventsPerBatch = 500, nBuckets = 4, mode = Mor)
+    q1.awaitTermination()
+    (0 until p.partitions).foreach { part =>
+      val w = new graft.binlog.SegmentWriter(binlog, part, 800L)
+      (800L until p.eventsPerPartition).foreach(o => w.writeEvent(ChangeEventGen.event(p, part, o)))
+      w.close()
+    }
+    val q2 = Ingest.startStream(spark, binlog.toString, root, ckpt,
+      maxEventsPerBatch = 500, nBuckets = 4, mode = Mor)
+    q2.awaitTermination()
+    val table = LakeTable.load(root)
+    val want = oracleOf(p)
+    assert(engineState(table) == want)
+    // full compaction + tombstone GC: one file per bucket, state preserved
+    Maintain.compact(spark, table, dropTombstonesOlderThanMicros = Long.MaxValue)
+    assert(table.currentSnapshot.files.groupBy(_.bucket).values.forall(_.size == 1))
+    assert(table.readRaw(spark).count() == want.size) // no tombstones, no dups
+    assert(engineState(table) == want)
+  }
+}

@@ -27,12 +27,26 @@ object DedupOps {
   def minhash(shinglesCol: Column, seed: Int): Column =
     array_min(transform(shinglesCol, s => md5(to_binary(concat(lit(seed.toString), lit("|"), s), lit("utf-8")))))
 
-  /** MinHash signature as k columns named mh0..mh{k-1}. */
+  /** MinHash signature as k columns named mh0..mh{k-1}.
+    *
+    * Computed as a SINGLE `aggregate` pass over the shingle array producing
+    * an array of k running minima — Catalyst's CollapseProject would
+    * otherwise inline the shingle pipeline into each of the k columns and
+    * recompute split/slice/concat k times per row. */
   def withMinhashes(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
     val sh = TextOps.shingles(col(textCol), n)
-    (0 until k).foldLeft(docs.withColumn("_sh", sh)) { (d, i) =>
-      d.withColumn(s"mh$i", minhash(col("_sh"), i))
-    }.drop("_sh")
+    val top = lit("￿") // sorts above every md5 hex digest
+    val sig = aggregate(
+      sh,
+      array_repeat(top, k),
+      (acc, s) => zip_with(acc,
+        array((0 until k).map(i => md5(to_binary(concat(lit(s"$i|"), s), lit("utf-8")))): _*),
+        (a, b) => least(a, b)))
+    val withSig = docs.withColumn("_sig", sig)
+    (0 until k).foldLeft(withSig) { (d, i) =>
+      d.withColumn(s"mh$i", when(element_at(col("_sig"), i + 1) === top, lit(null))
+        .otherwise(element_at(col("_sig"), i + 1)))
+    }.drop("_sig")
   }
 
   /** MinHash-LSH candidate pairs: band the k minhashes into `bands` groups
@@ -81,15 +95,34 @@ object DedupOps {
     * index (the SQL-oracle-able baseline; LSH is the scale path). The join
     * fans out by shingle, so shuffle is O(Σ shingles), never O(n²). */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double, pruneUniqueShingles: Boolean = false): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
       array_distinct(TextOps.shingles(col(textCol), n)).as("sh"))
-    val inv = sh.select(col("id"), col("sh"), explode(col("sh")).as("s"))
-    val a = inv.select(col("id").as("id1"), size(col("sh")).as("n1"), col("s"))
-    val b = inv.select(col("id").as("id2"), size(col("sh")).as("n2"), col("s"))
+    // CAREFUL: do NOT carry `sh` (or anything derived from it) through the
+    // explode — Catalyst collapses projections into the Generate and would
+    // re-evaluate the whole shingle-construction pipeline per POSTING row
+    // (measured 14x slowdown). Sizes are a separate per-doc projection,
+    // broadcast-joined onto the aggregated pairs at the end.
+    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
+    val inv0 = sh.select(col("id"), explode(col("sh")).as("s"))
+    // exactness-preserving prune (optional): a shingle appearing in ONE doc
+    // forms no candidate pair (doc sizes come from the full arrays), so df=1
+    // postings can be dropped. Worth it on natural text (mostly-unique
+    // shingles); counterproductive on dense vocabularies.
+    val inv =
+      if (!pruneUniqueShingles) inv0
+      else {
+        val shared = inv0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > 1).select(col("s"))
+        inv0.join(shared, Seq("s"), "left_semi")
+      }
+    val a = inv.select(col("id").as("id1"), col("s"))
+    val b = inv.select(col("id").as("id2"), col("s"))
     a.join(b, Seq("s")).filter(col("id1") < col("id2"))
-      .groupBy(col("id1"), col("id2"), col("n1"), col("n2"))
+      .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.withColumnRenamed("id", "id1").withColumnRenamed("n", "n1")), "id1")
+      .join(broadcast(sizes.withColumnRenamed("id", "id2").withColumnRenamed("n", "n2")), "id2")
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("n1") + col("n2") - col("inter")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)

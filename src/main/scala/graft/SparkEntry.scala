@@ -33,7 +33,8 @@ object SparkEntry {
   /** Runs the REAL pipeline (Dedup + Merge + LakeTable) over a changelog
     * derived from the events table, split into 3 microbatches to exercise
     * cross-batch LWW + tombstones, then reads the final table back. */
-  private def cdcMergeFinalState(s: SparkSession, dir: String): DataFrame = {
+  private def cdcMergeFinalState(s: SparkSession, dir: String,
+      mode: graft.cdc.MergeMode = graft.cdc.Cow): DataFrame = {
     val ev = t(s, dir, "events")
     val changelog = ev.select(
       pmod(col("user_id"), lit(4)).cast("int").as("partition"),
@@ -53,7 +54,7 @@ object SparkEntry {
     var from = lo
     while (from <= hi) {
       val until = from + step
-      graft.cdc.Ingest.applyBatch(s, table)(
+      graft.cdc.Ingest.applyBatch(s, table, mode = mode)(
         changelog.filter(col("offset") >= from && col("offset") < until), b)
       b += 1
       from = until
@@ -69,6 +70,25 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "cdc_merge_final_state" -> ((s, dir) => cdcMergeFinalState(s, dir)),
+
+    // same end-to-end pipeline under MERGE-ON-READ (delta files +
+    // resolve-on-read + incremental compaction) — identical oracle
+    "cdc_merge_final_state_mor" -> ((s, dir) => cdcMergeFinalState(s, dir, graft.cdc.Mor)),
+
+    // salted two-phase dedup (explicit skew defense) — identical oracle to
+    // cdc_dedup_maxby by associativity of max
+    "cdc_dedup_salted" -> ((s, dir) => {
+      val changelog = t(s, dir, "events").select(
+        pmod(col("user_id"), lit(4)).cast("int").as("partition"),
+        col("event_id").as("offset"),
+        when(col("event_type") === "error", "delete").otherwise("upsert").as("op"),
+        concat(lit("u"), col("user_id").cast("string")).as("url"),
+        col("ts").cast("timestamp").as("warc_ts"),
+        lit(null).cast("binary").as("html"),
+        col("event_type").as("lang"))
+      graft.cdc.SkewOps.saltedLatestPerUrl(changelog, salts = 16)
+        .select(col("url"), unix_micros(col("warc_ts")).as("ts_us"), col("op"), col("offset"))
+    }),
 
     // per-key latest-event dedup (A3): the max(warc_ts) window over key
     "cdc_latest_per_key" -> ((s, dir) => {
@@ -225,6 +245,21 @@ object SparkEntry {
         .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("rn"))
     }),
 
+    // hierarchical aggregate (ROLLUP) — subtotal + grand-total rows
+    "agg_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("cnt"))),
+
+    // set operation (INTERSECT)
+    "q_intersect" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def pairs(et: String) = ev.filter(col("event_type") === et)
+        .select(col("user_id"), usOf(date_trunc("day", col("ts"))).as("day_us")).distinct()
+      pairs("purchase").intersect(pairs("signup"))
+    }),
+
     // join + multi-aggregate
     "agg_nation_stats" -> ((s, dir) => {
       val n = t(s, dir, "nation")
@@ -333,6 +368,33 @@ object SparkEntry {
         |SELECT 'u' || CAST(user_id AS VARCHAR) AS url, epoch_us(ts) AS warc_us,
         |       props AS text, CAST(strlen(props) AS BIGINT) AS content_len
         |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    "cdc_merge_final_state_mor" ->
+      """WITH ranked AS (
+        |  SELECT user_id, ts, event_id, event_type, props,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT 'u' || CAST(user_id AS VARCHAR) AS url, epoch_us(ts) AS warc_us,
+        |       props AS text, CAST(strlen(props) AS BIGINT) AS content_len
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    "cdc_dedup_salted" ->
+      """SELECT 'u' || CAST(user_id AS VARCHAR) AS url, epoch_us(ts) AS ts_us,
+        |  CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+        |  event_id AS "offset"
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+        |      FROM events) WHERE rn = 1""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT DISTINCT user_id, epoch_us(date_trunc('day', ts)) AS day_us
+        |FROM events WHERE event_type = 'purchase'
+        |INTERSECT SELECT DISTINCT user_id, epoch_us(date_trunc('day', ts)) AS day_us
+        |FROM events WHERE event_type = 'signup'""".stripMargin,
 
     "cdc_latest_per_key" ->
       """SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, event_id FROM (

@@ -35,7 +35,11 @@ final case class GenProfile(
     htmlMeanBytes: Int = 900,
     // schema evolution: events with offset < v2FromOffset are emitted as v1
     // (no lang column on the wire)
-    v2FromFraction: Double = 0.0)
+    v2FromFraction: Double = 0.0,
+    // KEY skew: when > 0, the url id itself is Zipf-drawn, so a handful of
+    // urls receive a large share of all events (hot-KEY test, beyond the
+    // hot-DOMAIN string skew of `zipfS`)
+    keyZipfS: Double = 0.0)
 
 object GenProfile {
   /** 2 partitions × 5k events, ~30% duplicate urls, 10% deletes. */
@@ -50,6 +54,12 @@ object GenProfile {
   def evolving(seed: Long = 42L): GenProfile =
     GenProfile("evolving", seed, partitions = 2, eventsPerPartition = 5000,
       urlPoolPerPartition = 3500, v2FromFraction = 0.4)
+  /** Hot KEYS: a few urls own a large share of all events (Zipf s=1.3 over
+    * the url pool) — exercises salted dedup and reducer skew. */
+  def hotKeys(seed: Long = 42L, partitions: Int = 4, perPartition: Long = 5000): GenProfile =
+    GenProfile("hot-keys", seed, partitions, perPartition,
+      urlPoolPerPartition = math.max(1, perPartition.toInt / 2), zipfS = 0.0, keyZipfS = 1.3)
+
   /** Dense ties and delete/upsert races on a tiny key pool. */
   def adversarialOrder(seed: Long = 42L): GenProfile =
     GenProfile("adversarial-order", seed, partitions = 4, eventsPerPartition = 2000,
@@ -78,6 +88,9 @@ object ChangeEventGen {
     zipfCache.computeIfAbsent((p.domains, java.lang.Double.doubleToLongBits(s)),
       _ => new Rng.Zipf(p.domains, s))
   }
+  private def keyZipf(p: GenProfile): Rng.Zipf =
+    zipfCache.computeIfAbsent((p.urlPoolPerPartition, java.lang.Double.doubleToLongBits(p.keyZipfS)),
+      _ => new Rng.Zipf(p.urlPoolPerPartition, p.keyZipfS))
 
   /** Deterministic pseudo-HTML for (url, version): the payload whose
     * extraction must be byte-identical under replay. Includes tags, a
@@ -105,7 +118,9 @@ object ChangeEventGen {
   /** Generate event (partition, offset) of a profile. Pure function. */
   def event(p: GenProfile, partition: Int, offset: Long): ChangeEvent = {
     val k = Rng.key(p.seed, partition.toLong, offset)
-    val urlId = Rng.nextInt(Rng.key(k, 1), p.urlPoolPerPartition)
+    val urlId =
+      if (p.keyZipfS > 0) keyZipf(p).sample(Rng.key(k, 1))
+      else Rng.nextInt(Rng.key(k, 1), p.urlPoolPerPartition)
     val u = url(p, partition, urlId)
     val isDelete = Rng.uniform(Rng.key(k, 2)) < p.deleteRatio
     // warc_ts: base + offset seconds, ± jitter; some late, some exact ties

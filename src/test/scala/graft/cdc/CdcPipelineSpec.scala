@@ -182,6 +182,32 @@ class CdcPipelineSpec extends SparkSpec {
     assertMatchesOracle(table, oracle)
   }
 
+  test("salted dedup equals unsalted on hot-key (Zipf) stream; pipeline matches oracle") {
+    import spark.implicits._
+    val p = GenProfile.hotKeys(partitions = 2, perPartition = 3000)
+    val events = ChangeEventGen.allEvents(p).toVector
+    // hot keys are real: top url owns a significant share
+    val byUrl = events.groupBy(_.url).view.mapValues(_.size)
+    assert(byUrl.values.max > events.size / 50)
+    val df = spark.createDataset(events).toDF()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("url"), r.getAs[java.sql.Timestamp]("warc_ts").getTime,
+        r.getAs[Long]("offset"), r.getAs[String]("op"))
+    val unsalted = Dedup.latestPerUrl(df).collect().map(key).toSet
+    val salted = SkewOps.saltedLatestPerUrl(df, salts = 16).collect().map(key).toSet
+    assert(salted == unsalted)
+    // and the full MOR pipeline on the skewed stream matches the oracle
+    val binlog = tmpDir("hotbl")
+    ChangeEventGen.writeSegments(p, binlog, segmentEvents = 1500)
+    val table = Ingest.replayBatch(spark, binlog.toString, tmpDir("hottbl"),
+      eventsPerBatch = 1000, nBuckets = 8, mode = Mor)
+    val oracle = Oracle.finalState(p)
+    val got = table.read(spark).collect()
+      .map(r => r.getAs[String]("url") -> Oracle.micros(r.getAs[java.sql.Timestamp]("warc_ts"))).toMap
+    assert(got.size == oracle.size)
+    assert(oracle.forall { case (u, (ts, _, _, _)) => got(u) == ts })
+  }
+
   test("time travel: earlier snapshot still readable after later commits") {
     val p = GenProfile.uniformSmall().copy(partitions = 1, eventsPerPartition = 600)
     val binlog = gen(p)

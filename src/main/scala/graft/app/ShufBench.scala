@@ -1,6 +1,12 @@
 package graft.app
 import org.apache.spark.sql.functions._
+/** Hardware/runtime-ceiling microbench: a minimal Spark shuffle+agg job with
+  * NO engine code, run at each parallelism level to measure what this host +
+  * Spark local mode can scale at all (memory bandwidth, GC, local-mode
+  * contention). scripts/scaling_bench.sh divides the engine's efficiency by
+  * this ceiling to isolate engine-added serial cost. */
 object ShufBench {
+
   def main(args: Array[String]): Unit = {
     val cores = args(0).toInt
     val spark = BenchUtil.newSession(cores, cores)

@@ -50,6 +50,13 @@ object IngestDemo {
     val df = t.read(spark)
     println(s"[demo] live rows = ${df.count()}, stored rows (incl tombstones) = ${t.readRaw(spark).count()}")
     df.orderBy("url").show(5, truncate = 60)
+
+    // anchored flush windows (reference W1 semantics) over the same stream
+    graft.streaming.FlushWindows.runToMemory(spark, binlog.toString,
+      flushIntervalUs = 300L * 1000000, queryName = "demo_chunks", maxEventsPerBatch = 2000)
+    val chunks = spark.table("demo_chunks")
+    println(s"[demo] anchored flush chunks = ${chunks.count()}")
+    chunks.orderBy("partition", "startOffset").show(4)
     spark.stop()
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 import graft.lake._
-import graft.model.TextExtract
+import graft.functions.NativeFns
 
 /** Copy-on-write MERGE INTO for the url-keyed LakeTable, as a SINGLE-SHUFFLE
   * aggregation.
@@ -102,7 +102,7 @@ object Merge {
     val winners = graft.lake.Resolve.lww(srcAligned.repartition(nBuckets, col("url")), dataCols)
     val obs = org.apache.spark.sql.Observation()
     val merged = winners
-      .withColumn("text", when(!col("_deleted"), TextExtract.udf(col("html"))).otherwise(lit(null)))
+      .withColumn("text", when(!col("_deleted"), NativeFns.extractText(col("html"))).otherwise(lit(null)))
       .withColumn("content_len",
         when(col("html").isNull, lit(null)).otherwise(length(col("html"))).cast(typeOf("content_len")))
       .withColumn("bucket", LakeTable.bucketOf(col("url"), nBuckets))
@@ -228,7 +228,7 @@ object Merge {
       // 4. finish rows: extract text only for batch-side winners; recompute
       //    content_len; bucket == physical partition id by construction.
       val merged = winners
-        .withColumn("text", when(col("_xt") && !col("_deleted"), TextExtract.udf(col("html")))
+        .withColumn("text", when(col("_xt") && !col("_deleted"), NativeFns.extractText(col("html")))
           .otherwise(col("text")))
         .withColumn("content_len",
           when(col("html").isNull, lit(null)).otherwise(length(col("html"))).cast(typeOf("content_len")))

@@ -61,6 +61,32 @@ class MorPipelineSpec extends SparkSpec {
     assert(engineState(t1) == want)
   }
 
+  test("IngestMetrics listener reports per-batch rows, durations, and marker counts") {
+    val p = GenProfile.uniformSmall().copy(partitions = 2, eventsPerPartition = 1000)
+    val binlog = gen(p)
+    val root = tmpDir("metrtbl")
+    val log = tmpDir("metrlog").resolve("metrics.jsonl")
+    val table = LakeTable.create(root, nBuckets = 4)
+    val listener = new graft.cdc.IngestMetrics(table, Some(log))
+    spark.streams.addListener(listener)
+    try {
+      val q = Ingest.startStream(spark, binlog.toString, root, tmpDir("metrck").toString,
+        maxEventsPerBatch = 600, nBuckets = 4, mode = Mor)
+      q.awaitTermination()
+      // listener events are async — wait briefly for the last progress event
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.batches.count(_.inputRows > 0) < 4 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val ms = listener.batches.filter(_.inputRows > 0)
+      assert(ms.size >= 4, s"expected >=4 batches, got $ms")
+      assert(ms.map(_.inputRows).sum == 2000)
+      assert(ms.forall(m => m.upserts >= 0 && m.deletes >= 0 && m.durationMs > 0))
+      val lines = new String(java.nio.file.Files.readAllBytes(log)).trim.split("\n")
+      assert(lines.length >= ms.size)
+      assert(lines.forall(_.contains("\"total_rows\"")))
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("MOR streaming with kill/restart; Maintain.compact folds deltas + GCs tombstones") {
     val p = GenProfile.uniformSmall().copy(partitions = 2, eventsPerPartition = 1500)
     val binlog = tmpDir("morbl3")

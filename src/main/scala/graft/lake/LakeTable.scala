@@ -107,6 +107,34 @@ final class LakeTable(val root: Path) {
     resolved.filter(!col("_deleted")).drop(TableSchemas.internalNames: _*)
   }
 
+  /** Incremental read (CDC-out): rows in data files ADDED between
+    * `fromSnapshotId` (exclusive) and `toSnapshotId` (inclusive, default
+    * current) — under merge-on-read each batch's delta files are exactly its
+    * post-dedup winners (upserts + tombstones), so this is the table's
+    * outgoing change feed (≙ Iceberg incremental scan / changelog read).
+    * Rows carry the internal columns; `_deleted = true` rows are the delete
+    * events. Compaction/maintenance snapshots rewrite rows without changing
+    * content — pass `skipMaintenance = true` (default) to ignore snapshots
+    * that carry no new batch markers. */
+  def readIncrement(spark: SparkSession, fromSnapshotId: Long,
+      toSnapshotId: Option[Long] = None, skipMaintenance: Boolean = true): DataFrame = {
+    val to = toSnapshotId.getOrElse(currentSnapshotId)
+    require(to >= fromSnapshotId, s"$to < $fromSnapshotId")
+    val ids = snapshotIds.filter(id => id > fromSnapshotId && id <= to)
+    var prev = snapshot(fromSnapshotId)
+    val added = Vector.newBuilder[DataFile]
+    ids.foreach { id =>
+      val cur = snapshot(id)
+      val isMaintenance = cur.batches.size == prev.batches.size
+      if (!(skipMaintenance && isMaintenance)) {
+        val prevPaths = prev.files.map(_.path).toSet
+        added ++= cur.files.filterNot(f => prevPaths.contains(f.path))
+      }
+      prev = cur
+    }
+    readFiles(spark, snapshot(to), added.result())
+  }
+
   /** Full physical read including tombstones, internal columns, and (under
     * merge-on-read) unresolved multi-version rows. */
   def readRaw(spark: SparkSession, snapshotId: Option[Long] = None): DataFrame = {

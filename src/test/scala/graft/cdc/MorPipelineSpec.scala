@@ -46,6 +46,33 @@ class MorPipelineSpec extends SparkSpec {
     }
   }
 
+  test("incremental read (CDC-out): per-batch increments are the batch winners") {
+    val p = GenProfile.uniformSmall().copy(partitions = 1, eventsPerPartition = 900)
+    val binlog = gen(p)
+    val root = tmpDir("incrtbl")
+    val table = LakeTable.create(root, nBuckets = 4)
+    val snapIds = scala.collection.mutable.ArrayBuffer(table.currentSnapshotId)
+    (0 until 3).foreach { b =>
+      Ingest.applyBatch(spark, table, mode = Mor)(
+        graft.binlog.BinlogRead.range(spark, binlog.toString, b * 300L, (b + 1) * 300L), b.toLong)
+      snapIds += table.currentSnapshotId
+    }
+    // each increment = that batch's post-dedup winners (upserts + tombstones)
+    (0 until 3).foreach { b =>
+      val inc = table.readIncrement(spark, snapIds(b), Some(snapIds(b + 1)))
+      val marker = table.currentSnapshot.batches.find(_.batchId == b.toLong).get
+      assert(inc.count() == marker.upserts + marker.deletes)
+      // winner per url: matches a direct fold of that batch's events
+      val want = Oracle.fold(graft.binlog.Segment.readRange(binlog, 0, b * 300L, (b + 1) * 300L))
+      assert(inc.count() == want.size)
+      val gotDel = inc.filter(org.apache.spark.sql.functions.col("_deleted")).count()
+      assert(gotDel == want.values.count(_.op == "delete"))
+    }
+    // full-range increment sees all three batches' winners
+    val all = table.readIncrement(spark, 0L)
+    assert(all.count() == table.currentSnapshot.batches.map(m => m.upserts + m.deletes).sum)
+  }
+
   test("MOR state invariant to batch split; duplicate batch is a no-op") {
     val p = GenProfile.adversarialOrder().copy(partitions = 2, eventsPerPartition = 1000)
     val binlog = gen(p)

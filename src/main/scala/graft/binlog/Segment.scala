@@ -94,9 +94,13 @@ final class SegmentWriter(dir: Path, partition: Int, startOffset: Long,
     val idxTmp = dir.resolve(baseName + ".index.json.tmp")
     Files.write(idxTmp, index.toJson.getBytes(StandardCharsets.UTF_8))
     // data first, then index — readers treat the index as the commit marker,
-    // mirroring the reference's upload order (S3Writer.java:47-67).
-    Files.move(dataTmp, dir.resolve(baseName + ".gz"), StandardCopyOption.ATOMIC_MOVE)
-    Files.move(idxTmp, dir.resolve(baseName + ".index.json"), StandardCopyOption.ATOMIC_MOVE)
+    // mirroring the reference's upload order (S3Writer.java:47-67). REPLACE
+    // mirrors overwrite-on-recreate (BlockGZIPFileWriterTest.java:157-201):
+    // a replayed batch rewrites the same names with identical bytes.
+    Files.move(dataTmp, dir.resolve(baseName + ".gz"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    Files.move(idxTmp, dir.resolve(baseName + ".index.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     index
   }
 

@@ -1,0 +1,57 @@
+package graft.binlog
+
+import java.nio.file.Files
+import java.security.MessageDigest
+
+import graft.SparkSpec
+
+/** Sink-side round trip + rewind idempotence (≙ the reference's
+  * `S3SinkConnectorIT` rewind test `:474-612` — byte-identical objects after
+  * replay — and sink→source round trip `:614-675`). */
+class ArchiveSpec extends SparkSpec {
+
+  private def md5s(dir: java.nio.file.Path): Map[String, String] =
+    Segment.listAll(dir).flatMap { f =>
+      Seq(f.path, f.indexPath).map { p =>
+        val d = MessageDigest.getInstance("MD5").digest(Files.readAllBytes(p))
+        p.getFileName.toString -> d.map("%02x".format(_)).mkString
+      }
+    }.toMap
+
+  test("archive round trip: re-segmented stream decodes to identical events; rewind is byte-identical") {
+    val p = GenProfile.uniformSmall().copy(partitions = 2, eventsPerPartition = 1800)
+    val origin = tmpDir("arch-src")
+    ChangeEventGen.writeSegments(p, origin, segmentEvents = 700, chunkThreshold = 64 * 1024)
+    val dest = tmpDir("arch-dst")
+
+    val q = Archive.startArchive(spark, origin.toString, dest, tmpDir("arch-ck").toString,
+      maxEventsPerBatch = 900, segmentEvents = 300, chunkThreshold = 16 * 1024)
+    q.awaitTermination()
+
+    // 1. decoded round trip: every event identical, both partitions
+    (0 until p.partitions).foreach { part =>
+      val a = Segment.readRange(origin, part, 0, Long.MaxValue).toVector
+      val b = Segment.readRange(dest, part, 0, Long.MaxValue).toVector
+      assert(a.size == b.size)
+      a.zip(b).foreach { case (x, y) =>
+        assert(x.copy(html = null) == y.copy(html = null))
+        assert(java.util.Arrays.equals(x.html, y.html))
+      }
+    }
+    // 2. segments re-rolled at the sink's own granularity, chains gap-free
+    val segs = Segment.list(dest, 0)
+    assert(segs.size >= 6) // 1800 events / 300-event segments
+    segs.sliding(2).foreach {
+      case Seq(a, b) => assert(b.startOffset == a.endOffset)
+      case _ =>
+    }
+    // 3. rewind: replay the WHOLE stream with a fresh checkpoint into the
+    //    same destination — every file must be rewritten byte-identically
+    val before = md5s(dest)
+    val q2 = Archive.startArchive(spark, origin.toString, dest, tmpDir("arch-ck2").toString,
+      maxEventsPerBatch = 900, segmentEvents = 300, chunkThreshold = 16 * 1024)
+    q2.awaitTermination()
+    val after = md5s(dest)
+    assert(after == before, "rewind must regenerate byte-identical segment files")
+  }
+}

@@ -89,11 +89,19 @@ object Ingest {
     }
   }
 
-  /** Start the streaming ingest from a binlog directory. */
+  /** Start the streaming ingest from a binlog directory.
+    *
+    * `expireEveryBatches` > 0 runs snapshot expiry (keeping the newest
+    * `keepSnapshots`) after every Nth batch — bounds metadata growth and
+    * GCs data files that only expired snapshots reference, without
+    * interrupting ingest (maintenance commits are cheap metadata +
+    * unlink operations; MOR's incremental bucket compaction is separate
+    * and automatic). */
   def startStream(spark: SparkSession, binlogDir: String, tableRoot: Path,
       checkpointDir: String, maxEventsPerBatch: Long = 1000000L,
       trigger: Trigger = Trigger.AvailableNow(), nBuckets: Int = 32,
-      mode: MergeMode = Cow): StreamingQuery = {
+      mode: MergeMode = Cow, expireEveryBatches: Long = 0L,
+      keepSnapshots: Int = 10): StreamingQuery = {
     val table =
       if (LakeTable.exists(tableRoot)) LakeTable.load(tableRoot)
       else LakeTable.create(tableRoot, nBuckets)
@@ -112,6 +120,8 @@ object Ingest {
         val lineage = graft.binlog.BinlogLineage.lastPlanned(binlogDir).map(_.toSeq.sortBy(_._1)
           .map { case (p, (from, until)) => PartLineage(p, from, until - from, until - from) })
         applyBatch(spark, table, lineage, mode)(df, id)
+        if (expireEveryBatches > 0 && id > 0 && id % expireEveryBatches == 0)
+          graft.lake.Maintain.expireSnapshots(table, keepSnapshots): Unit
       }
       .start()
   }

@@ -57,6 +57,26 @@ class MaintainSpec extends SparkSpec {
     assert(!retained.contains(allIds.head) || allIds.head == table.currentSnapshotId)
   }
 
+  test("auto-expiry cadence in the streaming loop bounds snapshot count, state stays correct") {
+    val p = graft.binlog.GenProfile.uniformSmall().copy(partitions = 2, eventsPerPartition = 1500)
+    val binlog = tmpDir("aebl")
+    graft.binlog.ChangeEventGen.writeSegments(p, binlog, segmentEvents = 500)
+    val root = tmpDir("aetbl")
+    val q = graft.cdc.Ingest.startStream(spark, binlog.toString, root,
+      tmpDir("aeck").toString, maxEventsPerBatch = 400, nBuckets = 4,
+      mode = graft.cdc.Mor, expireEveryBatches = 2, keepSnapshots = 3)
+    q.awaitTermination()
+    val table = LakeTable.load(root)
+    // ≥8 batches ran; without expiry there would be ≥9 snapshots
+    assert(table.currentSnapshot.batches.size >= 7)
+    assert(table.snapshotIds.size <= 5, s"snapshots not expired: ${table.snapshotIds}")
+    val oracle = Oracle.finalState(p)
+    val got = table.read(spark).collect()
+      .map(r => r.getAs[String]("url") -> Oracle.micros(r.getAs[java.sql.Timestamp]("warc_ts"))).toMap
+    assert(got.size == oracle.size)
+    assert(oracle.forall { case (u, (ts, _, _, _)) => got(u) == ts })
+  }
+
   private def countDataFiles(table: LakeTable): Int = {
     val data = table.root.resolve("data")
     val out = new java.util.concurrent.atomic.AtomicInteger()

@@ -260,6 +260,19 @@ object SparkEntry {
       pairs("purchase").intersect(pairs("signup"))
     }),
 
+    // as-of join: each purchase paired with the user's latest prior view
+    // (composed union+window form, no fan-out; oracle = DuckDB ASOF JOIN)
+    "ev_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), usOf(col("ts")).as("ts_us"), col("event_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), usOf(col("ts")).as("ts_us"), col("event_id").as("view_id"))
+      graft.ops.AsOfJoin.asOf(purchases, views, key = "user_id", ts = "ts_us")
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("right_ts_us").as("view_ts_us"), col("right_view_id").as("view_id"))
+    }),
+
     // deep multi-join (Q5 shape): region→nation→customer→orders→lineitem→supplier
     // with the supplier-nation colocation predicate; dims broadcast
     "q5_local_supplier" -> ((s, dir) => {
@@ -514,6 +527,13 @@ object SparkEntry {
         |  SELECT p_brand, p_partkey, p_retailprice,
         |    row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) rn
         |  FROM part) WHERE rn <= 3""".stripMargin,
+
+    "ev_asof_join" ->
+      """SELECT p.user_id, p.event_id, epoch_us(p.ts) AS ts_us,
+        |  epoch_us(v.ts) AS view_ts_us, v.event_id AS view_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin,
 
     "q5_local_supplier" ->
       """SELECT n_name,

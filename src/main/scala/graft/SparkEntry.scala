@@ -467,7 +467,8 @@ object SparkEntry {
         |  count(*) AS cnt, count(DISTINCT user_id) AS users FROM events GROUP BY 1""".stripMargin,
 
     "cdc_props_extract" ->
-      """SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(*) AS cnt FROM events GROUP BY 1""".stripMargin,
 
     "cdc_partition_filter" ->

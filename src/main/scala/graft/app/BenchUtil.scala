@@ -87,7 +87,10 @@ object BenchUtil {
     val sec = (System.nanoTime() - t0) / 1e9
     // clean up the table (bench tables are large)
     def rm(p: Path): Unit = {
-      if (Files.isDirectory(p)) Files.list(p).forEach(rm)
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.forEach(rm) finally s.close()
+      }
       Files.deleteIfExists(p)
     }
     rm(work)

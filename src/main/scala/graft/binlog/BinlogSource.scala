@@ -70,6 +70,11 @@ final class BinlogScan(path: String, options: CaseInsensitiveStringMap)
     * applied in the reader after decode, before any shuffle. */
   private def excludeUrlContains: Seq[String] =
     Option(options.get("excludeUrlContains")).map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+  /** Registry key for planned-offset lineage (see [[BinlogLineage]]): set a
+    * per-query token so concurrent queries over the SAME binlog directory
+    * keep separate entries. Ingest.startStream sets this to its checkpoint
+    * dir; queries that never read lineage may omit it (falls back to path). */
+  private def lineageToken: Option[String] = Option(options.get("lineageToken"))
 
   // Batch reads honor fromOffset/untilOffset options so range replays skip
   // whole segments at planning time (≙ offset-skip file filter,
@@ -94,7 +99,7 @@ final class BinlogScan(path: String, options: CaseInsensitiveStringMap)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new BinlogMicroBatchStream(path, maxEventsPerBatch, eventsPerTask,
-      partitionFilter, excludeUrlContains)
+      partitionFilter, excludeUrlContains, lineageToken)
 }
 
 /** Offset = per-partition next-offset-to-read map, JSON-serialized into the
@@ -139,8 +144,11 @@ object BinlogOffsets {
 }
 
 final class BinlogMicroBatchStream(path: String, maxEventsPerBatch: Long, eventsPerTask: Long,
-    partitionFilter: Option[Set[Int]] = None, excludeUrlContains: Seq[String] = Nil)
+    partitionFilter: Option[Set[Int]] = None, excludeUrlContains: Seq[String] = Nil,
+    lineageToken: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  private def lineageKey: String = lineageToken.getOrElse(path)
 
   private def listEnds(): Map[Int, Long] =
     BinlogOffsets.endOffsets(Segment.listAll(Paths.get(path)))
@@ -197,7 +205,7 @@ final class BinlogMicroBatchStream(path: String, maxEventsPerBatch: Long, events
     val e = end.asInstanceOf[BinlogOffset].parts
     val ranges = e.map { case (p, until) => p -> (s.getOrElse(p, 0L), until) }
       .filter { case (_, (f, u)) => u > f }
-    BinlogLineage.record(path, ranges)
+    BinlogLineage.record(lineageKey, ranges)
     BinlogOffsets.splitRanges(path, ranges, eventsPerTask)
   }
 
@@ -205,22 +213,27 @@ final class BinlogMicroBatchStream(path: String, maxEventsPerBatch: Long, events
     new BinlogReaderFactory(excludeUrlContains)
   override def deserializeOffset(json: String): Offset = BinlogOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+  override def stop(): Unit = BinlogLineage.clear(lineageKey)
 }
 
 final case class BinlogInputPartition(path: String, partition: Int, from: Long, until: Long)
     extends InputPartition
 
-/** Driver-side registry of the most recently planned offset ranges per
-  * binlog path. foreachBatch hands the sink an opaque `LogicalRDD`, so the
-  * ingest pipeline cannot recover the batch's offset ranges from the plan;
-  * the source records them here at planning time instead (exactly the
-  * reference's per-poll offset bookkeeping, `S3SourceTask.java:214-224`).
-  * Streaming runs one batch at a time per query — single producer. */
+/** Driver-side registry of the most recently planned offset ranges, keyed by
+  * QUERY IDENTITY (the source's `lineageToken` option — Ingest.startStream
+  * passes its checkpoint dir — falling back to the binlog path when unset).
+  * foreachBatch hands the sink an opaque `LogicalRDD`, so the ingest pipeline
+  * cannot recover the batch's offset ranges from the plan; the source records
+  * them here at planning time instead (exactly the reference's per-poll
+  * offset bookkeeping, `S3SourceTask.java:214-224`). Token keying means two
+  * concurrent queries tailing the SAME directory (e.g. ingest + Archive)
+  * cannot overwrite each other's planned ranges; each query runs one batch
+  * at a time — single producer per key. */
 object BinlogLineage {
   private val last = new java.util.concurrent.ConcurrentHashMap[String, Map[Int, (Long, Long)]]()
-  def record(path: String, ranges: Map[Int, (Long, Long)]): Unit = last.put(path, ranges)
-  def lastPlanned(path: String): Option[Map[Int, (Long, Long)]] = Option(last.get(path))
+  def record(key: String, ranges: Map[Int, (Long, Long)]): Unit = last.put(key, ranges)
+  def lastPlanned(key: String): Option[Map[Int, (Long, Long)]] = Option(last.get(key))
+  def clear(key: String): Unit = last.remove(key)
 }
 
 final class BinlogReaderFactory(excludeUrlContains: Seq[String] = Nil)

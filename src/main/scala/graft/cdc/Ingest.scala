@@ -105,10 +105,15 @@ object Ingest {
     val table =
       if (LakeTable.exists(tableRoot)) LakeTable.load(tableRoot)
       else LakeTable.create(tableRoot, nBuckets)
+    // lineage registry key = this query's checkpoint dir: unique per query
+    // (Spark forbids checkpoint sharing), stable across restarts — other
+    // queries tailing the same directory cannot clobber our planned ranges.
+    val lineageToken = s"ingest:$checkpointDir"
     val stream = spark.readStream
       .format("graft.binlog.BinlogSourceProvider")
       .option("path", binlogDir)
       .option("maxEventsPerBatch", maxEventsPerBatch)
+      .option("lineageToken", lineageToken)
       .load()
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -117,7 +122,7 @@ object Ingest {
         // foreachBatch wraps the batch as an opaque LogicalRDD, so recover
         // the batch's offset ranges from the source's planning registry —
         // one pass saved per batch vs aggregating them from the data.
-        val lineage = graft.binlog.BinlogLineage.lastPlanned(binlogDir).map(_.toSeq.sortBy(_._1)
+        val lineage = graft.binlog.BinlogLineage.lastPlanned(lineageToken).map(_.toSeq.sortBy(_._1)
           .map { case (p, (from, until)) => PartLineage(p, from, until - from, until - from) })
         applyBatch(spark, table, lineage, mode)(df, id)
         if (expireEveryBatches > 0 && id > 0 && id % expireEveryBatches == 0)

@@ -187,11 +187,19 @@ object Merge {
       val total = stats.map(_.getLong(1)).sum
       val deletes = total - upserts
 
-      // 1. prune
+      // 1. prune — bounds compared in unsigned-UTF-8 byte order (the order
+      //    Spark's min/max(url) and the parquet stats actually use; Java
+      //    String order would silently mis-prune supplementary-plane urls).
+      //    NoStatsMax means "unbounded": never skip such a file. SAFETY NET:
+      //    even a wrong prune miss stays read-correct, because a multi-file
+      //    bucket is LWW-resolved at read time (LakeTable.read) — but we
+      //    keep bounds conservative so that net is never load-bearing.
       val (touched, untouched) = snap.files.partition { f =>
         srcBuckets.contains(f.bucket) && {
           val (umin, umax) = bounds(f.bucket)
-          f.urlMin <= umax && umin <= f.urlMax
+          f.urlMax == LakeTable.NoStatsMax ||
+            (LakeTable.compareUtf8(f.urlMin, umax) <= 0 &&
+              LakeTable.compareUtf8(umin, f.urlMax) <= 0)
         }
       }
 

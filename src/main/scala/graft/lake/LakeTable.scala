@@ -230,10 +230,28 @@ object LakeTable {
     try r.getRecordCount finally r.close()
   }
 
+  /** Fallback bounds when a column's parquet stats are absent: "" is
+    * genuinely minimal in byte order; `NoStatsMax` is a SENTINEL the prune
+    * must treat as "unbounded high" (it is NOT byte-maximal — supplementary-
+    * plane code points encode above EF BF BF). */
+  val NoStatsMin = ""
+  val NoStatsMax = "￿"
+
+  /** Unsigned byte-wise comparison of the UTF-8 encodings — the ordering
+    * Spark's `min`/`max` over strings (UTF8String.binaryCompare) and parquet
+    * binary stats both use. Java `String.compareTo` is UTF-16 code-unit
+    * order, which DISAGREES for supplementary-plane characters; all bound
+    * comparisons must go through here (ADVICE round 1). */
+  def compareUtf8(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
+
   /** (rowCount, urlMin, urlMax) from the parquet footer — metadata-only.
-    * Parquet's binary stats truncation keeps min a lower bound and max an
-    * upper bound, so the values are always safe pruning bounds. Falls back
-    * to the widest bounds if stats are absent. */
+    * Min/max accumulated in UNSIGNED UTF-8 BYTE order (matching both the
+    * stat bytes' native order and Spark's string min/max), then decoded for
+    * the manifest — we never truncate stats on our own files, so the bytes
+    * are whole valid-UTF-8 values and the round trip is lossless. Falls
+    * back to the sentinel bounds if stats are absent. */
   def parquetStats(p: Path, column: String): (Long, String, String) = {
     import scala.jdk.CollectionConverters._
     val conf = new org.apache.hadoop.conf.Configuration()
@@ -242,22 +260,24 @@ object LakeTable {
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       val rows = r.getRecordCount
-      var mn: String = null
-      var mx: String = null
+      var mn: Array[Byte] = null
+      var mx: Array[Byte] = null
       r.getFooter.getBlocks.asScala.foreach { b =>
         b.getColumns.asScala.foreach { c =>
           if (c.getPath.toDotString == column) {
             val st = c.getStatistics
             if (st != null && st.hasNonNullValue) {
-              val bmin = new String(st.getMinBytes, java.nio.charset.StandardCharsets.UTF_8)
-              val bmax = new String(st.getMaxBytes, java.nio.charset.StandardCharsets.UTF_8)
-              if (mn == null || bmin < mn) mn = bmin
-              if (mx == null || bmax > mx) mx = bmax
+              val bmin = st.getMinBytes
+              val bmax = st.getMaxBytes
+              if (mn == null || java.util.Arrays.compareUnsigned(bmin, mn) < 0) mn = bmin
+              if (mx == null || java.util.Arrays.compareUnsigned(bmax, mx) > 0) mx = bmax
             }
           }
         }
       }
-      (rows, if (mn == null) "" else mn, if (mx == null) "￿" else mx)
+      (rows,
+        if (mn == null) NoStatsMin else new String(mn, StandardCharsets.UTF_8),
+        if (mx == null) NoStatsMax else new String(mx, StandardCharsets.UTF_8))
     } finally r.close()
   }
 

@@ -73,8 +73,13 @@ object Maintain {
       if (Files.deleteIfExists(p)) deletedFiles += 1
       // prune empty bucket dirs opportunistically
       val dir = p.getParent
-      try if (Files.isDirectory(dir) && !Files.list(dir).findFirst().isPresent) Files.delete(dir)
-      catch { case _: Exception => }
+      try {
+        if (Files.isDirectory(dir)) {
+          val s = Files.list(dir)
+          val empty = try !s.findFirst().isPresent finally s.close()
+          if (empty) Files.delete(dir)
+        }
+      } catch { case _: Exception => }
     }
     expire.foreach(id => Files.deleteIfExists(table.root.resolve("meta").resolve(s"snap-$id.json")))
     (expire.size, deletedFiles)

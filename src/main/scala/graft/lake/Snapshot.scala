@@ -7,10 +7,13 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   * entry; plays the role of the reference's per-file `ChunksIndex` —
   * `/root/reference/common/src/main/java/com/spredfast/kafka/connect/s3/json/ChunksIndex.java:7-37`).
   *
-  * `bucket` is the table's hash-partition of `url`
-  * (`pmod(xxhash64(url), nBuckets)`); MERGE only rewrites files whose bucket
-  * intersects the incoming batch — the skip-scan the reference gets from its
-  * chunk index.
+  * `bucket` is the table's hash-partition of `url` — `pmod(hash(url), n)`,
+  * murmur3 seed 42, with [[LakeTable.bucketOf]] as the single source of
+  * truth (it MUST equal Spark's `HashPartitioning` expression; do not
+  * "upgrade" it to xxhash64 — that silently breaks the bucket==partition
+  * invariant the single-shuffle write depends on). MERGE only rewrites
+  * files whose bucket intersects the incoming batch — the skip-scan the
+  * reference gets from its chunk index.
   */
 final case class DataFile(
     path: String, // relative to table root
@@ -23,7 +26,14 @@ final case class DataFile(
 
 /** Lineage of one binlog partition within one committed batch
   * (≙ the gap-free chain `next.first = prev.first + prev.num_records`,
-  * `sink/.../BlockGZIPFileWriter.java:174-176`, `S3Writer.java:92-96`). */
+  * `sink/.../BlockGZIPFileWriter.java:174-176`, `S3Writer.java:92-96`).
+  *
+  * `count` and `rows` are the PLANNED OFFSET ENVELOPE (until − from) when
+  * lineage comes from the source's planned ranges — i.e. events covered by
+  * the batch, not events that survived reader-side filters
+  * (`excludeUrlContains`) or dedup. Gap-free coverage is exactly what the
+  * exactly-once audit needs; merged-row counts live in the BatchMarker's
+  * upserts/deletes. */
 final case class PartLineage(partition: Int, startOffset: Long, count: Long, rows: Long)
 
 /** One committed microbatch's marker: the exactly-once key `(batchId,

@@ -602,6 +602,54 @@ object SparkEntry {
         |       min(md5('2|' || s)) AS mh2, min(md5('3|' || s)) AS mh3
         |FROM sh GROUP BY 1""".stripMargin,
 
+    // mirrors minhashNearDups exactly: 8 md5-min signatures, 4 banded
+    // md5(mh|mh) bucket keys, distinct candidate pairs, exact-jaccard verify
+    // (docs with <3 tokens have NULL minhashes in Spark and no sig row here;
+    // their empty-bucket candidates are killed by the verify either way)
+    "doc_minhash_neardup" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(trim(text), '[^ \t\n\r]+') ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+        |         i -> array_to_string(ws[i:i+2], ' ')))) s
+        |       FROM w WHERE len(ws) >= 3),
+        |sig AS (SELECT doc_id,
+        |         min(md5('0|' || s)) mh0, min(md5('1|' || s)) mh1,
+        |         min(md5('2|' || s)) mh2, min(md5('3|' || s)) mh3,
+        |         min(md5('4|' || s)) mh4, min(md5('5|' || s)) mh5,
+        |         min(md5('6|' || s)) mh6, min(md5('7|' || s)) mh7
+        |        FROM sh GROUP BY 1),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) bucket FROM sig
+        |  UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
+        |  UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
+        |  UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig),
+        |cand AS (SELECT DISTINCT a.doc_id id1, b.doc_id id2
+        |         FROM bands a JOIN bands b
+        |         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |inter AS (SELECT c.id1, c.id2, count(*) i
+        |          FROM cand c JOIN sh x ON x.doc_id = c.id1
+        |          JOIN sh y ON y.doc_id = c.id2 AND x.s = y.s GROUP BY 1, 2)
+        |SELECT c.id1, c.id2,
+        |  round(CAST(coalesce(i.i, 0) AS DOUBLE) /
+        |        CAST(sx.n + sy.n - coalesce(i.i, 0) AS DOUBLE), 4) AS jaccard
+        |FROM cand c
+        |LEFT JOIN inter i ON c.id1 = i.id1 AND c.id2 = i.id2
+        |JOIN sz sx ON c.id1 = sx.doc_id JOIN sz sy ON c.id2 = sy.doc_id
+        |WHERE round(CAST(coalesce(i.i, 0) AS DOUBLE) /
+        |      CAST(sx.n + sy.n - coalesce(i.i, 0) AS DOUBLE), 4) >= 0.6""".stripMargin,
+
+    // fp_md5 = whitespace-normalized md5; fp_roll = Rabin-Karp fold over
+    // md5-derived term ints (kernel ≡ this list_reduce, verified byte-equal)
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(trim(lower(text)), '[ \t\n\r]+', ' ', 'g')) AS fp_md5,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_extract_all(trim(text), '[^ \t\n\r]+'),
+        |        w -> ('0x' || substr(md5(w), 1, 8))::BIGINT % 1000000007)),
+        |    (acc, x) -> (acc * 257 + x) % 1000000007) AS fp_roll
+        |FROM documents""".stripMargin,
+
     "doc_ngram_neardup" ->
       """WITH w AS (SELECT doc_id, regexp_extract_all(trim(text), '[^ \t\n\r]+') ws FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),

@@ -43,6 +43,33 @@ object NativeFns {
       inputTypes = Seq(StringType, IntegerType),
       propagateNull = true,
       returnNullable = true))
+
+  /** text → 64-bit SimHash in ONE tokenize+hash pass (replaces the round-1
+    * 64-separate-interpreted-HOF formulation — same semantics: per-bit
+    * weighted majority of `xxhash64(token)`, identical token split and
+    * identical XXH64 seed-42 hashing as the Spark built-in). */
+  def simhash64(text: Column): Column = column(
+    StaticInvoke(
+      NativeKernels.getClass,
+      LongType,
+      "simhash64UTF8",
+      Seq(expression(text)),
+      inputTypes = Seq(StringType),
+      propagateNull = true,
+      returnNullable = false))
+
+  /** text → Rabin-Karp rolling hash over the token stream, md5-based term
+    * hashes (portable to the DuckDB oracle: term = first 8 md5 hex chars as
+    * int, mod 1e9+7; fold acc·257 + term mod 1e9+7). */
+  def rollingHashMd5(text: Column): Column = column(
+    StaticInvoke(
+      NativeKernels.getClass,
+      LongType,
+      "rollingMd5UTF8",
+      Seq(expression(text)),
+      inputTypes = Seq(StringType),
+      propagateNull = true,
+      returnNullable = false))
 }
 
 /** Static kernels invoked from generated code. MUST stay deterministic and
@@ -62,5 +89,56 @@ object NativeKernels {
       else Array.tabulate[Any](words.length - n + 1)(i =>
         UTF8String.fromString(words.slice(i, i + n).mkString(" ")))
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** 64-bit SimHash: bit i set iff Σ_tokens (±1 by bit i of xxhash64(token))
+    * is positive. Token hash = `XXH64.hashUTF8String(token, 42)` — the exact
+    * function behind Spark's `xxhash64` column (seed 42), so signatures are
+    * interchangeable with any expression-built variant. */
+  def simhash64UTF8(text: UTF8String): Long = {
+    val words = text.toString.trim.split("[ \t\n\r]+")
+    val votes = new Array[Int](64)
+    var w = 0
+    while (w < words.length) {
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(UTF8String.fromString(words(w)), 42L)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      w += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (votes(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Rabin-Karp rolling hash over whitespace tokens; term hash = first 4
+    * md5 bytes (== first 8 hex chars) as unsigned int mod M, fold
+    * acc·257 + t mod M (M = 1e9+7 keeps every product < 2^63). Empty /
+    * whitespace-only text → 0 (no tokens), matching the oracle's
+    * `regexp_extract_all` tokenization. */
+  def rollingMd5UTF8(text: UTF8String): Long = {
+    val M = 1000000007L
+    val words = text.toString.trim.split("[ \t\n\r]+").filter(_.nonEmpty)
+    val md = md5Digest.get()
+    var acc = 0L
+    var w = 0
+    while (w < words.length) {
+      md.reset()
+      val dg = md.digest(words(w).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val t = (((dg(0) & 0xffL) << 24) | ((dg(1) & 0xffL) << 16) |
+        ((dg(2) & 0xffL) << 8) | (dg(3) & 0xffL)) % M
+      acc = (acc * 257L + t) % M
+      w += 1
+    }
+    acc
   }
 }

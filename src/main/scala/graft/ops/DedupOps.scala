@@ -52,20 +52,28 @@ object DedupOps {
   /** MinHash-LSH candidate pairs: band the k minhashes into `bands` groups
     * of `rowsPerBand`, bucket-join on (band, md5(band minhashes)), emit
     * candidate (id1 < id2) pairs, then verify with EXACT n-gram Jaccard.
-    * Returns pairs with jaccard ≥ threshold. */
+    * Returns pairs with jaccard ≥ threshold.
+    *
+    * `maxBucketSize` caps band-bucket membership (viral-boilerplate
+    * defense): a bucket holding > cap docs would emit O(cap²) candidate
+    * pairs, so oversized buckets are DROPPED from candidate generation —
+    * their members still pair through their other `bands−1` band keys when
+    * genuinely similar. The windowed count shares the self-join's
+    * (band,bucket) hash partitioning — no extra shuffle. 0 disables. */
   def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6, maxBucketSize: Int = 1000): DataFrame = {
     val k = bands * rowsPerBand
     val sigs = withMinhashes(docs.select(col(idCol).as("id"), col(textCol).as("txt")), "txt", n, k)
     // band keys: one row per (doc, band)
-    val bandKeys = sigs.select(
+    val bandKeys0 = sigs.select(
       col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           md5(to_binary(concat_ws("|", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*), lit("utf-8"))).as("bucket"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val bandKeys = capBuckets(bandKeys0, Seq("band", "bucket"), maxBucketSize)
     val a = bandKeys.alias("a")
     val b = bandKeys.alias("b")
     val candidates = a.join(b,
@@ -75,6 +83,25 @@ object DedupOps {
       .distinct()
     verifyJaccard(candidates, docs, textCol, idCol, n, threshold)
   }
+
+  /** Drop rows whose bucket (the given key columns) holds more than
+    * `maxBucketSize` members. The count window partitions on the same keys
+    * as the downstream self-join, so its one shuffle is reused by the join
+    * (plan: single Exchange feeding Window then SortMergeJoin/HashJoin). */
+  private def capBuckets(df: DataFrame, keys: Seq[String], maxBucketSize: Int): DataFrame =
+    if (maxBucketSize <= 0) df
+    else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+      df.withColumn("_bsz", count(lit(1)).over(w))
+        .filter(col("_bsz") <= maxBucketSize)
+        .drop("_bsz")
+    }
+
+  /** Observability for the cap: per-bucket membership counts, largest first
+    * (run on a sample to size `maxBucketSize` for a corpus). */
+  def bucketSizeStats(bandKeys: DataFrame, keys: Seq[String]): DataFrame =
+    bandKeys.groupBy(keys.map(col): _*).agg(count(lit(1)).as("size"))
+      .orderBy(col("size").desc)
 
   /** Exact n-gram Jaccard over candidate pairs (id1, id2). */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, textCol: String, idCol: String,
@@ -95,7 +122,8 @@ object DedupOps {
     * index (the SQL-oracle-able baseline; LSH is the scale path). The join
     * fans out by shingle, so shuffle is O(Σ shingles), never O(n²). */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-      n: Int, threshold: Double, pruneUniqueShingles: Boolean = false): DataFrame = {
+      n: Int, threshold: Double, pruneUniqueShingles: Boolean = false,
+      maxDf: Int = 0): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
       array_distinct(TextOps.shingles(col(textCol), n)).as("sh"))
     // CAREFUL: do NOT carry `sh` (or anything derived from it) through the
@@ -105,17 +133,24 @@ object DedupOps {
     // broadcast-joined onto the aggregated pairs at the end.
     val sizes = sh.select(col("id"), size(col("sh")).as("n"))
     val inv0 = sh.select(col("id"), explode(col("sh")).as("s"))
-    // exactness-preserving prune (optional): a shingle appearing in ONE doc
-    // forms no candidate pair (doc sizes come from the full arrays), so df=1
-    // postings can be dropped. Worth it on natural text (mostly-unique
-    // shingles); counterproductive on dense vocabularies.
-    val inv =
-      if (!pruneUniqueShingles) inv0
+    // prunes: df=1 postings form no pair (exactness-preserving); a df
+    // CEILING (maxDf > 0) additionally drops postings of hot shingles — a
+    // shingle in d docs emits d² join rows, so an uncapped viral-boilerplate
+    // shingle goes quadratic at web scale. The ceiling UNDERCOUNTS
+    // intersections through dropped shingles (jaccard becomes a lower
+    // bound → possible false negatives, never false positives). Keep 0 for
+    // the exact oracle baseline; set it when running as a scale operator.
+    val inv = {
+      val needDf = pruneUniqueShingles || maxDf > 0
+      if (!needDf) inv0
       else {
+        val lo = if (pruneUniqueShingles) 1L else 0L
+        val hi = if (maxDf > 0) maxDf.toLong else Long.MaxValue
         val shared = inv0.groupBy(col("s")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > 1).select(col("s"))
+          .filter(col("df") > lo && col("df") <= hi).select(col("s"))
         inv0.join(shared, Seq("s"), "left_semi")
       }
+    }
     val a = inv.select(col("id").as("id1"), col("s"))
     val b = inv.select(col("id").as("id2"), col("s"))
     a.join(b, Seq("s")).filter(col("id1") < col("id2"))
@@ -130,33 +165,28 @@ object DedupOps {
   }
 
   /** 64-bit SimHash over tokens: per-bit weighted majority of xxhash64(token).
-    * Built with HOFs only: for each bit, sum ±1 over tokens, then assemble.
-    * Near-dup = small Hamming distance; pairs found by exact-match banding
-    * on 16-bit sub-blocks (any pair within Hamming ≤ 3 shares ≥1 of 4 blocks). */
-  def simhash64(text: Column): Column = {
-    val words = split(trim(text), "[ \\t\\n\\r]+")
-    val hashes = transform(words, w => xxhash64(w))
-    // bit i of simhash = 1 if Σ_tokens sign(bit_i(h)) > 0
-    val bits = (0 until 64).map { i =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
+    * ONE native tokenize+hash pass (StaticInvoke kernel) — the round-1
+    * 64-separate-interpreted-HOF formulation recomputed the token pipeline
+    * 64× per row. Near-dup = small Hamming distance; pairs found by
+    * exact-match banding on 16-bit sub-blocks (any pair within Hamming ≤ 3
+    * shares ≥1 of 4 blocks). */
+  def simhash64(text: Column): Column = graft.functions.NativeFns.simhash64(text)
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("int")
 
   /** SimHash near-dup pairs with Hamming ≤ maxDist via 4×16-bit block
-    * banding (exact for maxDist ≤ 3, then verified). */
+    * banding (exact for maxDist ≤ 3, then verified). `maxBucketSize` caps
+    * block-bucket membership like [[minhashNearDups]] — a 16-bit block key
+    * gathers n/65536 docs on average, quadratic at 10⁹ docs without a cap. */
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val sigs = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
-    val blocks = sigs.select(col("id"), col("sig"),
+    val blocks0 = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("blk"), shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))
       .select(col("id"), col("sig"), col("bk.blk").as("blk"), col("bk.key").as("key"))
+    val blocks = capBuckets(blocks0, Seq("blk", "key"), maxBucketSize)
     val a = blocks.alias("a")
     val b = blocks.alias("b")
     a.join(b, col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&

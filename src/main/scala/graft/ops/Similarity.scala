@@ -4,33 +4,39 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.functions.VecFns
 import graft.util.Rng
 
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Brute-force cosine top-k is the correctness baseline (O(q·n) dot
-  * products, all codegen'd HOF arithmetic — `zip_with` + `aggregate`, no
-  * UDF). The scale paths are:
-  *  - random-hyperplane LSH bucketing: shuffle O(n), candidates only within
-  *    buckets — recall tunable by #tables/#bits;
-  *  - IVF: coarse-quantize to deterministic centroids, probe the nearest
-  *    `nprobe` lists — the FAISS-style layout for cluster-scale ANN.
+  * products). The scale paths are:
+  *  - random-hyperplane LSH bucketing: shuffle O(n·tables), candidates only
+  *    within buckets — recall tunable by #tables/#bits;
+  *  - IVF: coarse-quantize to centroids (seeded sample + one Lloyd
+  *    refinement pass), probe the nearest `nprobe` lists — the FAISS-style
+  *    layout for cluster-scale ANN.
+  *
+  * All per-row math runs in native StaticInvoke kernels ([[VecFns]]):
+  * round 1's HOF formulations were CodegenFallback (interpreted) and its
+  * inline `array(lit…)` hyperplane/centroid literals put O(tables·nBits·dim)
+  * nodes in the plan — at dim=768 a codegen bomb. Hyperplanes now live
+  * NOWHERE in the plan (seed-derived in-kernel); centroids are ONE flattened
+  * array literal each.
   */
 object Similarity {
 
   /** Dot product of two float-array columns (sequential double accumulation
-    * — deterministic order, identical on every engine). */
+    * — deterministic order, identical on every engine). Kept as the HOF
+    * composition for SQL-oracle visibility in specs; hot paths use
+    * [[VecFns.cosineF]]. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(a: Column): Column = VecFns.normF(a)
 
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val n = norm(a) * norm(b)
-    when(n === 0.0, 0.0).otherwise(d / n)
-  }
+  def cosine(a: Column, b: Column): Column = VecFns.cosineF(a, b)
 
   /** Brute-force cosine top-k: for each query vector (by id), the k nearest
     * others. Ranking on (rounded cosine desc, neighbor id) is fully
@@ -48,47 +54,58 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
-  /** Deterministic random hyperplanes: dim × nBits doubles from SplitMix64. */
+  /** Deterministic random hyperplanes: dim × nBits doubles from SplitMix64
+    * (same derivation the [[VecFns.lshBucket]] kernel reproduces in-place). */
   def hyperplanes(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] =
     Array.tabulate(nBits)(b => Array.tabulate(dim)(d =>
       Rng.uniform(Rng.key(seed, b.toLong, d.toLong)) * 2.0 - 1.0))
 
-  /** Sign-random-projection LSH bucket id (nBits ≤ 63). Planes are inlined
-    * as array literals — constant-folded by Catalyst, no broadcast needed. */
-  def lshBucket(vecCol: Column, planes: Array[Array[Double]]): Column = {
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
-      val d = aggregate(zip_with(vecCol, planeLit, (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(d > 0.0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
-
   /** LSH-bucketed near-neighbor pairs with cosine ≥ threshold: candidates
-    * only inside identical buckets across `tables` independent hash tables. */
+    * only inside identical buckets across `tables` independent hash tables.
+    * Candidate (id1,id2) pairs are DEDUPLICATED before the cosine — a pair
+    * surfacing in all tables still pays exactly one verification — and the
+    * vectors are joined back for that single computation. */
   def lshNearPairs(vecs: DataFrame, threshold: Double, nBits: Int = 12,
       tables: Int = 4, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dim = vecs.select(size(col(vecCol))).head().getInt(0)
-    val keyed = (0 until tables).map { t =>
-      val planes = hyperplanes(dim, nBits, Rng.key(seed, t.toLong))
-      vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
-        lit(t).as("tbl"), lshBucket(col(vecCol), planes).as("bkt"))
-    }.reduce(_.unionByName(_))
+    val v = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val keyed = v.select(col("id"),
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("tbl"),
+          VecFns.lshBucket(col("v"), nBits, Rng.key(seed, t.toLong)).as("bkt"))
+      }: _*)).as("tb"))
+      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
     val a = keyed.alias("a")
     val b = keyed.alias("b")
-    a.join(b, col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        round(cosine(col("a.v"), col("b.v")), 4).as("cos"))
+    val candidates = a.join(b,
+        col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
+    candidates
+      .join(v.select(col("id").as("id1"), col("v").as("v1")), "id1")
+      .join(v.select(col("id").as("id2"), col("v").as("v2")), "id2")
+      .select(col("id1"), col("id2"), round(cosine(col("v1"), col("v2")), 4).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
-  /** IVF index: deterministic coarse centroids = the vectors whose ids hash
-    * lowest (seeded sample), one Lloyd refinement pass, then assignment.
-    * Returns (assignments DF with `list` column, centroids). */
+  /** Flatten centroids to the single-literal layout the kernels consume. */
+  private def centsLit(cents: Array[(Int, Array[Double])]): Column = {
+    val sorted = cents.sortBy(_._1)
+    require(sorted.zipWithIndex.forall { case ((i, _), j) => i == j }, "centroid ids must be 0..n-1")
+    typedLit(sorted.flatMap(_._2).toSeq)
+  }
+
+  /** IVF index: coarse centroids seeded from the vectors whose ids hash
+    * lowest, then ONE Lloyd refinement pass (assign → per-list mean →
+    * re-assign), then final assignment. Returns (assignments DF with `list`
+    * column, centroids).
+    *
+    * Driver ceiling: centroids are collected and shipped as one plan
+    * literal — O(nLists·dim) doubles (4096 lists × 768 dims ≈ 25 MB). For
+    * larger codebooks, shard the centroid set and probe per shard; below
+    * that, the single-literal layout keeps assignment map-only (no join, no
+    * shuffle). */
   def ivfAssign(vecs: DataFrame, nLists: Int, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, Array[(Int, Array[Double])]) = {
     // seed centroids: nLists rows with smallest mix64(seed ^ id)
@@ -97,19 +114,35 @@ object Similarity {
       .orderBy(col("_rk")).limit(nLists)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    val cents = seeded.zipWithIndex.map { case (v, i) => (i, v) }
-    val assigned = assignToCentroids(vecs, cents, idCol, vecCol)
-    (assigned, cents)
+    val cents0 = seeded.zipWithIndex.map { case (v, i) => (i, v) }
+    // one Lloyd pass: mean of each list's members (empty list keeps its
+    // seed). posexplode+agg is one shuffle of (list,pos) partial sums —
+    // O(nLists·dim) rows back to the driver, same ceiling as the literal.
+    val assigned0 = assignToCentroids(vecs, cents0, idCol, vecCol)
+    val sums = assigned0
+      .select(col("list"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("list"), col("pos"))
+      .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("c"))
+      .collect()
+    val dim = cents0.head._2.length
+    val refined = cents0.map { case (i, v) => (i, v.clone()) }
+    val counts = new Array[Long](nLists)
+    sums.foreach { r =>
+      val l = r.getInt(0)
+      counts(l) = r.getLong(3)
+    }
+    sums.foreach { r =>
+      val l = r.getInt(0); val p = r.getInt(1)
+      if (counts(l) > 0) refined(l)._2(p) = r.getDouble(2) / counts(l)
+    }
+    val assigned = assignToCentroids(vecs, refined, idCol, vecCol)
+    (assigned, refined)
   }
-
-  private def centroidDots(vecCol: Column, cents: Array[(Int, Array[Double])]): Column =
-    array(cents.map { case (i, c) =>
-      struct(dot(vecCol, array(c.map(lit): _*)).as("d"), lit(i).as("list"))
-    }: _*)
 
   def assignToCentroids(vecs: DataFrame, cents: Array[(Int, Array[Double])],
       idCol: String, vecCol: String): DataFrame =
-    vecs.withColumn("list", array_max(centroidDots(col(vecCol), cents)).getField("list"))
+    vecs.withColumn("list",
+      VecFns.centroidArgmax(col(vecCol), centsLit(cents), cents.length))
 
   /** IVF top-k: probe the `nprobe` nearest lists per query, brute-force
     * within them. At scale the per-list scan is a partition-pruned read. */
@@ -119,8 +152,8 @@ object Similarity {
     val (assigned, cents) = ivfAssign(vecs, nLists, seed, idCol, vecCol)
     val queries = assigned.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("probes", slice(reverse(array_sort(centroidDots(col("qv"), cents))), 1, nprobe))
-      .withColumn("probe", explode(col("probes.list")))
+      .withColumn("probe",
+        explode(VecFns.probeLists(col("qv"), centsLit(cents), cents.length, nprobe)))
       .select(col("query_id"), col("qv"), col("probe"))
     val cands = assigned.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"), col("list"))
       .join(broadcast(queries), col("list") === col("probe") && col("neighbor_id") =!= col("query_id"))

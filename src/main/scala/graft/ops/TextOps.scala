@@ -81,13 +81,10 @@ object TextOps {
     graft.functions.NativeFns.shingles(text, n)
 
   /** Rabin-Karp rolling hash over the token stream (base 257, mod 1e9+7 —
-    * keeps acc*base + term < 2^63 under ANSI arithmetic), computed with
-    * `aggregate`: a streaming fingerprint usable for shift-resistant chunk
-    * hashing. Deterministic pure arithmetic. */
-  def rollingHash(text: Column): Column = {
-    val words = split(trim(text), "[ \\t\\n\\r]+")
-    val M = 1000000007L
-    aggregate(words, lit(0L),
-      (acc, w) => pmod(acc * 257L + pmod(xxhash64(w), lit(M)), lit(M)))
-  }
+    * keeps acc*base + term < 2^63): a streaming fingerprint usable for
+    * shift-resistant chunk hashing. Native one-pass kernel (the round-1
+    * `aggregate`-HOF version was interpreted), with md5-derived term hashes
+    * so the DuckDB oracle can reproduce it bit-for-bit. */
+  def rollingHash(text: Column): Column =
+    graft.functions.NativeFns.rollingHashMd5(text)
 }

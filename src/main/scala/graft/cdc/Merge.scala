@@ -62,9 +62,22 @@ object Merge {
   /** Debug hook: print the next merge's physical plan (used by PlanCheck). */
   @volatile var explainNext: Boolean = false
 
+  /** The last explained plan, for spec assertions on plan shape. */
+  @volatile var lastPlan: String = ""
+
+  private[cdc] def explain(df: DataFrame): Unit = {
+    lastPlan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    println(lastPlan)
+  }
+
   /** MOR: compact a bucket once it accumulates this many delta files —
     * bounds read amplification to ~maxFilesPerBucket-way resolves. */
   val MaxFilesPerBucket = 8
+
+  /** Escape hatch for A/B: when false, COW uses the round-1 union+max_by
+    * shuffle formulation instead of the co-located [[graft.plans.BucketMergeExec]]. */
+  @volatile var useColocatedCow: Boolean = true
 
   /** Apply one RAW batch of change events (columns: partition, offset, op,
     * url, warc_ts, html, lang — duplicates allowed). Returns the committed
@@ -110,7 +123,7 @@ object Merge {
       .observe(obs, count(lit(1)).as("n"),
         sum(when(col("_deleted"), 1L).otherwise(0L)).as("dels"))
 
-    if (explainNext) { explainNext = false; merged.explain("formatted") }
+    if (explainNext) { explainNext = false; explain(merged) }
     val nextId = snap.snapshotId + 1
     val newFiles = table.writeDataFiles(merged, nextId, snap.schemaVersion)
     val row = obs.get
@@ -207,10 +220,8 @@ object Merge {
       val typeOf = logical.fields.map(f => f.name -> f.dataType).toMap
       val dataCols = logical.fieldNames.toSeq.filterNot(TableSchemas.internalNames.contains)
 
-      // 2. union target + batch, aligned to the logical schema + `_xt` flag
-      //    (does this row still need text extraction?)
-      val target = table.readFiles(spark, snap, touched)
-        .withColumn("_xt", lit(false))
+      // 2. align the batch to the logical schema + `_xt` flag (does this row
+      //    still need text extraction?)
       val srcAligned = withBucket
         .withColumn("text", lit(null).cast("string"))
         .withColumn("content_len", lit(null).cast(typeOf("content_len")))
@@ -221,17 +232,32 @@ object Merge {
       val allCols = (dataCols ++ TableSchemas.internalNames :+ "_xt")
       val aligned = (df: DataFrame) => df.select(allCols.map(c => col(c).cast(
         if (c == "_xt") org.apache.spark.sql.types.BooleanType else typeOf.getOrElse(c, org.apache.spark.sql.types.BooleanType)).as(c)): _*)
-      val unioned = aligned(target).unionByName(aligned(srcAligned))
 
-      // 3. ONE shuffle: repartition by url into exactly nBuckets (== bucket
-      //    layout), then the groupBy reuses that partitioning.
-      val payload = struct((dataCols.filterNot(_ == "url") ++ TableSchemas.internalNames :+ "_xt").map(col): _*)
-      val seq = struct(col("warc_ts"), col("_seq_offset"), col("_seq_part"))
-      val winners = unioned
-        .repartition(nBuckets, col("url"))
-        .groupBy(col("url"))
-        .agg(max_by(payload, seq).as("w"))
-        .select(col("url") +: (dataCols.filterNot(_ == "url") ++ TableSchemas.internalNames :+ "_xt").map(c => col(s"w.$c").as(c)): _*)
+      // 3. resolve winners. Default: CO-LOCATED bucket merge — table files
+      //    are bucket-partitioned + url-sorted already, so only the BATCH
+      //    is shuffled (one Exchange, O(batch) bytes); each task streams
+      //    its bucket's files against the batch winners (BucketMergeExec).
+      //    Fallback (mixed schema versions among touched files, or the A/B
+      //    flag): union + one bucket-aligned shuffle + max_by.
+      val sameVersion = touched.forall(_.schemaVersion == snap.schemaVersion)
+      if (timing) System.err.println(s"[timing]   cow path=${if (useColocatedCow && sameVersion) "colocated" else "shuffle"} touchedFiles=${touched.size} touchedRows=${touched.map(_.rowCount).sum}")
+      val winners = if (useColocatedCow && sameVersion) {
+        val bucketFiles = touched.groupBy(_.bucket).map { case (b, fs) =>
+          b -> fs.map(f => (table.root.resolve(f.path).toString, f.bytes))
+        }
+        graft.plans.BucketMergeStrategy.mergedRows(
+          spark, aligned(srcAligned), bucketFiles, nBuckets, logical)
+      } else {
+        val target = table.readFiles(spark, snap, touched).withColumn("_xt", lit(false))
+        val unioned = aligned(target).unionByName(aligned(srcAligned))
+        val payload = struct((dataCols.filterNot(_ == "url") ++ TableSchemas.internalNames :+ "_xt").map(col): _*)
+        val seq = struct(col("warc_ts"), col("_seq_offset"), col("_seq_part"))
+        unioned
+          .repartition(nBuckets, col("url"))
+          .groupBy(col("url"))
+          .agg(max_by(payload, seq).as("w"))
+          .select(col("url") +: (dataCols.filterNot(_ == "url") ++ TableSchemas.internalNames :+ "_xt").map(c => col(s"w.$c").as(c)): _*)
+      }
 
       // 4. finish rows: extract text only for batch-side winners; recompute
       //    content_len; bucket == physical partition id by construction.
@@ -244,7 +270,7 @@ object Merge {
         .drop("_xt")
         .sortWithinPartitions(col("url"))
 
-      if (Merge.explainNext) { Merge.explainNext = false; merged.explain("formatted") }
+      if (Merge.explainNext) { Merge.explainNext = false; Merge.explain(merged) }
 
       // 5. write + manifest from footers + commit
       val nextId = snap.snapshotId + 1

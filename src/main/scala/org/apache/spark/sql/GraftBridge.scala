@@ -1,11 +1,15 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** Bridge into Spark's `private[sql]` Column ↔ Expression conversion for
   * graft's native Catalyst expressions (Spark 4 moved `Column` onto
-  * ColumnNode; classic conversions live in `classic.ExpressionUtils`). */
+  * ColumnNode; classic conversions live in `classic.ExpressionUtils`), and
+  * into `Dataset.ofRows` for wrapping graft's custom logical plans. */
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -75,6 +75,35 @@ object SparkEntry {
     // resolve-on-read + incremental compaction) — identical oracle
     "cdc_merge_final_state_mor" -> ((s, dir) => cdcMergeFinalState(s, dir, graft.cdc.Mor)),
 
+    // the SQL surface end-to-end: CREATE TABLE … USING graft, MERGE INTO
+    // driving the engine's Merge operator, SELECT via the catalog's
+    // co-located resolve-on-read scan — identical oracle to the library path
+    "cdc_sql_merge" -> ((s, dir) => {
+      val wh = Files.createTempDirectory("graft-sql-wh")
+      graft.sql.GraftSql.enable(s, wh.toString)
+      t(s, dir, "events").createOrReplaceTempView("graft_ev_src")
+      s.sql("DROP TABLE IF EXISTS graft.sqlpages")
+      s.sql("""CREATE TABLE graft.sqlpages (url STRING, warc_ts TIMESTAMP,
+              |  html BINARY, text STRING, content_len BIGINT, lang STRING)
+              |USING graft TBLPROPERTIES('buckets'='8')""".stripMargin)
+      s.sql("""MERGE INTO graft.sqlpages t USING (
+              |  SELECT concat('u', CAST(user_id AS STRING)) AS url,
+              |    CAST(ts AS TIMESTAMP) AS warc_ts,
+              |    CASE WHEN event_type = 'error' THEN CAST(NULL AS BINARY)
+              |         ELSE to_binary(props, 'utf-8') END AS html,
+              |    CAST(NULL AS STRING) AS text, CAST(NULL AS BIGINT) AS content_len,
+              |    'en' AS lang,
+              |    CAST(pmod(user_id, 4) AS INT) AS partition, event_id AS offset,
+              |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+              |  FROM graft_ev_src) s
+              |ON t.url = s.url
+              |WHEN MATCHED AND s.op = 'delete' THEN DELETE
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql("""SELECT url, unix_micros(warc_ts) AS warc_us, text, content_len
+              |FROM graft.sqlpages""".stripMargin)
+    }),
+
     // salted two-phase dedup (explicit skew defense) — identical oracle to
     // cdc_dedup_maxby by associativity of max
     "cdc_dedup_salted" -> ((s, dir) => {
@@ -405,6 +434,15 @@ object SparkEntry {
         |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
 
     "cdc_merge_final_state_mor" ->
+      """WITH ranked AS (
+        |  SELECT user_id, ts, event_id, event_type, props,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT 'u' || CAST(user_id AS VARCHAR) AS url, epoch_us(ts) AS warc_us,
+        |       props AS text, CAST(strlen(props) AS BIGINT) AS content_len
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    "cdc_sql_merge" ->
       """WITH ranked AS (
         |  SELECT user_id, ts, event_id, event_type, props,
         |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn

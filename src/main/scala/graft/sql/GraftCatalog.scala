@@ -1,0 +1,278 @@
+package graft.sql
+
+import java.nio.file.{Files, Path, Paths}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, Expression, Literal, UnsafeProjection}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+import graft.lake.{LakeTable, TableSchemas}
+
+/** `TableCatalog` for graft lake tables — the declarative surface:
+  *
+  * {{{
+  *   SET spark.sql.catalog.graft = graft.sql.GraftCatalog
+  *   CREATE TABLE graft.pages (url STRING, …) USING graft TBLPROPERTIES ('buckets'='64')
+  *   SELECT * FROM graft.pages
+  *   MERGE INTO graft.pages …   -- see GraftSqlStrategy
+  * }}}
+  *
+  * Plays the role of the reference's config-driven entry point
+  * (`/root/reference/common/src/main/java/com/spredfast/kafka/connect/s3/Configure.java:125-165`):
+  * a user drives the engine by names and properties, not library calls.
+  */
+class GraftCatalog extends TableCatalog {
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Paths.get(Option(options.get("warehouse"))
+      .getOrElse(sys.props.getOrElse("graft.sql.warehouse", "/tmp/graft-warehouse")))
+    Files.createDirectories(warehouse)
+  }
+
+  override def name(): String = catalogName
+
+  private def rootOf(ident: Identifier): Path =
+    warehouse.resolve((ident.namespace() :+ ident.name()).mkString("/"))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = namespace.foldLeft(warehouse)(_.resolve(_))
+    if (!Files.isDirectory(dir)) return Array.empty
+    val s = Files.list(dir)
+    try s.iterator().asScala
+      .filter(p => LakeTable.exists(p))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+    finally s.close()
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val root = rootOf(ident)
+    if (!LakeTable.exists(root)) throw new NoSuchTableException(ident)
+    new GraftSqlTable(LakeTable.load(root), ident.toString)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val root = rootOf(ident)
+    if (LakeTable.exists(root)) throw new TableAlreadyExistsException(ident)
+    val userFacing = GraftSqlTable.userSchema.fieldNames.toSet
+    val unknown = schema.fieldNames.filterNot(userFacing.contains)
+    require(unknown.isEmpty,
+      s"graft tables have a fixed web-page schema; unknown columns: ${unknown.mkString(", ")}")
+    val nBuckets = Option(properties.get("buckets")).map(_.toInt).getOrElse(32)
+    LakeTable.create(root, nBuckets)
+    new GraftSqlTable(LakeTable.load(root), ident.toString)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER via SQL not supported; use LakeTable.evolveSchema")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = rootOf(ident)
+    if (!LakeTable.exists(root)) return false
+    def rm(p: Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.forEach(rm) finally s.close()
+      }
+      Files.deleteIfExists(p): Unit
+    }
+    rm(root)
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = rootOf(oldIdent)
+    if (!LakeTable.exists(from)) throw new NoSuchTableException(oldIdent)
+    Files.move(from, rootOf(newIdent)): Unit
+  }
+}
+
+object GraftSqlTable {
+  /** User-facing schema: the logical schema minus engine columns. */
+  def userSchema: StructType = StructType(
+    TableSchemas.forVersion(TableSchemas.current).fields
+      .filterNot(f => TableSchemas.internalNames.contains(f.name)))
+}
+
+/** DSv2 table over a LakeTable. Reads are CO-LOCATED resolve-on-read: one
+  * input partition per bucket; within a task, the bucket's url-sorted files
+  * are k-way MERGED streaming (k ≤ MaxFilesPerBucket+1), LWW-folded by the
+  * `(warc_ts, _seq_offset, _seq_part)` order, tombstones dropped — no
+  * shuffle, no hash map, O(k) memory however large the bucket. */
+final class GraftSqlTable(val lake: LakeTable, ident: String) extends Table with SupportsRead {
+  override def name(): String = ident
+  override def schema(): StructType = GraftSqlTable.userSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftLakeScan(lake, Option(options.get("snapshotId")).map(_.toLong))
+}
+
+final case class GraftBucketPartition(
+    bucket: Int,
+    files: Seq[(String, Long, Int)], // (absolute path, bytes, schemaVersion)
+    currentVersion: Int) extends InputPartition
+
+final class GraftLakeScan(lake: LakeTable, snapshotId: Option[Long])
+    extends ScanBuilder with Scan with Batch {
+  override def build(): Scan = this
+  override def readSchema(): StructType = GraftSqlTable.userSchema
+  override def description(): String = s"GraftLakeScan(${lake.root})"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val snap = snapshotId.map(lake.snapshot).getOrElse(lake.currentSnapshot)
+    snap.files.groupBy(_.bucket).toSeq.sortBy(_._1).map { case (b, fs) =>
+      GraftBucketPartition(b,
+        fs.map(f => (lake.root.resolve(f.path).toString, f.bytes, f.schemaVersion)),
+        snap.schemaVersion)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
+    val snap = snapshotId.map(lake.snapshot).getOrElse(lake.currentSnapshot)
+    // one driver-built parquet reader closure per physical schema version
+    val versions = snap.files.map(_.schemaVersion).distinct.sorted
+    val readers = versions.map { v =>
+      v -> new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+        .buildReaderWithPartitionValues(
+          sparkSession = spark,
+          dataSchema = TableSchemas.forVersion(v),
+          partitionSchema = new StructType(),
+          requiredSchema = TableSchemas.forVersion(v),
+          filters = Nil,
+          options = Map(org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "false"),
+          hadoopConf = spark.sessionState.newHadoopConf())
+    }.toMap
+    new GraftBucketReaderFactory(readers)
+  }
+}
+
+final class GraftBucketReaderFactory(
+    readers: Map[Int, org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow]])
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftBucketPartition]
+    new GraftBucketReader(p, readers)
+  }
+}
+
+/** Streaming k-way LWW merge over one bucket's url-sorted files. */
+final class GraftBucketReader(
+    p: GraftBucketPartition,
+    readers: Map[Int, org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow]])
+  extends PartitionReader[InternalRow] {
+
+  private val full = TableSchemas.forVersion(p.currentVersion)
+  private def idx(n: String) = full.fieldNames.indexOf(n)
+  private val urlIdx = idx("url")
+  private val tsIdx = idx("warc_ts")
+  private val offIdx = idx("_seq_offset")
+  private val partIdx = idx("_seq_part")
+  private val delIdx = idx("_deleted")
+
+  /** Align a physical-version row to the current full layout: widen-cast
+    * present columns, null-fill added ones (the generic form of the
+    * DataFrame-side `align`). */
+  private def alignProj(version: Int): UnsafeProjection = {
+    val phys = TableSchemas.forVersion(version)
+    val exprs: Seq[Expression] = full.fields.toSeq.map { f =>
+      val i = phys.fieldNames.indexOf(f.name)
+      if (i < 0) Literal.create(null, f.dataType)
+      else {
+        val br = BoundReference(i, phys.fields(i).dataType, phys.fields(i).nullable)
+        if (phys.fields(i).dataType == f.dataType) br
+        else Cast(br, f.dataType, Some("UTC"))
+      }
+    }
+    UnsafeProjection.create(exprs.toArray)
+  }
+
+  // per-file iterators, each aligned with its OWN projection instance so the
+  // heads (one live row per file) occupy distinct buffers
+  private val its: Array[Iterator[InternalRow]] = p.files.toArray.map { case (path, bytes, v) =>
+    val proj = alignProj(v)
+    val pf = org.apache.spark.sql.execution.datasources.PartitionedFile(
+      InternalRow.empty, org.apache.spark.paths.SparkPath.fromPathString(path), 0L, bytes)
+    readers(v)(pf).flatMap {
+      case b: ColumnarBatch => b.rowIterator().asScala
+      case r => Iterator.single(r)
+    }.map(proj)
+  }
+  private val heads: Array[InternalRow] = its.map(it => if (it.hasNext) it.next() else null)
+
+  private val userIdxs = GraftSqlTable.userSchema.fieldNames.map(idx)
+  private val outProj = UnsafeProjection.create(
+    userIdxs.zipWithIndex.map { case (srcIdx, _) =>
+      BoundReference(srcIdx, full.fields(srcIdx).dataType, full.fields(srcIdx).nullable): Expression
+    })
+
+  private def wins(a: InternalRow, b: InternalRow): Boolean = {
+    val ta = a.getLong(tsIdx); val tb = b.getLong(tsIdx)
+    if (ta != tb) return ta > tb
+    val oa = a.getLong(offIdx); val ob = b.getLong(offIdx)
+    if (oa != ob) return oa > ob
+    a.getInt(partIdx) > b.getInt(partIdx)
+  }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (true) {
+      // min url among live heads (unsigned UTF-8 byte order == sort order)
+      var minI = -1
+      var i = 0
+      while (i < heads.length) {
+        if (heads(i) != null &&
+          (minI < 0 || heads(i).getUTF8String(urlIdx).compareTo(heads(minI).getUTF8String(urlIdx)) < 0))
+          minI = i
+        i += 1
+      }
+      if (minI < 0) return false
+      // membership is recorded BEFORE any advance: `u` is a view into
+      // heads(minI)'s projection buffer, which the advance overwrites
+      val u = heads(minI).getUTF8String(urlIdx)
+      val inGroup = new Array[Boolean](heads.length)
+      inGroup(minI) = true
+      var winner = heads(minI)
+      var j = minI + 1
+      while (j < heads.length) {
+        if (heads(j) != null && heads(j).getUTF8String(urlIdx).compareTo(u) == 0) {
+          inGroup(j) = true
+          if (wins(heads(j), winner)) winner = heads(j)
+        }
+        j += 1
+      }
+      val deleted = winner.getBoolean(delIdx)
+      if (!deleted) current = outProj(winner)
+      // advance every file positioned on this url (AFTER materializing out)
+      var k = 0
+      while (k < heads.length) {
+        if (inGroup(k)) heads(k) = if (its(k).hasNext) its(k).next() else null
+        k += 1
+      }
+      if (!deleted) return true
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

@@ -1,0 +1,123 @@
+package graft.sql
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, LogicalPlan, MergeIntoTable}
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions._
+
+import graft.cdc.{Merge, MergeMode}
+
+/** Plans `MERGE INTO graft.<table> … ` onto the engine's Merge operator.
+  *
+  * Supported shape — the canonical CDC upsert (documented restriction):
+  * {{{
+  *   MERGE INTO graft.pages t USING <source> s
+  *   ON t.url = s.url
+  *   [WHEN MATCHED AND <delete-predicate> THEN DELETE]
+  *   WHEN MATCHED THEN UPDATE SET *
+  *   WHEN NOT MATCHED THEN INSERT *
+  * }}}
+  * Source rows satisfying the delete predicate become tombstones; everything
+  * else is a last-writer-wins upsert ordered by `(warc_ts, offset,
+  * partition)` (source columns `partition`/`offset` are used when present,
+  * else 0 — duplicate urls within one merge then tie-break arbitrarily on
+  * equal warc_ts, as documented). Each MERGE commits as one exactly-once
+  * batch (id = max committed + 1) with an empty lineage (SQL merges carry no
+  * binlog offsets).
+  *
+  * Registered either at runtime ([[GraftSql.enable]]) or declaratively via
+  * `spark.sql.extensions=graft.sql.GraftExtensions`.
+  */
+object GraftSqlStrategy extends SparkStrategy {
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case m: MergeIntoTable =>
+      // before optimization the target is a DataSourceV2Relation; after,
+      // V2ScanRelationPushDown may have turned it into a ScanRelation
+      val target = m.targetTable.collectFirst {
+        case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSqlTable] =>
+          r.table.asInstanceOf[GraftSqlTable]
+        case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+            if s.relation.table.isInstanceOf[GraftSqlTable] =>
+          s.relation.table.asInstanceOf[GraftSqlTable]
+      }
+      target match {
+        case Some(t) =>
+          val deleteCond = m.matchedActions.collectFirst {
+            case DeleteAction(Some(c)) => c
+          }
+          GraftMergeExec(t, m.sourceTable, deleteCond) :: Nil
+        case None => Nil
+      }
+    case _ => Nil
+  }
+}
+
+/** Executes the merge eagerly (MergeIntoTable is a Command, so Spark runs
+  * this plan at `spark.sql(...)` time). */
+final case class GraftMergeExec(
+    @transient table: GraftSqlTable,
+    @transient source: LogicalPlan,
+    @transient deleteCond: Option[Expression])
+  extends LeafExecNode {
+
+  override def output: Seq[Attribute] = Nil
+
+  private lazy val done: Unit = {
+    val spark = SparkSession.active
+    val src = org.apache.spark.sql.GraftBridge.ofRows(spark, source)
+    val cols = src.columns.toSet
+    val delete = deleteCond
+      .map(e => org.apache.spark.sql.GraftBridge.column(e))
+      .getOrElse(lit(false))
+    val changelog = src.select(
+      (if (cols.contains("partition")) col("partition") else lit(0)).cast("int").as("partition"),
+      (if (cols.contains("offset")) col("offset") else lit(0L)).cast("long").as("offset"),
+      when(delete, "delete").otherwise("upsert").as("op"),
+      col("url"),
+      col("warc_ts").cast("timestamp").as("warc_ts"),
+      (if (cols.contains("html")) col("html") else lit(null)).cast("binary").as("html"),
+      (if (cols.contains("lang")) col("lang") else lit(null)).cast("string").as("lang"))
+    val lake = table.lake
+    val batchId = lake.currentSnapshot.batches.map(_.batchId).maxOption.getOrElse(-1L) + 1L
+    Merge(spark, lake, changelog, batchId, lineage = Nil, mode = GraftSql.sqlMergeMode): Unit
+  }
+
+  override def executeCollect(): Array[InternalRow] = { done; Array.empty }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    done
+    sparkContext.emptyRDD
+  }
+}
+
+/** Runtime enablement: everything here is registerable on an EXISTING
+  * session (no extensions required) — catalog conf + planner strategies. */
+object GraftSql {
+  /** Merge mode used by SQL MERGE statements (COW default: SQL merges are
+    * interactive, read-optimized). */
+  @volatile var sqlMergeMode: MergeMode = graft.cdc.Cow
+
+  def enable(spark: SparkSession, warehouse: String): Unit = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", warehouse)
+    if (!spark.experimental.extraStrategies.contains(GraftSqlStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GraftSqlStrategy
+    graft.plans.BucketMergeStrategy.ensureRegistered(spark)
+  }
+}
+
+/** `spark.sql.extensions=graft.sql.GraftExtensions` — declarative injection
+  * of the MERGE strategy (+ the co-located COW merge strategy) at session
+  * build time; the catalog is configured via `spark.sql.catalog.graft`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => GraftSqlStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.BucketMergeStrategy)
+  }
+}

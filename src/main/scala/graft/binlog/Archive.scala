@@ -26,9 +26,19 @@ object Archive {
 
   final case class ArchivedSegment(partition: Int, startOffset: Long, records: Long, file: String)
 
-  /** Archive one batch (grouped per partition inside executor tasks). */
+  /** Archive one batch (grouped per partition inside executor tasks).
+    *
+    * `layout`/`topic`/`date` select the key layout (≙ the reference's
+    * `layout` config — flat, grouped_by_date, grouped_by_topic); `codec`
+    * selects the wire format (≙ `format` config); `header` is written as its
+    * own gzip member before the first data chunk (≙ `S3RecordsWriter.init`
+    * headers, `BlockGZIPFileWriter.java:133-141`). The date is an explicit
+    * argument, not wall clock, so replaying a batch rewrites the SAME keys
+    * with identical bytes. */
   def archiveBatch(spark: SparkSession, destDir: Path, segmentEvents: Long,
-      chunkThreshold: Long)(df: DataFrame, batchId: Long): Seq[ArchivedSegment] = {
+      chunkThreshold: Long, layout: Layout = Layout.Flat, topic: String = "events",
+      date: String = "1970-01-01", codecSpec: CodecSpec = CodecSpec(),
+      header: Array[Byte] = Array.empty)(df: DataFrame, batchId: Long): Seq[ArchivedSegment] = {
     import spark.implicits._
     val dest = destDir.toString
     val written = df.as[ChangeEvent]
@@ -36,13 +46,15 @@ object Archive {
       .sortWithinPartitions(col("partition"), col("offset"))
       .mapPartitions { it =>
         val out = scala.collection.mutable.ArrayBuffer.empty[ArchivedSegment]
+        val codec = codecSpec.codec
         var w: SegmentWriter = null
+        var rel: String = null
         var curPart = -1
         var curStart = 0L
         var inSeg = 0L
         def closeSeg(): Unit = if (w != null) {
           w.close()
-          out += ArchivedSegment(curPart, curStart, inSeg, w.baseName + ".gz")
+          out += ArchivedSegment(curPart, curStart, inSeg, rel + ".gz")
           w = null
         }
         it.foreach { e =>
@@ -51,7 +63,11 @@ object Archive {
             curPart = e.partition
             curStart = e.offset
             inSeg = 0L
-            w = new SegmentWriter(Paths.get(dest), curPart, curStart, chunkThreshold)
+            rel = layout.blockPath(topic, date, curPart, curStart)
+            val full = Paths.get(dest).resolve(rel + ".gz")
+            w = new SegmentWriter(full.getParent, curPart, curStart, chunkThreshold,
+              header = header, nameOverride = Some(full.getFileName.toString.stripSuffix(".gz")),
+              codec = codec)
           }
           w.writeEvent(e)
           inSeg += 1

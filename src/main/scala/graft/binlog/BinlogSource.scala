@@ -75,6 +75,9 @@ final class BinlogScan(path: String, options: CaseInsensitiveStringMap)
     * keep separate entries. Ingest.startStream sets this to its checkpoint
     * dir; queries that never read lineage may omit it (falls back to path). */
   private def lineageToken: Option[String] = Option(options.get("lineageToken"))
+  /** Option-driven wire format (≙ reference `format` config + aliases,
+    * `Configure.java:125-150`): framed|delimited (+ delimiter options). */
+  private def codecSpec: CodecSpec = CodecSpec.fromOptions(k => Option(options.get(k)))
 
   // Batch reads honor fromOffset/untilOffset options so range replays skip
   // whole segments at planning time (≙ offset-skip file filter,
@@ -94,12 +97,12 @@ final class BinlogScan(path: String, options: CaseInsensitiveStringMap)
       BinlogOffsets.splitRanges(path, ranges, eventsPerTask)
     }
     override def createReaderFactory(): PartitionReaderFactory =
-      new BinlogReaderFactory(excludeUrlContains)
+      new BinlogReaderFactory(excludeUrlContains, codecSpec)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new BinlogMicroBatchStream(path, maxEventsPerBatch, eventsPerTask,
-      partitionFilter, excludeUrlContains, lineageToken)
+      partitionFilter, excludeUrlContains, lineageToken, codecSpec)
 }
 
 /** Offset = per-partition next-offset-to-read map, JSON-serialized into the
@@ -145,7 +148,7 @@ object BinlogOffsets {
 
 final class BinlogMicroBatchStream(path: String, maxEventsPerBatch: Long, eventsPerTask: Long,
     partitionFilter: Option[Set[Int]] = None, excludeUrlContains: Seq[String] = Nil,
-    lineageToken: Option[String] = None)
+    lineageToken: Option[String] = None, codecSpec: CodecSpec = CodecSpec())
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private def lineageKey: String = lineageToken.getOrElse(path)
@@ -210,7 +213,7 @@ final class BinlogMicroBatchStream(path: String, maxEventsPerBatch: Long, events
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BinlogReaderFactory(excludeUrlContains)
+    new BinlogReaderFactory(excludeUrlContains, codecSpec)
   override def deserializeOffset(json: String): Offset = BinlogOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = BinlogLineage.clear(lineageKey)
@@ -236,11 +239,12 @@ object BinlogLineage {
   def clear(key: String): Unit = last.remove(key)
 }
 
-final class BinlogReaderFactory(excludeUrlContains: Seq[String] = Nil)
+final class BinlogReaderFactory(excludeUrlContains: Seq[String] = Nil,
+    codecSpec: CodecSpec = CodecSpec())
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[BinlogInputPartition]
-    new BinlogPartitionReader(p, excludeUrlContains)
+    new BinlogPartitionReader(p, excludeUrlContains, codecSpec)
   }
 }
 
@@ -249,9 +253,9 @@ final class BinlogReaderFactory(excludeUrlContains: Seq[String] = Nil)
   * no Row → InternalRow conversion on the hot path. The key-exclude
   * anti-filter runs here, before any shuffle (≙ `S3FilesReader.java:344-384`). */
 final class BinlogPartitionReader(p: BinlogInputPartition,
-    excludeUrlContains: Seq[String] = Nil)
+    excludeUrlContains: Seq[String] = Nil, codecSpec: CodecSpec = CodecSpec())
     extends PartitionReader[InternalRow] {
-  private val base = Segment.readRange(Paths.get(p.path), p.partition, p.from, p.until)
+  private val base = Segment.readRange(Paths.get(p.path), p.partition, p.from, p.until, codecSpec.codec)
   private val it =
     if (excludeUrlContains.isEmpty) base
     else base.filter(e => !excludeUrlContains.exists(e.url.contains))

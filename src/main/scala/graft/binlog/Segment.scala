@@ -21,12 +21,15 @@ import graft.model.ChangeEvent
   * `%s-%05d-%012d`).
   */
 final class SegmentWriter(dir: Path, partition: Int, startOffset: Long,
-    chunkThreshold: Long = 64L * 1024 * 1024) {
+    chunkThreshold: Long = 64L * 1024 * 1024,
+    header: Array[Byte] = Array.empty,
+    nameOverride: Option[String] = None,
+    codec: RecordCodec = FramedCodec) {
 
   require(chunkThreshold > 0)
   Files.createDirectories(dir)
 
-  val baseName: String = f"p$partition%05d-$startOffset%012d"
+  val baseName: String = nameOverride.getOrElse(f"p$partition%05d-$startOffset%012d")
   private val dataTmp = dir.resolve(baseName + ".gz.tmp")
   private val out = new BufferedOutputStream(Files.newOutputStream(dataTmp), 1 << 16)
 
@@ -62,6 +65,15 @@ final class SegmentWriter(dir: Path, partition: Int, startOffset: Long,
     bytesWrittenBefore = counting.count
   }
 
+  // Optional format header as its OWN gzip member before the first data
+  // chunk (≙ `BlockGZIPFileWriter.java:133-141`): readers know how many
+  // bytes to skip because the first chunk's byteOffset starts after it.
+  if (header.nonEmpty) {
+    val hgz = new GZIPOutputStream(counting, 1 << 16)
+    hgz.write(header)
+    hgz.finish()
+    bytesWrittenBefore = counting.count
+  }
   openChunk()
 
   /** Append one framed record; rotate the gzip member when the uncompressed
@@ -78,7 +90,7 @@ final class SegmentWriter(dir: Path, partition: Int, startOffset: Long,
   }
 
   def writeEvent(e: ChangeEvent, version: Byte = EventCodec.V2): Unit =
-    write(EventCodec.frame(e.url.getBytes(StandardCharsets.UTF_8), EventCodec.encodeValue(e, version)))
+    write(codec.frame(e.url.getBytes(StandardCharsets.UTF_8), EventCodec.encodeValue(e, version)))
 
   def recordCount: Long = nextOffset - startOffset
 
@@ -150,7 +162,31 @@ object Segment {
     * tail chunks, skip records below `fromOffset` within the first chunk —
     * the reference's resume path (`S3FilesReader.java:244-311`). `untilOffset`
     * is exclusive. */
-  def read(f: SegmentFile, fromOffset: Long, untilOffset: Long = Long.MaxValue): Iterator[ChangeEvent] = {
+  /** Recover a segment's format header (the gzip member before the first
+    * data chunk), empty if none — readable without touching any data chunk
+    * (byte range [0, firstChunk.byteOffset)). */
+  def readHeader(f: SegmentFile): Array[Byte] = {
+    val idx = f.index
+    val headerBytes = idx.chunks.headOption.map(_.byteOffset).getOrElse(0L)
+    if (headerBytes == 0L) return Array.empty
+    val raw = new Array[Byte](headerBytes.toInt)
+    val ch = Files.newByteChannel(f.path)
+    try {
+      val buf = java.nio.ByteBuffer.wrap(raw)
+      while (buf.hasRemaining && ch.read(buf) >= 0) ()
+    } finally ch.close()
+    val in = new GZIPInputStream(new java.io.ByteArrayInputStream(raw), 1 << 16)
+    try {
+      val out = new ByteArrayOutputStream()
+      val b = new Array[Byte](8192)
+      var n = in.read(b)
+      while (n >= 0) { out.write(b, 0, n); n = in.read(b) }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  def read(f: SegmentFile, fromOffset: Long, untilOffset: Long = Long.MaxValue,
+      codec: RecordCodec = FramedCodec): Iterator[ChangeEvent] = {
     val idx = f.index
     if (idx.chunks.isEmpty || fromOffset >= idx.nextOffset || fromOffset >= untilOffset) return Iterator.empty
     val from = math.max(fromOffset, f.startOffset)
@@ -169,7 +205,7 @@ object Segment {
       private def advance(): Unit = {
         nextEvt = null
         while (nextEvt == null && offset < untilOffset && !closed) {
-          val fr = EventCodec.readFrame(in, s"${f.path.getFileName}:$offset")
+          val fr = codec.readFrame(in, s"${f.path.getFileName}:$offset")
           if (fr == null) { closeOnce() }
           else {
             val o = offset
@@ -188,10 +224,11 @@ object Segment {
   }
 
   /** Read a partition's events in [fromOffset, untilOffset). */
-  def readRange(dir: Path, partition: Int, fromOffset: Long, untilOffset: Long): Iterator[ChangeEvent] = {
+  def readRange(dir: Path, partition: Int, fromOffset: Long, untilOffset: Long,
+      codec: RecordCodec = FramedCodec): Iterator[ChangeEvent] = {
     val segs = list(dir, partition)
     segs.iterator
       .filter(s => s.endOffset > fromOffset && s.startOffset < untilOffset)
-      .flatMap(s => read(s, fromOffset, untilOffset))
+      .flatMap(s => read(s, fromOffset, untilOffset, codec))
   }
 }

@@ -72,8 +72,10 @@ object Merge {
   }
 
   /** MOR: compact a bucket once it accumulates this many delta files —
-    * bounds read amplification to ~maxFilesPerBucket-way resolves. */
-  val MaxFilesPerBucket = 8
+    * bounds read amplification to ~MaxFilesPerBucket-way resolves. Default
+    * justified by the read-latency sweep in BENCH_LOCAL.md (resolve cost vs
+    * delta count); tunable for that bench and for read-heavy deployments. */
+  @volatile var MaxFilesPerBucket = 8
 
   /** Escape hatch for A/B: when false, COW uses the round-1 union+max_by
     * shuffle formulation instead of the co-located [[graft.plans.BucketMergeExec]]. */

@@ -87,6 +87,39 @@ class OpsSpec extends SparkSpec {
     assert(rh(1L) == rh(2L) && rh(1L) != rh(3L))
   }
 
+  test("viral-boilerplate bucket cap bounds candidate generation (hot-bucket defense)") {
+    import spark.implicits._
+    // 400 identical boilerplate docs + the real corpus: uncapped, the
+    // boilerplate band buckets would emit ~400²/2 candidate pairs per band
+    val boiler = (100000L until 100400L)
+      .map(id => (id, "lorem ipsum boilerplate text repeated verbatim on every mirror page"))
+      .toDF("doc_id", "text")
+    val mixed = docs.select(col("doc_id"), col("text")).unionByName(boiler)
+
+    // observability: the hot bucket is visible and has the expected size
+    val sigs = DedupOps.withMinhashes(
+      boiler.select(col("doc_id").as("id"), col("text").as("txt")), "txt", 3, 8)
+    val keys = sigs.select(col("id"), col("mh0"))
+    val top = DedupOps.bucketSizeStats(keys, Seq("mh0")).head()
+    assert(top.getLong(top.length - 1) == 400L)
+
+    // capped: the 400-doc buckets are dropped; genuine corpus near-dups
+    // (bucket sizes ≪ cap) are still found
+    val exact = pairSet(DedupOps.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.6))
+    val capped = pairSet(DedupOps.minhashNearDups(mixed, "text", "doc_id", 3, 4, 2, 0.6,
+      maxBucketSize = 100))
+    assert(capped.forall { case (a, b) => a < 100000L && b < 100000L },
+      "boilerplate bucket must be dropped by the cap")
+    val recall = capped.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"cap must not hurt normal-bucket recall ($recall)")
+
+    // df ceiling on the exact path bounds the inverted-index fan-out the
+    // same way (hot shingle with df=400 would emit df² join rows)
+    val cappedExact = pairSet(DedupOps.ngramJaccardPairs(mixed, "text", "doc_id", 3, 0.6,
+      maxDf = 100))
+    assert(cappedExact.forall { case (a, b) => a < 100000L && b < 100000L })
+  }
+
   test("token count and quality: edge cases") {
     import spark.implicits._
     val df = Seq((1L, ""), (2L, "   "), (3L, "one"), (4L, "the cat, and the 42 dog."))

@@ -97,10 +97,22 @@ final class LakeTable(val root: Path) {
     * LWW-resolved, tombstones filtered, internal columns dropped. */
   def read(spark: SparkSession, snapshotId: Option[Long] = None): DataFrame = {
     val snap = snapshotId.map(snapshot).getOrElse(currentSnapshot)
-    val raw = readFiles(spark, snap, snap.files)
     // resolve only when some bucket holds >1 file (MOR deltas present);
-    // compacted/COW tables skip the aggregation entirely
+    // compacted/COW tables skip resolution entirely
     val needsResolve = snap.files.groupBy(_.bucket).exists(_._2.size > 1)
+    if (needsResolve && snap.schemaVersion == TableSchemas.current) {
+      // CO-LOCATED resolve-on-read: the same per-bucket k-way sorted merge
+      // the SQL scan uses — streaming LWW over url-sorted files, no shuffle,
+      // O(filesPerBucket) memory. (Pre-evolution snapshots fall through to
+      // the shuffle resolve below, which aligns to THEIR logical schema.)
+      val tbl = new graft.sql.GraftSqlTable(this, s"lake:${root.getFileName}")
+      val rel = org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation.create(
+        tbl, None, None,
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Map.of("snapshotId", snap.snapshotId.toString)))
+      return org.apache.spark.sql.GraftBridge.ofRows(spark, rel)
+    }
+    val raw = readFiles(spark, snap, snap.files)
     val dataCols = TableSchemas.forVersion(snap.schemaVersion)
       .fieldNames.toSeq.filterNot(TableSchemas.internalNames.contains)
     val resolved = if (needsResolve) Resolve.lww(raw, dataCols) else raw

@@ -180,7 +180,10 @@ final class GraftBucketReader(
     readers: Map[Int, org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow]])
   extends PartitionReader[InternalRow] {
 
-  private val full = TableSchemas.forVersion(p.currentVersion)
+  // align to the COMPILE-TIME current schema (what readSchema() declares),
+  // not the snapshot's version — a pre-evolution snapshot read via SQL then
+  // presents added columns as null instead of mis-binding ordinals
+  private val full = TableSchemas.forVersion(TableSchemas.current)
   private def idx(n: String) = full.fieldNames.indexOf(n)
   private val urlIdx = idx("url")
   private val tsIdx = idx("warc_ts")

@@ -302,4 +302,15 @@ object LakeTable {
     * shuffle. Codegen'd, identical on executor and driver. */
   def bucketOf(urlCol: Column, nBuckets: Int): Column =
     pmod(hash(urlCol), lit(nBuckets)).cast("int")
+
+  /** Driver/kernel-side evaluation of [[bucketOf]] for one key — the same
+    * murmur3-seed-42 over UTF-8 bytes Spark's `hash()` computes; lets a
+    * point lookup prune to its single possible bucket without a plan. */
+  def bucketIdOf(url: String, nBuckets: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(url),
+      org.apache.spark.sql.types.StringType, 42L).toInt
+    val m = h % nBuckets
+    if (m < 0) m + nBuckets else m
+  }
 }

@@ -53,6 +53,50 @@ object Maintain {
     next
   }
 
+  /** Rewrite the table under a NEW bucket count (≙ rewriting under a new
+    * Iceberg partition spec): resolve everything, hash-repartition by url
+    * into `newBuckets`, write, commit a maintenance snapshot carrying the
+    * new `nBuckets`. The bucket==partition invariant (and with it the
+    * co-located merge/read/point-lookup paths) holds again immediately —
+    * subsequent merges shuffle into the new layout.
+    *
+    * This is how a 10^10-row table outgrows its creation-time bucket count:
+    * buckets size write parallelism AND per-task merge state, so they must
+    * scale with the table. One full rewrite, run on the maintenance cadence
+    * when `avg bucket bytes > target` (see [[maybeGrowBuckets]]). */
+  def rebucket(spark: SparkSession, table: LakeTable, newBuckets: Int): Snapshot = {
+    val snap = table.currentSnapshot
+    require(newBuckets >= 1)
+    if (newBuckets == snap.nBuckets || snap.files.isEmpty) return snap
+    val dataCols = TableSchemas.forVersion(snap.schemaVersion)
+      .fieldNames.toSeq.filterNot(TableSchemas.internalNames.contains)
+    // resolve under the OLD layout first (tombstones retained — replay
+    // safety is unchanged), then lay out under the new bucket function
+    val resolved = Resolve.lww(table.readFiles(spark, snap, snap.files)
+      .repartition(newBuckets, col("url")), dataCols)
+    val out = resolved
+      .withColumn("bucket", LakeTable.bucketOf(col("url"), newBuckets))
+      .sortWithinPartitions(col("url"))
+    val nextId = snap.snapshotId + 1
+    val newFiles = table.writeDataFiles(out, nextId, snap.schemaVersion)
+    val next = snap.copy(snapshotId = nextId, parentId = snap.snapshotId,
+      nBuckets = newBuckets, files = newFiles,
+      totalRows = newFiles.map(_.rowCount).sum)
+    table.commit(next)
+    next
+  }
+
+  /** Double the bucket count whenever the average compacted bucket exceeds
+    * `targetBytesPerBucket` — call on the maintenance cadence. Returns the
+    * (possibly unchanged) snapshot. */
+  def maybeGrowBuckets(spark: SparkSession, table: LakeTable,
+      targetBytesPerBucket: Long): Snapshot = {
+    val snap = table.currentSnapshot
+    if (snap.files.isEmpty) return snap
+    val avg = snap.files.map(_.bytes).sum / snap.nBuckets
+    if (avg > targetBytesPerBucket) rebucket(spark, table, snap.nBuckets * 2) else snap
+  }
+
   /** Expire all snapshots except the newest `keepLast` (and the current);
     * delete their metadata and any data file no retained snapshot
     * references. Time travel remains valid for retained snapshots. */

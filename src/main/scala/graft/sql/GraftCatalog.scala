@@ -114,13 +114,23 @@ object GraftSqlTable {
   * are k-way MERGED streaming (k ≤ MaxFilesPerBucket+1), LWW-folded by the
   * `(warc_ts, _seq_offset, _seq_part)` order, tombstones dropped — no
   * shuffle, no hash map, O(k) memory however large the bucket. */
-final class GraftSqlTable(val lake: LakeTable, ident: String) extends Table with SupportsRead {
+final class GraftSqlTable(val lake: LakeTable, ident: String) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = ident
   override def schema(): StructType = GraftSqlTable.userSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLakeScan(lake, Option(options.get("snapshotId")).map(_.toLong))
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+            new GraftBatchWrite(lake)
+        }
+    }
 }
 
 final case class GraftBucketPartition(
@@ -129,15 +139,55 @@ final case class GraftBucketPartition(
     currentVersion: Int) extends InputPartition
 
 final class GraftLakeScan(lake: LakeTable, snapshotId: Option[Long])
-    extends ScanBuilder with Scan with Batch {
+    extends ScanBuilder with Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   override def build(): Scan = this
   override def readSchema(): StructType = GraftSqlTable.userSchema
-  override def description(): String = s"GraftLakeScan(${lake.root})"
+  override def description(): String =
+    s"GraftLakeScan(${lake.root})" +
+      (if (urlKeys.nonEmpty) s" urlKeys=${urlKeys.mkString(",")}" else "")
   override def toBatch: Batch = this
+
+  // --- url point-lookup pushdown: a url equality/IN prunes to its hash
+  // bucket (bucketOf == the write-time partitioner, so exactly one bucket
+  // per key can hold it) and, within the bucket, to files whose manifest
+  // [urlMin, urlMax] admit the key. All filters stay residual — Spark
+  // re-applies them above the scan, so pruning can only skip, never lie.
+  private var urlKeys: Seq[String] = Nil
+
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val keys = filters.collectFirst {
+      case EqualTo("url", v: String) => Seq(v)
+      case In("url", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        vs.toSeq.map(_.asInstanceOf[String])
+    }
+    urlKeys = keys.getOrElse(Nil)
+    filters // everything residual
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    if (urlKeys.isEmpty) Array.empty
+    else Array(org.apache.spark.sql.sources.In("url", urlKeys.toArray[Any]))
 
   override def planInputPartitions(): Array[InputPartition] = {
     val snap = snapshotId.map(lake.snapshot).getOrElse(lake.currentSnapshot)
-    snap.files.groupBy(_.bucket).toSeq.sortBy(_._1).map { case (b, fs) =>
+    val byBucket = snap.files.groupBy(_.bucket)
+    val selected =
+      if (urlKeys.isEmpty) byBucket
+      else {
+        val wanted: Map[Int, Seq[String]] = urlKeys
+          .groupBy(u => LakeTable.bucketIdOf(u, snap.nBuckets))
+        byBucket.collect {
+          case (b, fs) if wanted.contains(b) =>
+            b -> fs.filter(f => wanted(b).exists(u =>
+              f.urlMax == LakeTable.NoStatsMax ||
+                (LakeTable.compareUtf8(f.urlMin, u) <= 0 &&
+                  LakeTable.compareUtf8(u, f.urlMax) <= 0)))
+        }.filter(_._2.nonEmpty)
+      }
+    selected.toSeq.sortBy(_._1).map { case (b, fs) =>
       GraftBucketPartition(b,
         fs.map(f => (lake.root.resolve(f.path).toString, f.bytes, f.schemaVersion)),
         snap.schemaVersion)

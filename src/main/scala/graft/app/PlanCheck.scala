@@ -44,6 +44,20 @@ object PlanCheck {
     println("==== headline query plan: cdc_latest_per_key ====")
     graft.SparkEntry.queries("cdc_latest_per_key")(spark, "/root/testdata/sf0.001").explain("formatted")
 
+    println("==== SQL surface plans (catalog scan + point-lookup pushdown) ====")
+    val wh = Files.createTempDirectory("plancheck-wh").toString
+    graft.sql.GraftSql.enable(spark, wh)
+    spark.sql("CREATE TABLE graft.pc (url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, content_len BIGINT, lang STRING) USING graft TBLPROPERTIES('buckets'='8')")
+    spark.sql(
+      """INSERT INTO graft.pc
+        |SELECT concat('u', id), timestamp_micros(1700000000000000 + id),
+        |  cast('<p>x</p>' AS BINARY), CAST(NULL AS STRING), CAST(NULL AS BIGINT), 'en'
+        |FROM range(1000)""".stripMargin)
+    println("-- full scan (expect GraftLakeScan, one partition per bucket, NO Exchange):")
+    spark.sql("SELECT url, content_len FROM graft.pc").explain("formatted")
+    println("-- point lookup (expect urlKeys annotation; 1 input partition):")
+    spark.sql("SELECT * FROM graft.pc WHERE url = 'u7'").explain("formatted")
+
     spark.stop()
   }
 }

@@ -50,11 +50,20 @@ final class BinlogTable(path: String) extends Table with SupportsRead {
     new BinlogScan(path, options)
 }
 
-final class BinlogScan(path: String, options: CaseInsensitiveStringMap)
+final class BinlogScan(rootPath: String, options: CaseInsensitiveStringMap)
     extends ScanBuilder with Scan {
   override def build(): Scan = this
   override def readSchema(): StructType = ChangeEvent.schema
   override def description(): String = s"BinlogScan($path)"
+
+  /** Topic selector (≙ the reference's per-topic key prefixes,
+    * `S3SourceTask.java:137-143`): a topic is a SUBDIRECTORY of the binlog
+    * root with its own partition/offset space. One streaming query per
+    * topic (see `Ingest.startTopicSet`) mirrors the reference's
+    * one-task-set-per-topic consumption. */
+  private def path: String =
+    Option(options.get("topic")).filter(_.nonEmpty)
+      .map(t => Paths.get(rootPath).resolve(t).toString).getOrElse(rootPath)
 
   private def maxEventsPerBatch: Long =
     Option(options.get("maxEventsPerBatch")).map(_.toLong).getOrElse(1000000L)

@@ -131,6 +131,48 @@ object Ingest {
       .start()
   }
 
+  /** Tail a TOPIC SET: one streaming query per topic subdirectory of
+    * `binlogRoot`, each with its own checkpoint, lineage token and target
+    * table (≙ the reference consuming a topic set with per-topic tasks and
+    * per-topic remap, `S3SourceTask.java:137-143,236-238`). `remap` renames
+    * a topic to its target table (identity by default). Queries are
+    * independent — per-topic backpressure, rate limits and failure
+    * isolation, exactly like connector task sets; the token-keyed lineage
+    * registry keeps their exactly-once metadata separate. */
+  def startTopicSet(spark: SparkSession, binlogRoot: String, topics: Seq[String],
+      tableRootFor: String => Path, checkpointRootDir: String,
+      remap: String => String = identity,
+      maxEventsPerBatch: Long = 1000000L,
+      trigger: Trigger = Trigger.AvailableNow(), nBuckets: Int = 32,
+      mode: MergeMode = Cow): Map[String, StreamingQuery] =
+    topics.map { topic =>
+      val target = remap(topic)
+      val tableRoot = tableRootFor(target)
+      val table =
+        if (LakeTable.exists(tableRoot)) LakeTable.load(tableRoot)
+        else LakeTable.create(tableRoot, nBuckets)
+      val checkpointDir = s"$checkpointRootDir/$target"
+      val lineageToken = s"ingest:$checkpointDir"
+      val stream = spark.readStream
+        .format("graft.binlog.BinlogSourceProvider")
+        .option("path", binlogRoot)
+        .option("topic", topic)
+        .option("maxEventsPerBatch", maxEventsPerBatch)
+        .option("lineageToken", lineageToken)
+        .load()
+      val q = stream.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .trigger(trigger)
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          val lineage = graft.binlog.BinlogLineage.lastPlanned(lineageToken)
+            .map(_.toSeq.sortBy(_._1)
+              .map { case (p, (from, until)) => PartLineage(p, from, until - from, until - from) })
+          applyBatch(spark, table, lineage, mode)(df, id)
+        }
+        .start()
+      topic -> q
+    }.toMap
+
   /** Batch (non-streaming) replay of a binlog directory in fixed-size batches
     * — used by tests and the bench (same code path as streaming apply). */
   def replayBatch(spark: SparkSession, binlogDir: String, tableRoot: Path,

@@ -104,6 +104,43 @@ object SparkEntry {
               |FROM graft.sqlpages""".stripMargin)
     }),
 
+    // INSERT INTO path: DSv2 SupportsWrite staging + one exactly-once
+    // upsert batch. No deletes are expressible via INSERT, so the final
+    // state is latest-per-url over ALL events (errors carry a null html →
+    // null text/content_len)
+    "cdc_sql_insert" -> ((s, dir) => {
+      val wh = Files.createTempDirectory("graft-sql-wh")
+      graft.sql.GraftSql.enable(s, wh.toString)
+      t(s, dir, "events").createOrReplaceTempView("graft_ev_src2")
+      s.sql("DROP TABLE IF EXISTS graft.sqlins")
+      s.sql("""CREATE TABLE graft.sqlins (url STRING, warc_ts TIMESTAMP,
+              |  html BINARY, text STRING, content_len BIGINT, lang STRING)
+              |USING graft TBLPROPERTIES('buckets'='8')""".stripMargin)
+      s.sql("""INSERT INTO graft.sqlins
+              |SELECT concat('u', CAST(user_id AS STRING)) AS url,
+              |  CAST(ts AS TIMESTAMP) AS warc_ts,
+              |  CASE WHEN event_type = 'error' THEN CAST(NULL AS BINARY)
+              |       ELSE to_binary(props, 'utf-8') END AS html,
+              |  CAST(NULL AS STRING) AS text, CAST(NULL AS BIGINT) AS content_len,
+              |  'en' AS lang
+              |FROM graft_ev_src2""".stripMargin)
+      s.sql("""SELECT url, unix_micros(warc_ts) AS warc_us, text, content_len
+              |FROM graft.sqlins""".stripMargin)
+    }),
+
+    // point lookups through the catalog scan's pushdown (one hash bucket +
+    // bounds-admitted files read; results graded against the oracle)
+    "cdc_sql_point_lookup" -> ((s, dir) => {
+      // reuses the table MERGEd by cdc_sql_merge when it ran in this
+      // session; otherwise builds it the same way
+      val wh = Files.createTempDirectory("graft-sql-wh")
+      graft.sql.GraftSql.enable(s, wh.toString)
+      if (s.sql("SHOW TABLES IN graft").collect().forall(_.getString(1) != "sqlpages"))
+        queries("cdc_sql_merge")(s, dir).count(): Unit
+      s.sql("""SELECT url, unix_micros(warc_ts) AS warc_us, content_len
+              |FROM graft.sqlpages WHERE url IN ('u3', 'u7', 'u1200', 'u999999')""".stripMargin)
+    }),
+
     // salted two-phase dedup (explicit skew defense) — identical oracle to
     // cdc_dedup_maxby by associativity of max
     "cdc_dedup_salted" -> ((s, dir) => {
@@ -441,6 +478,29 @@ object SparkEntry {
         |SELECT 'u' || CAST(user_id AS VARCHAR) AS url, epoch_us(ts) AS warc_us,
         |       props AS text, CAST(strlen(props) AS BIGINT) AS content_len
         |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    "cdc_sql_insert" ->
+      """WITH ranked AS (
+        |  SELECT user_id, ts, event_id, event_type, props,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT 'u' || CAST(user_id AS VARCHAR) AS url, epoch_us(ts) AS warc_us,
+        |       CASE WHEN event_type = 'error' THEN NULL ELSE props END AS text,
+        |       CASE WHEN event_type = 'error' THEN NULL
+        |            ELSE CAST(strlen(props) AS BIGINT) END AS content_len
+        |FROM ranked WHERE rn = 1""".stripMargin,
+
+    "cdc_sql_point_lookup" ->
+      """WITH ranked AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT 'u' || CAST(user_id AS VARCHAR) AS url, epoch_us(ts) AS warc_us,
+        |       CAST(strlen((SELECT props FROM events e2
+        |                    WHERE e2.event_id = ranked.event_id)) AS BIGINT) AS content_len
+        |FROM ranked
+        |WHERE rn = 1 AND event_type <> 'error'
+        |  AND 'u' || CAST(user_id AS VARCHAR) IN ('u3', 'u7', 'u1200', 'u999999')""".stripMargin,
 
     "cdc_sql_merge" ->
       """WITH ranked AS (

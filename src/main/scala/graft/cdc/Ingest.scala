@@ -144,7 +144,12 @@ object Ingest {
       remap: String => String = identity,
       maxEventsPerBatch: Long = 1000000L,
       trigger: Trigger = Trigger.AvailableNow(), nBuckets: Int = 32,
-      mode: MergeMode = Cow): Map[String, StreamingQuery] =
+      mode: MergeMode = Cow): Map[String, StreamingQuery] = {
+    // one writer per table: the engine's commit protocol is single-writer
+    // (best-effort CAS), so a remap may rename but never MERGE topic streams
+    val targets = topics.map(remap)
+    require(targets.distinct.size == targets.size,
+      s"remap must be injective — one writer per table (got ${targets.mkString(", ")})")
     topics.map { topic =>
       val target = remap(topic)
       val tableRoot = tableRootFor(target)
@@ -172,6 +177,7 @@ object Ingest {
         .start()
       topic -> q
     }.toMap
+  }
 
   /** Batch (non-streaming) replay of a binlog directory in fixed-size batches
     * — used by tests and the bench (same code path as streaming apply). */

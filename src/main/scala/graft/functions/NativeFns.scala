@@ -44,6 +44,22 @@ object NativeFns {
       propagateNull = true,
       returnNullable = true))
 
+  /** text → k MinHash values over word n-gram shingles in ONE tokenize+
+    * shingle+hash pass: element i = min over shingles of the hex md5 of
+    * `"i|" ++ shingle` (hex-lexicographic min == byte-order min == what
+    * `min(md5(...))` computes — the DuckDB-portable hash domain). Null when
+    * the text has fewer than n tokens. Replaces an interpreted
+    * `aggregate`-HOF fold. */
+  def minhashSig(text: Column, n: Int, k: Int): Column = column(
+    StaticInvoke(
+      NativeKernels.getClass,
+      ArrayType(StringType, containsNull = false),
+      "minhashUTF8",
+      Seq(expression(text), expression(lit(n)), expression(lit(k))),
+      inputTypes = Seq(StringType, IntegerType, IntegerType),
+      propagateNull = true,
+      returnNullable = true))
+
   /** text → 64-bit SimHash in ONE tokenize+hash pass (replaces the round-1
     * 64-separate-interpreted-HOF formulation — same semantics: per-bit
     * weighted majority of `xxhash64(token)`, identical token split and
@@ -118,6 +134,52 @@ object NativeKernels {
   private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def md5Hex(md: java.security.MessageDigest, s: String): String = {
+    md.reset()
+    val dg = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((dg(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(dg(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** k MinHashes in one pass; see [[NativeFns.minhashSig]]. Identical to
+    * `min(md5("i|" ++ shingle))` over the shingle set: hex strings compare
+    * lexicographically == md5 bytes compare unsigned. */
+  def minhashUTF8(text: UTF8String, n: Int, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val words = text.toString.trim.split("[ \t\n\r]+").filter(_.nonEmpty)
+    if (words.length < n) return null
+    val md = md5Digest.get()
+    val mins = new Array[String](k)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= words.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      val shingle = sb.toString
+      var s = 0
+      while (s < k) {
+        val hex = md5Hex(md, s.toString + "|" + shingle)
+        if (mins(s) == null || hex.compareTo(mins(s)) < 0) mins(s) = hex
+        s += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      mins.map(m => UTF8String.fromString(m): Any))
   }
 
   /** Rabin-Karp rolling hash over whitespace tokens; term hash = first 4

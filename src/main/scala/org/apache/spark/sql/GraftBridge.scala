@@ -12,4 +12,8 @@ object GraftBridge {
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+  /** Drop cached catalog instances so a changed `spark.sql.catalog.*` conf
+    * (e.g. a new graft warehouse) takes effect on next reference. */
+  def resetCatalogs(spark: SparkSession): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.catalogManager.reset()
 }

@@ -57,6 +57,34 @@ object IngestDemo {
     val chunks = spark.table("demo_chunks")
     println(s"[demo] anchored flush chunks = ${chunks.count()}")
     chunks.orderBy("partition", "startOffset").show(4)
+
+    // declarative pipeline: same binlog through the NATIVE streaming sink
+    // (no foreachBatch) into a second table — same final state expected
+    val table2 = work.resolve("table-sink")
+    val q2 = spark.readStream.format("graft-binlog")
+      .option("path", binlog.toString).option("maxEventsPerBatch", 3000)
+      .load()
+      .writeStream.format("graft-lake")
+      .option("path", table2.toString).option("nBuckets", 8).option("mode", "mor")
+      .option("checkpointLocation", work.resolve("ckpt-sink").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val viaSink = LakeTable.load(table2).read(spark).count()
+    println(s"[demo] graft-lake sink live rows = $viaSink (match=${viaSink == df.count()})")
+
+    // declarative SQL surface over the same data
+    graft.sql.GraftSql.enable(spark, work.resolve("warehouse").toString)
+    spark.sql("DROP TABLE IF EXISTS graft.demo")
+    spark.sql("CREATE TABLE graft.demo (url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, content_len BIGINT, lang STRING) USING graft TBLPROPERTIES('buckets'='8')")
+    df.select("url", "warc_ts", "html", "text", "content_len", "lang")
+      .createOrReplaceTempView("demo_src")
+    spark.sql(
+      """MERGE INTO graft.demo t USING demo_src s ON t.url = s.url
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val viaSql = spark.sql("SELECT count(*) FROM graft.demo").head().getLong(0)
+    println(s"[demo] SQL MERGE row count = $viaSql (match=${viaSql == df.count()})")
     spark.stop()
   }
 }

@@ -203,14 +203,24 @@ final case class BucketMergeExec(tableScan: SparkPlan, batch: SparkPlan, nBucket
         if (oa != ob) return oa > ob
         a.getInt(partIdx) > b.getInt(partIdx)
       }
-      // 1. batch winners in a hash map (rows copied — iterators reuse buffers)
+      // 1. batch winners in a hash map (rows copied — iterators reuse
+      //    buffers). Memory bound: distinct batch urls in this bucket —
+      //    ≤ maxEventsPerBatch/nBuckets by the source's admission control.
+      //    Enforce it explicitly so a misconfigured pipeline fails with a
+      //    remediation instead of an executor OOM.
+      val limit = java.lang.Long.getLong("graft.merge.maxBatchRowsPerBucket", 8000000L)
       val winners = new java.util.HashMap[UTF8String, InternalRow]()
       while (batchIt.hasNext) {
         val r = batchIt.next()
         val u = r.getUTF8String(urlIdx)
         val prev = winners.get(u)
-        if (prev == null) winners.put(u.clone(), r.copy())
-        else if (wins(r, prev)) winners.put(u.clone(), r.copy())
+        if (prev == null) {
+          if (winners.size() >= limit) throw new IllegalStateException(
+            s"co-located merge: > $limit distinct batch urls in one bucket — " +
+              "raise nBuckets (Maintain.rebucket), lower maxEventsPerBatch, " +
+              "or raise -Dgraft.merge.maxBatchRowsPerBucket")
+          winners.put(u.clone(), r.copy())
+        } else if (wins(r, prev)) winners.put(u.clone(), r.copy())
       }
       // 2. stream table rows against the map; ties keep the table row.
       //    Emitted rows follow the standard iterator contract (valid until

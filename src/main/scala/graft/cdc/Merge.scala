@@ -7,30 +7,31 @@ import org.apache.spark.storage.StorageLevel
 import graft.lake._
 import graft.functions.NativeFns
 
-/** Copy-on-write MERGE INTO for the url-keyed LakeTable, as a SINGLE-SHUFFLE
-  * aggregation.
+/** MERGE INTO for the url-keyed LakeTable, ONE batch-sized shuffle per
+  * batch.
   *
   * The reference has no joins; its analog of this operator is the
   * cursor→index→data dereference plus idempotent overwrite-on-replay
   * (`/root/reference/sink/src/main/java/com/spredfast/kafka/connect/s3/S3Writer.java:47-109`,
   * proven idempotent by the rewind IT,
-  * `sink/src/test/.../S3SinkConnectorIT.java:474-612`). Here, last-writer-wins
-  * MERGE is expressed as `max_by` over the union of (touched target rows ∪
-  * raw batch events), keyed by url and ordered by the `S3Offset`-style total
-  * order `(warc_ts, offset, partition)` (`S3Offset.java:46-49`):
+  * `sink/src/test/.../S3SinkConnectorIT.java:474-612`). Last-writer-wins
+  * MERGE resolves by url under the `S3Offset`-style total order
+  * `(warc_ts, offset, partition)` (`S3Offset.java:46-49`):
   *
   *  1. prune — only target files whose `bucket` (and url bounds, from
-  *     parquet footers) intersect the batch are rewritten; everything else
-  *     is carried forward untouched (manifest skip-scan ≙ chunk-index
-  *     skip-scan);
-  *  2. union target + batch (batch needs NO pre-dedup — within-batch dedup
-  *     and merge-against-table happen in the same aggregation), then
-  *     `repartition(nBuckets, $"url")` + `groupBy(url).agg(max_by(…))`.
-  *     The explicit repartition satisfies the aggregation's clustering
-  *     requirement, so this is the ONLY shuffle; and because
-  *     `bucketOf(url) == Spark's partitionId(url)` by construction
-  *     (see [[LakeTable.bucketOf]]), each output task holds exactly one
-  *     bucket — the per-bucket write that follows needs no second shuffle;
+  *     parquet footers, unsigned-UTF-8 compared) intersect the batch are
+  *     rewritten; everything else is carried forward untouched (manifest
+  *     skip-scan ≙ chunk-index skip-scan);
+  *  2. resolve winners CO-LOCATED ([[graft.plans.BucketMergeExec]],
+  *     default): the table side is read IN PLACE — its files are already
+  *     bucket-partitioned with `bucketOf(url) == Spark's partitionId(url)`
+  *     by construction ([[LakeTable.bucketOf]]), which the custom scan
+  *     truthfully declares, so only the BATCH is shuffled (O(batch) bytes
+  *     regardless of table size) and each task streams its bucket's stored
+  *     rows against a map of batch winners. Fallback (mixed schema
+  *     versions among touched files, or `useColocatedCow=false`): union
+  *     target+batch, `repartition(nBuckets, url)` + `max_by` — the round-1
+  *     single-shuffle formulation, shuffling touched table rows too;
   *  3. a winning delete is persisted as a TOMBSTONE (`_deleted = true`):
   *     the final state must be independent of how the log is split into
   *     batches, and only a durable tombstone beats a late upsert replayed
@@ -42,10 +43,10 @@ import graft.functions.NativeFns
   *     stats from parquet footers, commit with the `(batchId, lineage)`
   *     marker.
   *
-  * Scale: shuffle bounded by (touched target rows + batch rows); map-side
-  * partial `max_by` collapses hot-url duplicates before the exchange (the
-  * Zipf-head defense); `nBuckets` sizes rewrite granularity and write
-  * parallelism; AQE is bypassed deliberately (explicit partitioning).
+  * Scale: shuffle bounded by batch rows (co-located path); `nBuckets`
+  * sizes rewrite granularity, write parallelism AND per-task merge state
+  * (grow via [[graft.lake.Maintain.rebucket]]); hot-url duplicates
+  * collapse in the per-bucket winners map (the Zipf-head defense).
   */
 /** Merge strategy: copy-on-write (rewrite touched buckets each batch — reads
   * amplify writes, zero read overhead) vs merge-on-read (append per-bucket

@@ -39,7 +39,11 @@ import graft.model.ChangeEvent
   * true per-partition lineage (the reference's gap-free chain) without an
   * extra data pass. The epoch commit merges the staged envelope through
   * `Merge.apply` and deletes the staging area. Input schema must be the CDC
-  * envelope ([[ChangeEvent.schema]]). */
+  * envelope ([[ChangeEvent.schema]]).
+  *
+  * ONE sink query per table (the engine's single-writer contract): a second
+  * concurrent writer would collide in the epoch staging area before the
+  * commit CAS could reject it. */
 class LakeSinkProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-lake"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = ChangeEvent.schema

@@ -74,8 +74,8 @@ final class GraftInsertWriter(staging: String, partitionId: Int)
     if (w == null)
       w = new SegmentWriter(Paths.get(staging), partitionId, 0L, 64L * 1024 * 1024)
     val micros = row.getLong(1)
-    val ts = new Timestamp(micros / 1000)
-    ts.setNanos(((micros % 1000000) * 1000).toInt)
+    val ts = new Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+    ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
     w.writeEvent(ChangeEvent(
       partition = partitionId,
       offset = n,

@@ -97,6 +97,15 @@ object Maintain {
     if (avg > targetBytesPerBucket) rebucket(spark, table, snap.nBuckets * 2) else snap
   }
 
+  /** Build missing per-file url bloom sidecars for the current snapshot
+    * (see [[Bloom]]) — run on the maintenance cadence; point lookups use
+    * them opportunistically. Returns #built. */
+  def buildBlooms(spark: SparkSession, table: LakeTable): Int = {
+    val snap = table.currentSnapshot
+    Bloom.build(spark,
+      snap.files.map(f => (table.root.resolve(f.path), f.rowCount)))
+  }
+
   /** Expire all snapshots except the newest `keepLast` (and the current);
     * delete their metadata and any data file no retained snapshot
     * references. Time travel remains valid for retained snapshots. */
@@ -115,6 +124,7 @@ object Maintain {
     orphans.foreach { rel =>
       val p = table.root.resolve(rel)
       if (Files.deleteIfExists(p)) deletedFiles += 1
+      Files.deleteIfExists(Bloom.sidecar(p)) // bloom sidecar rides along
       // prune empty bucket dirs opportunistically
       val dir = p.getParent
       try {

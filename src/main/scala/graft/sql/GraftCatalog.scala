@@ -186,10 +186,16 @@ final class GraftLakeScan(lake: LakeTable, snapshotId: Option[Long])
           .groupBy(u => LakeTable.bucketIdOf(u, snap.nBuckets))
         byBucket.collect {
           case (b, fs) if wanted.contains(b) =>
-            b -> fs.filter(f => wanted(b).exists(u =>
-              f.urlMax == LakeTable.NoStatsMax ||
-                (LakeTable.compareUtf8(f.urlMin, u) <= 0 &&
-                  LakeTable.compareUtf8(u, f.urlMax) <= 0)))
+            b -> fs.filter { f =>
+              val admitted = wanted(b).filter(u =>
+                f.urlMax == LakeTable.NoStatsMax ||
+                  (LakeTable.compareUtf8(f.urlMin, u) <= 0 &&
+                    LakeTable.compareUtf8(u, f.urlMax) <= 0))
+              // bloom sidecar (when present) can skip delta files whose
+              // bounds admit the key but that cannot contain it
+              admitted.nonEmpty &&
+                graft.lake.Bloom.mightContainAny(lake.root.resolve(f.path), admitted)
+            }
         }.filter(_._2.nonEmpty)
       }
     selected.toSeq.sortBy(_._1).map { case (b, fs) =>

@@ -77,7 +77,8 @@ final class LakeSinkTable(root: String, props: util.Map[String, String])
   }
 }
 
-final class LakeStreamingWrite(root: String, nBuckets: Int, mode: graft.cdc.MergeMode)
+final class LakeStreamingWrite(root: String, nBuckets: Int, mode: graft.cdc.MergeMode,
+    userSchemaRows: Boolean = false)
   extends StreamingWrite {
 
   private def tableRoot = Paths.get(root)
@@ -85,7 +86,7 @@ final class LakeStreamingWrite(root: String, nBuckets: Int, mode: graft.cdc.Merg
     tableRoot.resolve("staging").resolve(s"epoch-$epochId")
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new LakeSinkWriterFactory(tableRoot.resolve("staging").toString)
+    new LakeSinkWriterFactory(tableRoot.resolve("staging").toString, userSchemaRows)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -123,9 +124,45 @@ final class LakeStreamingWrite(root: String, nBuckets: Int, mode: graft.cdc.Merg
   }
 }
 
-final class LakeSinkWriterFactory(stagingRoot: String) extends StreamingDataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new LakeSinkWriter(Paths.get(stagingRoot, s"epoch-$epochId", s"task-$partitionId"))
+final class LakeSinkWriterFactory(stagingRoot: String, userSchemaRows: Boolean = false)
+  extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
+    val dir = Paths.get(stagingRoot, s"epoch-$epochId", s"task-$partitionId")
+    if (userSchemaRows) new LakeSinkUserWriter(dir, partitionId)
+    else new LakeSinkWriter(dir)
+  }
+}
+
+/** `writeStream.toTable("graft.t")` variant: rows arrive in the USER schema
+  * (url, warc_ts, html, text, content_len, lang) — every row is an upsert
+  * with a synthetic envelope (partition = task id, offsets 0..n), resolved
+  * LWW by warc_ts like any other batch; text/content_len are engine-derived. */
+final class LakeSinkUserWriter(dir: Path, partitionId: Int) extends DataWriter[InternalRow] {
+  private var w: SegmentWriter = _
+  private var n = 0L
+
+  override def write(row: InternalRow): Unit = {
+    if (w == null) w = new SegmentWriter(dir, partitionId, 0L)
+    val micros = row.getLong(1)
+    val ts = new Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+    ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+    w.writeEvent(ChangeEvent(
+      partition = partitionId,
+      offset = n,
+      op = ChangeEvent.OpUpsert,
+      url = row.getUTF8String(0).toString,
+      warc_ts = ts,
+      html = if (row.isNullAt(2)) null else row.getBinary(2),
+      lang = if (row.isNullAt(5)) null else row.getUTF8String(5).toString))
+    n += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (w != null) w.close()
+    new WriterCommitMessage {}
+  }
+  override def abort(): Unit = if (w != null) w.delete()
+  override def close(): Unit = ()
 }
 
 /** Streams envelope rows into segments, rolling on source-partition change

@@ -8,7 +8,6 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, HashPartitioning, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, LeafExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.StructType
-import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Co-located COW merge: the round-1 engine's one hazard at steady state was
@@ -145,11 +144,8 @@ private final class BucketFilesRDD(
         InternalRow.empty,
         org.apache.spark.paths.SparkPath.fromPathString(path),
         0L, bytes)
-      // the reader yields ColumnarBatch (vectorized) or InternalRow
-      readFile(pf).flatMap {
-        case b: ColumnarBatch => scala.jdk.CollectionConverters.IteratorHasAsScala(b.rowIterator()).asScala
-        case r => Iterator.single(r)
-      }
+      // OPTION_RETURNING_BATCH=false → the reader yields rows, never batches
+      readFile(pf)
     }
 }
 

@@ -14,7 +14,6 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import org.apache.spark.sql.vectorized.ColumnarBatch
 
 import graft.lake.{LakeTable, TableSchemas}
 
@@ -123,7 +122,8 @@ final class GraftSqlTable(val lake: LakeTable, ident: String) extends Table
   override def name(): String = ident
   override def schema(): StructType = GraftSqlTable.userSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLakeScan(lake, Option(options.get("snapshotId")).map(_.toLong))
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -133,6 +133,11 @@ final class GraftSqlTable(val lake: LakeTable, ident: String) extends Table
         new org.apache.spark.sql.connector.write.Write {
           override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
             new GraftBatchWrite(lake)
+          // df.writeStream.toTable("graft.t"): user-schema rows as upsert
+          // epochs (epoch id == exactly-once batch id)
+          override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            new graft.lake.LakeStreamingWrite(lake.root.toString,
+              lake.currentSnapshot.nBuckets, GraftSql.sqlMergeMode, userSchemaRows = true)
         }
     }
 }
@@ -275,10 +280,8 @@ final class GraftBucketReader(
     val proj = alignProj(v)
     val pf = org.apache.spark.sql.execution.datasources.PartitionedFile(
       InternalRow.empty, org.apache.spark.paths.SparkPath.fromPathString(path), 0L, bytes)
-    readers(v)(pf).flatMap {
-      case b: ColumnarBatch => b.rowIterator().asScala
-      case r => Iterator.single(r)
-    }.map(proj)
+    // OPTION_RETURNING_BATCH=false → the reader yields rows, never batches
+    readers(v)(pf).map(proj)
   }
   private val heads: Array[InternalRow] = its.map(it => if (it.hasNext) it.next() else null)
 

@@ -74,4 +74,39 @@ class LakeSinkSpec extends SparkSpec {
       try !s.findFirst().isPresent finally s.close()
     })
   }
+
+  test("writeStream.toTable(graft.t): user-schema streaming upserts through the catalog") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val wh = tmpDir("tt-wh").toString
+    graft.sql.GraftSql.enable(spark, wh)
+    spark.sql("DROP TABLE IF EXISTS graft.tt")
+    spark.sql("CREATE TABLE graft.tt (url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, content_len BIGINT, lang STRING) USING graft TBLPROPERTIES('buckets'='4')")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    mem.addData((0 until 50).map(i => (s"m$i", 1700000000000000L + i)): _*)
+    // later-timestamp updates for half the urls, same stream
+    mem.addData((0 until 25).map(i => (s"m$i", 1800000000000000L + i)): _*)
+    val df = mem.toDF().toDF("u", "t").selectExpr(
+      "u AS url", "timestamp_micros(t) AS warc_ts",
+      "cast(concat('<p>', u, '@', t, '</p>') AS BINARY) AS html",
+      "CAST(NULL AS STRING) AS text", "CAST(NULL AS BIGINT) AS content_len",
+      "'en' AS lang")
+    val q = df.writeStream
+      .option("checkpointLocation", tmpDir("tt-ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .toTable("graft.tt")
+    q.awaitTermination()
+
+    val rows = spark.sql("SELECT url, text FROM graft.tt").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows.size == 50)
+    // LWW: updated urls carry the later payload
+    assert(rows("m3").contains("@18000"))
+    assert(rows("m40").contains("@17000"))
+    // epochs committed as exactly-once batches
+    val lake = LakeTable.load(java.nio.file.Paths.get(wh, "tt"))
+    assert(lake.currentSnapshot.batches.nonEmpty)
+  }
 }

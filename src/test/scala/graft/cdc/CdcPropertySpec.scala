@@ -63,4 +63,46 @@ class CdcPropertySpec extends AnyFunSuite {
     val res = org.scalacheck.Test.check(params, prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("random op interleavings applied via SQL MERGE == LWW oracle") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("prop-sql-wh").toString
+    graft.sql.GraftSql.enable(spark, wh)
+    val prop = Prop.forAll(Gen.listOfN(50, genEvent), Gen.choose(7, 30)) { (raw, batchSize) =>
+      val events = materialize(raw)
+      if (events.isEmpty) true
+      else {
+        val oracle = Oracle.fold(events.iterator).collect {
+          case (url, w) if w.op == ChangeEvent.OpUpsert =>
+            url -> ((w.warcMicros, graft.model.TextExtract.extract(w.html)))
+        }
+        spark.sql("DROP TABLE IF EXISTS graft.prop")
+        spark.sql("""CREATE TABLE graft.prop (url STRING, warc_ts TIMESTAMP,
+                    |  html BINARY, text STRING, content_len BIGINT, lang STRING)
+                    |USING graft TBLPROPERTIES('buckets'='4')""".stripMargin)
+        events.grouped(batchSize).foreach { chunk =>
+          spark.createDataset(chunk).toDF().createOrReplaceTempView("prop_src")
+          spark.sql(
+            """MERGE INTO graft.prop t USING (
+              |  SELECT url, warc_ts, html, CAST(NULL AS STRING) AS text,
+              |    CAST(NULL AS BIGINT) AS content_len, lang, op, offset, partition
+              |  FROM prop_src) s
+              |ON t.url = s.url
+              |WHEN MATCHED AND s.op = 'delete' THEN DELETE
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        }
+        val got = spark.sql("SELECT url, warc_ts, text FROM graft.prop").collect().map { r =>
+          r.getAs[String]("url") ->
+            ((Oracle.micros(r.getAs[Timestamp]("warc_ts")), r.getAs[String]("text")))
+        }.toMap
+        got == oracle
+      }
+    }
+    val params = org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(6) // each case runs several real SQL MERGEs
+      .withInitialSeed(org.scalacheck.rng.Seed(43L))
+    val res = org.scalacheck.Test.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
 }

@@ -148,7 +148,10 @@ object Merge {
   }
 
   /** Fold all files of the given buckets into one resolved file per bucket
-    * (tombstones retained — GC is Maintain.compact's explicit call). */
+    * (tombstones retained — GC is Maintain.compact's explicit call). Runs on
+    * the MOR HOT PATH (every MaxFilesPerBucket batches per crowded bucket),
+    * so it uses the CO-LOCATED per-bucket resolve — no shuffle; shuffle
+    * fallback only for pre-evolution tables. */
   def compactBuckets(spark: SparkSession, table: LakeTable, buckets: Set[Int]): Snapshot = {
     val snap = table.currentSnapshot
     val nBuckets = snap.nBuckets
@@ -156,8 +159,12 @@ object Merge {
     if (sel.isEmpty) return snap
     val logical = TableSchemas.forVersion(snap.schemaVersion)
     val dataCols = logical.fieldNames.toSeq.filterNot(TableSchemas.internalNames.contains)
-    val resolved = graft.lake.Resolve.lww(
-      table.readFiles(spark, snap, sel).repartition(nBuckets, col("url")), dataCols)
+    val resolvedRaw =
+      if (snap.schemaVersion == TableSchemas.current)
+        graft.sql.GraftRead.rawResolved(spark, table, Some(snap.snapshotId), Some(buckets))
+      else graft.lake.Resolve.lww(
+        table.readFiles(spark, snap, sel).repartition(nBuckets, col("url")), dataCols)
+    val resolved = resolvedRaw
       .withColumn("bucket", LakeTable.bucketOf(col("url"), nBuckets))
       .sortWithinPartitions(col("url"))
     val nextId = snap.snapshotId + 1

@@ -29,19 +29,27 @@ object Maintain {
     val snap = table.currentSnapshot
     if (snap.files.isEmpty) return snap
     val nBuckets = snap.nBuckets
-    val dataCols = TableSchemas.forVersion(snap.schemaVersion)
-      .fieldNames.toSeq.filterNot(TableSchemas.internalNames.contains)
     // resolve first: under merge-on-read a url may have several versions
     // across delta files — the compacted file must hold exactly the winner
-    // (read()'s single-file-per-bucket fast path depends on it)
-    val df = Resolve.lww(table.readFiles(spark, snap, snap.files)
-      .repartition(nBuckets, col("url")), dataCols)
+    // (read()'s single-file-per-bucket fast path depends on it).
+    // Default: CO-LOCATED per-bucket k-way resolve (tombstone winners kept)
+    // — NO shuffle, the largest maintenance cost at scale; fallback to the
+    // shuffle resolve for pre-evolution tables (alignment to their schema).
+    val df =
+      if (snap.schemaVersion == TableSchemas.current)
+        graft.sql.GraftRead.rawResolved(spark, table, Some(snap.snapshotId))
+      else {
+        val dataCols = TableSchemas.forVersion(snap.schemaVersion)
+          .fieldNames.toSeq.filterNot(TableSchemas.internalNames.contains)
+        Resolve.lww(table.readFiles(spark, snap, snap.files)
+          .repartition(nBuckets, col("url")), dataCols)
+      }
     val kept =
       if (dropTombstonesOlderThanMicros == Long.MinValue) df
       else df.filter(!col("_deleted") ||
         unix_micros(col("warc_ts")) > dropTombstonesOlderThanMicros)
-    // already hash-partitioned by url into nBuckets from the resolve input —
-    // filter/withColumn preserve partitioning, so no further shuffle
+    // rows arrive per-bucket (scan partitioning / resolve partitioning) —
+    // filter/withColumn preserve it, so no further shuffle
     val out = kept
       .withColumn("bucket", LakeTable.bucketOf(col("url"), nBuckets))
       .sortWithinPartitions(col("url"))

@@ -142,18 +142,49 @@ final class GraftSqlTable(val lake: LakeTable, ident: String) extends Table
     }
 }
 
+/** Internal maintenance read: the co-located per-bucket LWW resolve with
+  * the FULL schema (internal columns, tombstone winners kept) — what
+  * compaction consumes. No shuffle, O(filesPerBucket) memory per task. */
+private[graft] final class GraftRawTable(lake: LakeTable,
+    snapshotId: Option[Long], buckets: Option[Set[Int]])
+  extends Table with SupportsRead {
+  override def name(): String = s"graft-raw(${lake.root})"
+  override def schema(): StructType = TableSchemas.forVersion(TableSchemas.current)
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftLakeScan(lake, snapshotId, raw = true, bucketFilter = buckets)
+}
+
+object GraftRead {
+  /** Raw-resolved rows of a snapshot (default current), optionally
+    * restricted to a bucket subset. Requires the snapshot to be at the
+    * current schema version (callers fall back to the shuffle resolve
+    * otherwise). */
+  def rawResolved(spark: SparkSession, lake: LakeTable,
+      snapshotId: Option[Long] = None,
+      buckets: Option[Set[Int]] = None): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.GraftBridge.ofRows(spark,
+      org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation.create(
+        new GraftRawTable(lake, snapshotId, buckets), None, None,
+        org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()))
+}
+
 final case class GraftBucketPartition(
     bucket: Int,
     files: Seq[(String, Long, Int)], // (absolute path, bytes, schemaVersion)
-    currentVersion: Int) extends InputPartition
+    currentVersion: Int,
+    raw: Boolean = false) extends InputPartition
 
-final class GraftLakeScan(lake: LakeTable, snapshotId: Option[Long])
+final class GraftLakeScan(lake: LakeTable, snapshotId: Option[Long],
+    raw: Boolean = false, bucketFilter: Option[Set[Int]] = None)
     extends ScanBuilder with Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   override def build(): Scan = this
-  override def readSchema(): StructType = GraftSqlTable.userSchema
+  override def readSchema(): StructType =
+    if (raw) TableSchemas.forVersion(TableSchemas.current) else GraftSqlTable.userSchema
   override def description(): String =
-    s"GraftLakeScan(${lake.root})" +
+    s"GraftLakeScan(${lake.root}${if (raw) ", raw" else ""})" +
       (if (urlKeys.nonEmpty) s" urlKeys=${urlKeys.mkString(",")}" else "")
   override def toBatch: Batch = this
 
@@ -184,6 +215,7 @@ final class GraftLakeScan(lake: LakeTable, snapshotId: Option[Long])
   override def planInputPartitions(): Array[InputPartition] = {
     val snap = snapshotId.map(lake.snapshot).getOrElse(lake.currentSnapshot)
     val byBucket = snap.files.groupBy(_.bucket)
+      .filter { case (b, _) => bucketFilter.forall(_.contains(b)) }
     val selected =
       if (urlKeys.isEmpty) byBucket
       else {
@@ -206,7 +238,7 @@ final class GraftLakeScan(lake: LakeTable, snapshotId: Option[Long])
     selected.toSeq.sortBy(_._1).map { case (b, fs) =>
       GraftBucketPartition(b,
         fs.map(f => (lake.root.resolve(f.path).toString, f.bytes, f.schemaVersion)),
-        snap.schemaVersion)
+        snap.schemaVersion, raw)
     }.toArray
   }
 
@@ -285,9 +317,12 @@ final class GraftBucketReader(
   }
   private val heads: Array[InternalRow] = its.map(it => if (it.hasNext) it.next() else null)
 
-  private val userIdxs = GraftSqlTable.userSchema.fieldNames.map(idx)
+  // raw mode (compaction/maintenance): emit the FULL layout including
+  // tombstone winners; user mode: project user columns, drop tombstones
+  private val outIdxs =
+    if (p.raw) full.fieldNames.map(idx) else GraftSqlTable.userSchema.fieldNames.map(idx)
   private val outProj = UnsafeProjection.create(
-    userIdxs.zipWithIndex.map { case (srcIdx, _) =>
+    outIdxs.map { srcIdx =>
       BoundReference(srcIdx, full.fields(srcIdx).dataType, full.fields(srcIdx).nullable): Expression
     })
 
@@ -327,7 +362,7 @@ final class GraftBucketReader(
         }
         j += 1
       }
-      val deleted = winner.getBoolean(delIdx)
+      val deleted = !p.raw && winner.getBoolean(delIdx)
       if (!deleted) current = outProj(winner)
       // advance every file positioned on this url (AFTER materializing out)
       var k = 0

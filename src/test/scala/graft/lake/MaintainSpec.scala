@@ -115,6 +115,17 @@ class MaintainSpec extends SparkSpec {
     assert(table.read(spark).count() == after)
   }
 
+  test("compaction input plan has NO Exchange (co-located raw resolve)") {
+    val (table, _, _) = build()
+    val df = graft.sql.GraftRead.rawResolved(spark, table)
+      .withColumn("bucket", LakeTable.bucketOf(col("url"), table.currentSnapshot.nBuckets))
+      .sortWithinPartitions(col("url"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
+    // and the raw resolve keeps tombstone winners (compaction must persist them)
+    assert(df.filter(col("_deleted")).count() > 0)
+  }
+
   test("maybeGrowBuckets doubles only past the byte target") {
     val (table, _, _) = build()
     val before = table.currentSnapshot.nBuckets

@@ -99,12 +99,25 @@ final class LakeStreamingWrite(root: String, nBuckets: Int, mode: graft.cdc.Merg
       // staged segments across task dirs: true envelope + chunk metadata
       val staged = Layout.listUnder(staging, Layout.Flat)
       if (staged.isEmpty) return
-      // lineage from segment metadata (no data pass): contiguous runs per
-      // partition — the canonical pipeline yields one gap-free run each
-      val lineage = staged.map(_._2).groupBy(_.partition).toSeq.sortBy(_._1).map { case (p, fs) =>
+      // lineage from segment metadata (no data pass): one entry per
+      // CONTIGUOUS run per partition — the canonical pipeline yields a
+      // single gap-free run each; upstream filters that drop records
+      // surface as multiple runs instead of a fabricated envelope
+      val lineage = staged.map(_._2).groupBy(_.partition).toSeq.sortBy(_._1).flatMap { case (p, fs) =>
         val sorted = fs.sortBy(_.startOffset)
-        val count = sorted.map(f => f.endOffset - f.startOffset).sum
-        PartLineage(p, sorted.head.startOffset, count, count)
+        val runs = Vector.newBuilder[PartLineage]
+        var runStart = sorted.head.startOffset
+        var runEnd = sorted.head.endOffset
+        sorted.tail.foreach { f =>
+          if (f.startOffset == runEnd) runEnd = f.endOffset
+          else {
+            runs += PartLineage(p, runStart, runEnd - runStart, runEnd - runStart)
+            runStart = f.startOffset
+            runEnd = f.endOffset
+          }
+        }
+        runs += PartLineage(p, runStart, runEnd - runStart, runEnd - runStart)
+        runs.result()
       }
       val parts = staged.map(_._2.path.getParent.toString).distinct
       val df = parts.map(d => graft.binlog.BinlogRead.all(spark, d)).reduce(_.unionByName(_))

@@ -63,6 +63,17 @@ class GraftCatalog extends TableCatalog {
     new GraftSqlTable(LakeTable.load(root), ident.toString)
   }
 
+  /** Time travel: `SELECT … FROM graft.t VERSION AS OF <snapshotId>`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val root = rootOf(ident)
+    if (!LakeTable.exists(root)) throw new NoSuchTableException(ident)
+    val lake = LakeTable.load(root)
+    val id = version.toLong
+    require(lake.snapshotIds.contains(id),
+      s"no snapshot $id for graft table $ident (have ${lake.snapshotIds.mkString(", ")})")
+    new GraftSqlTable(lake, s"$ident@v$version", pinnedSnapshot = Some(id))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val root = rootOf(ident)
@@ -117,7 +128,8 @@ object GraftSqlTable {
   * are k-way MERGED streaming (k ≤ MaxFilesPerBucket+1), LWW-folded by the
   * `(warc_ts, _seq_offset, _seq_part)` order, tombstones dropped — no
   * shuffle, no hash map, O(k) memory however large the bucket. */
-final class GraftSqlTable(val lake: LakeTable, ident: String) extends Table
+final class GraftSqlTable(val lake: LakeTable, ident: String,
+    pinnedSnapshot: Option[Long] = None) extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = ident
   override def schema(): StructType = GraftSqlTable.userSchema
@@ -125,7 +137,8 @@ final class GraftSqlTable(val lake: LakeTable, ident: String) extends Table
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftLakeScan(lake, Option(options.get("snapshotId")).map(_.toLong))
+    new GraftLakeScan(lake,
+      pinnedSnapshot.orElse(Option(options.get("snapshotId")).map(_.toLong)))
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new org.apache.spark.sql.connector.write.WriteBuilder {

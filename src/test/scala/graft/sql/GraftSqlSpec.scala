@@ -132,6 +132,28 @@ class GraftSqlSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM graft.morpages WHERE url = 'nope'").count() == 0)
   }
 
+  test("time travel: SELECT ... VERSION AS OF reads an earlier snapshot") {
+    enable()
+    spark.sql("DROP TABLE IF EXISTS graft.tt2")
+    spark.sql("CREATE TABLE graft.tt2 (url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, content_len BIGINT, lang STRING) USING graft TBLPROPERTIES('buckets'='2')")
+    spark.sql(
+      """INSERT INTO graft.tt2
+        |SELECT concat('v', id), timestamp_micros(1700000000000000 + id),
+        |  cast('<p>a</p>' AS BINARY), CAST(NULL AS STRING), CAST(NULL AS BIGINT), 'en'
+        |FROM range(10)""".stripMargin)
+    val lake = graft.lake.LakeTable.load(java.nio.file.Paths.get(wh, "tt2"))
+    val v1 = lake.currentSnapshotId
+    spark.sql(
+      """INSERT INTO graft.tt2
+        |SELECT concat('v', id + 100), timestamp_micros(1800000000000000 + id),
+        |  cast('<p>b</p>' AS BINARY), CAST(NULL AS STRING), CAST(NULL AS BIGINT), 'en'
+        |FROM range(5)""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM graft.tt2").head().getLong(0) == 15)
+    assert(spark.sql(s"SELECT count(*) FROM graft.tt2 VERSION AS OF $v1").head().getLong(0) == 10)
+    intercept[Exception](
+      spark.sql("SELECT * FROM graft.tt2 VERSION AS OF 99999").collect())
+  }
+
   test("INSERT INTO appends as an upsert MERGE batch (LWW against stored rows)") {
     enable()
     spark.sql("CREATE TABLE graft.ins (url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, content_len BIGINT, lang STRING) USING graft TBLPROPERTIES('buckets'='4')")

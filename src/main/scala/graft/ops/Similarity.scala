@@ -144,8 +144,69 @@ object Similarity {
     vecs.withColumn("list",
       VecFns.centroidArgmax(col(vecCol), centsLit(cents), cents.length))
 
+  /** Persist an IVF index: vectors written as parquet PARTITIONED BY their
+    * coarse list (plus `_centroids.json` alongside) — the FAISS-style
+    * inverted-file layout where probing `nprobe` lists is a PARTITION-PRUNED
+    * read (`list IN (…)` never touches other lists' files). Returns the
+    * centroids. */
+  def writeIvfIndex(vecs: DataFrame, dir: String, nLists: Int, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[(Int, Array[Double])] = {
+    val (assigned, cents) = ivfAssign(vecs, nLists, seed, idCol, vecCol)
+    assigned.write.mode("overwrite").partitionBy("list").parquet(dir)
+    val json = cents.sortBy(_._1).map(_._2.mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_centroids.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    cents
+  }
+
+  /** Load the centroid matrix written by [[writeIvfIndex]]. */
+  def readIvfCentroids(dir: String): Array[(Int, Array[Double])] = {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_centroids.json")), java.nio.charset.StandardCharsets.UTF_8)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+    (0 until node.size()).map { i =>
+      val arr = node.get(i)
+      i -> Array.tabulate(arr.size())(j => arr.get(j).asDouble())
+    }.toArray
+  }
+
+  /** IVF top-k over a PERSISTED index: probe lists are pruned at the parquet
+    * partition level — `.explain` shows `PartitionFilters: [list IN (…)]`
+    * and only the probed lists' files are read (the cluster-scale ANN
+    * path; [[ivfTopK]] below is the self-contained in-memory form). */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queryIds: Seq[Long], k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = readIvfCentroids(dir)
+    val index = spark.read.parquet(dir)
+    val queries = index.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("probe",
+        explode(VecFns.probeLists(col("qv"), centsLit(cents), cents.length, nprobe)))
+      .select(col("query_id"), col("qv"), col("probe")).collect()
+    val probeSet = queries.map(_.getInt(2)).distinct.toSeq
+    val cands = index.filter(col("list").isin(probeSet: _*)) // partition-pruned
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"), col("list"))
+    val qdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(queries.map(r =>
+        org.apache.spark.sql.Row(r.getLong(0), r.getSeq[Float](1), r.getInt(2))).toSeq),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("qv",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+        org.apache.spark.sql.types.StructField("probe", org.apache.spark.sql.types.IntegerType))))
+    val joined = cands.join(broadcast(qdf),
+        col("list") === col("probe") && col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("nv")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
   /** IVF top-k: probe the `nprobe` nearest lists per query, brute-force
-    * within them. At scale the per-list scan is a partition-pruned read. */
+    * within them. At scale use [[writeIvfIndex]] + [[ivfTopKIndexed]] —
+    * the persisted layout makes the per-list scan a partition-pruned read. */
   def ivfTopK(vecs: DataFrame, queryIds: Seq[Long], k: Int, nLists: Int,
       nprobe: Int, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

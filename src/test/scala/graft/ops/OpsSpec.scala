@@ -87,6 +87,22 @@ class OpsSpec extends SparkSpec {
     assert(rh(1L) == rh(2L) && rh(1L) != rh(3L))
   }
 
+  test("persisted IVF index: partition-pruned probes, results == in-memory IVF") {
+    val dir = tmpDir("ivf-idx").resolve("index").toString
+    Similarity.writeIvfIndex(embs, dir, nLists = 16)
+    val viaIndex = Similarity.ivfTopKIndexed(spark, dir,
+      queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 3, nprobe = 4)
+    val inMemory = Similarity.ivfTopK(embs,
+      queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 3, nLists = 16, nprobe = 4)
+    assert(viaIndex.collect().map(_.toString).sorted
+      .sameElements(inMemory.collect().map(_.toString).sorted))
+    // probing is a PARTITION-pruned read: the candidate scan's plan carries
+    // partition filters on `list`, so unprobed lists' files are never opened
+    val cands = spark.read.parquet(dir).filter(col("list").isin(0, 1))
+    val scan = cands.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("list"), scan.take(500))
+  }
+
   test("viral-boilerplate bucket cap bounds candidate generation (hot-bucket defense)") {
     import spark.implicits._
     // 400 identical boilerplate docs + the real corpus: uncapped, the

@@ -101,7 +101,8 @@ object Ingest {
       checkpointDir: String, maxEventsPerBatch: Long = 1000000L,
       trigger: Trigger = Trigger.AvailableNow(), nBuckets: Int = 32,
       mode: MergeMode = Cow, expireEveryBatches: Long = 0L,
-      keepSnapshots: Int = 10): StreamingQuery = {
+      keepSnapshots: Int = 10, bloomEveryBatches: Long = 0L,
+      growBucketsTargetBytes: Long = 0L): StreamingQuery = {
     val table =
       if (LakeTable.exists(tableRoot)) LakeTable.load(tableRoot)
       else LakeTable.create(tableRoot, nBuckets)
@@ -125,8 +126,14 @@ object Ingest {
         val lineage = graft.binlog.BinlogLineage.lastPlanned(lineageToken).map(_.toSeq.sortBy(_._1)
           .map { case (p, (from, until)) => PartLineage(p, from, until - from, until - from) })
         applyBatch(spark, table, lineage, mode)(df, id)
+        // auto-maintenance cadence: metadata expiry, point-lookup blooms,
+        // bucket growth — all single-writer-safe inside the batch loop
         if (expireEveryBatches > 0 && id > 0 && id % expireEveryBatches == 0)
           graft.lake.Maintain.expireSnapshots(table, keepSnapshots): Unit
+        if (bloomEveryBatches > 0 && id > 0 && id % bloomEveryBatches == 0)
+          graft.lake.Maintain.buildBlooms(spark, table): Unit
+        if (growBucketsTargetBytes > 0)
+          graft.lake.Maintain.maybeGrowBuckets(spark, table, growBucketsTargetBytes): Unit
       }
       .start()
   }

@@ -64,12 +64,22 @@ class MaintainSpec extends SparkSpec {
     val root = tmpDir("aetbl")
     val q = graft.cdc.Ingest.startStream(spark, binlog.toString, root,
       tmpDir("aeck").toString, maxEventsPerBatch = 400, nBuckets = 4,
-      mode = graft.cdc.Mor, expireEveryBatches = 2, keepSnapshots = 3)
+      mode = graft.cdc.Mor, expireEveryBatches = 2, keepSnapshots = 3,
+      bloomEveryBatches = 3, growBucketsTargetBytes = 40000L)
     q.awaitTermination()
     val table = LakeTable.load(root)
     // ≥8 batches ran; without expiry there would be ≥9 snapshots
     assert(table.currentSnapshot.batches.size >= 7)
     assert(table.snapshotIds.size <= 5, s"snapshots not expired: ${table.snapshotIds}")
+    // auto bucket growth kicked in (tiny byte target) and layout stayed sane
+    assert(table.currentSnapshot.nBuckets > 4, s"nBuckets=${table.currentSnapshot.nBuckets}")
+    // the bloom cadence ran without disturbing ingest; files written AFTER
+    // the last cadence tick are legitimately bloom-less (opportunistic) —
+    // a top-up covers them and is then idempotent
+    Maintain.buildBlooms(spark, table)
+    assert(Maintain.buildBlooms(spark, table) == 0)
+    assert(table.currentSnapshot.files.forall(f =>
+      java.nio.file.Files.exists(Bloom.sidecar(table.root.resolve(f.path)))))
     val oracle = Oracle.finalState(p)
     val got = table.read(spark).collect()
       .map(r => r.getAs[String]("url") -> Oracle.micros(r.getAs[java.sql.Timestamp]("warc_ts"))).toMap

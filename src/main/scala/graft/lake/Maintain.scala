@@ -78,10 +78,15 @@ object Maintain {
     if (newBuckets == snap.nBuckets || snap.files.isEmpty) return snap
     val dataCols = TableSchemas.forVersion(snap.schemaVersion)
       .fieldNames.toSeq.filterNot(TableSchemas.internalNames.contains)
-    // resolve under the OLD layout first (tombstones retained — replay
-    // safety is unchanged), then lay out under the new bucket function
-    val resolved = Resolve.lww(table.readFiles(spark, snap, snap.files)
-      .repartition(newBuckets, col("url")), dataCols)
+    // resolve under the OLD layout first (co-located, tombstones retained —
+    // replay safety unchanged), then ONE shuffle of the winners into the
+    // new bucket function; pre-evolution tables resolve through the shuffle
+    val resolved =
+      if (snap.schemaVersion == TableSchemas.current)
+        graft.sql.GraftRead.rawResolved(spark, table, Some(snap.snapshotId))
+          .repartition(newBuckets, col("url"))
+      else Resolve.lww(table.readFiles(spark, snap, snap.files)
+        .repartition(newBuckets, col("url")), dataCols)
     val out = resolved
       .withColumn("bucket", LakeTable.bucketOf(col("url"), newBuckets))
       .sortWithinPartitions(col("url"))

@@ -140,9 +140,22 @@ final class LakeStreamingWrite(root: String, nBuckets: Int, mode: graft.cdc.Merg
 final class LakeSinkWriterFactory(stagingRoot: String, userSchemaRows: Boolean = false)
   extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
-    val dir = Paths.get(stagingRoot, s"epoch-$epochId", s"task-$partitionId")
+    // taskId is unique PER ATTEMPT: speculative/retried attempts get
+    // disjoint dirs (no shared tmp paths), and abort can remove the whole
+    // attempt dir — including segments already closed by a rolling writer
+    val dir = Paths.get(stagingRoot, s"epoch-$epochId", s"task-$partitionId-a$taskId")
     if (userSchemaRows) new LakeSinkUserWriter(dir, partitionId)
     else new LakeSinkWriter(dir)
+  }
+}
+
+private[graft] object SinkIO {
+  def rmDir(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.forEach(rmDir) finally s.close()
+    }
+    Files.deleteIfExists(p): Unit
   }
 }
 
@@ -174,7 +187,12 @@ final class LakeSinkUserWriter(dir: Path, partitionId: Int) extends DataWriter[I
     if (w != null) w.close()
     new WriterCommitMessage {}
   }
-  override def abort(): Unit = if (w != null) w.delete()
+  // the attempt dir is exclusively ours (unique taskId in the path): abort
+  // removes it WHOLE, including segments already rolled and closed
+  override def abort(): Unit = {
+    if (w != null) w.delete()
+    SinkIO.rmDir(dir)
+  }
   override def close(): Unit = ()
 }
 
@@ -217,6 +235,11 @@ final class LakeSinkWriter(dir: Path) extends DataWriter[InternalRow] {
     if (w != null) w.close()
     new WriterCommitMessage {}
   }
-  override def abort(): Unit = if (w != null) w.delete()
+  // the attempt dir is exclusively ours (unique taskId in the path): abort
+  // removes it WHOLE, including segments already rolled and closed
+  override def abort(): Unit = {
+    if (w != null) w.delete()
+    SinkIO.rmDir(dir)
+  }
   override def close(): Unit = ()
 }

@@ -37,9 +37,11 @@ final class GraftBatchWrite(lake: LakeTable) extends BatchWrite {
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     try {
-      if (graft.binlog.Segment.listAll(staging).nonEmpty) {
+      val staged = graft.binlog.Layout.listUnder(staging, graft.binlog.Layout.Flat)
+      if (staged.nonEmpty) {
         val batchId = lake.currentSnapshot.batches.map(_.batchId).maxOption.getOrElse(-1L) + 1L
-        val df = graft.binlog.BinlogRead.all(spark, staging.toString)
+        val dirs = staged.map(_._2.path.getParent.toString).distinct
+        val df = dirs.map(d => graft.binlog.BinlogRead.all(spark, d)).reduce(_.unionByName(_))
         graft.cdc.Merge(spark, lake, df, batchId, lineage = Nil,
           mode = GraftSql.sqlMergeMode): Unit
       }
@@ -59,12 +61,14 @@ final class GraftBatchWrite(lake: LakeTable) extends BatchWrite {
 
 final class GraftInsertWriterFactory(staging: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftInsertWriter(staging, partitionId)
+    // per-ATTEMPT subdir (taskId is attempt-unique): speculative or retried
+    // attempts never share a tmp path, and abort removes the whole dir
+    new GraftInsertWriter(Paths.get(staging, s"task-$taskId"), partitionId)
 }
 
 /** Buffers nothing: streams rows straight into a segment file. Input layout
   * is the user-facing schema (url, warc_ts, html, text, content_len, lang). */
-final class GraftInsertWriter(staging: String, partitionId: Int)
+final class GraftInsertWriter(dir: Path, partitionId: Int)
   extends DataWriter[InternalRow] {
 
   private var w: SegmentWriter = _
@@ -72,7 +76,7 @@ final class GraftInsertWriter(staging: String, partitionId: Int)
 
   override def write(row: InternalRow): Unit = {
     if (w == null)
-      w = new SegmentWriter(Paths.get(staging), partitionId, 0L, 64L * 1024 * 1024)
+      w = new SegmentWriter(dir, partitionId, 0L, 64L * 1024 * 1024)
     val micros = row.getLong(1)
     val ts = new Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
     ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
@@ -92,6 +96,9 @@ final class GraftInsertWriter(staging: String, partitionId: Int)
     new WriterCommitMessage {}
   }
 
-  override def abort(): Unit = if (w != null) w.delete()
+  override def abort(): Unit = {
+    if (w != null) w.delete()
+    graft.lake.SinkIO.rmDir(dir)
+  }
   override def close(): Unit = ()
 }

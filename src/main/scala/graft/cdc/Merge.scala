@@ -192,8 +192,13 @@ object Merge {
       tMark = now
     }
 
+    // the batch is read twice (stats pass + merge); cache it — unless the
+    // CALLER already cached these rows (applyBatch's non-binlog fallback),
+    // where re-caching a projection would double-store every payload: the
+    // bucket hash is trivial to recompute against the existing cache
+    val callerCached = batch.storageLevel.useMemory || batch.storageLevel.useDisk
     val withBucket = batch.withColumn("bucket", LakeTable.bucketOf(col("url"), nBuckets))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (!callerCached) withBucket.persist(StorageLevel.MEMORY_AND_DISK): Unit
     try {
       // batch-side stats for pruning: touched buckets, url bounds,
       // upsert/delete counts — one aggregate, O(nBuckets) on the driver.
@@ -297,6 +302,6 @@ object Merge {
       table.commit(next)
       mark("commit")
       next
-    } finally withBucket.unpersist()
+    } finally { if (!callerCached) withBucket.unpersist(): Unit }
   }
 }

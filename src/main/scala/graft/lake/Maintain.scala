@@ -25,7 +25,8 @@ object Maintain {
     *
     * Produces a maintenance snapshot: same batches/lineage, new files. */
   def compact(spark: SparkSession, table: LakeTable,
-      dropTombstonesOlderThanMicros: Long = Long.MinValue): Snapshot = {
+      dropTombstonesOlderThanMicros: Long = Long.MinValue,
+      withBlooms: Boolean = false): Snapshot = {
     val snap = table.currentSnapshot
     if (snap.files.isEmpty) return snap
     val nBuckets = snap.nBuckets
@@ -58,6 +59,9 @@ object Maintain {
     val next = snap.copy(snapshotId = nextId, parentId = snap.snapshotId,
       files = newFiles, totalRows = newFiles.map(_.rowCount).sum)
     table.commit(next)
+    // optionally keep point-lookup blooms current through maintenance
+    if (withBlooms)
+      Bloom.build(spark, newFiles.map(f => (table.root.resolve(f.path), f.rowCount))): Unit
     next
   }
 

@@ -58,7 +58,12 @@ class BloomSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM graft.bl WHERE url = 'absent'").count() == 0)
     assert(spark.sql("SELECT count(*) FROM graft.bl").head().getLong(0) == 600)
 
-    // compaction + expiry: orphaned data files take their sidecars with them
+    // compaction with inline blooms: the fresh files come out covered
+    Maintain.compact(spark, lake, withBlooms = true)
+    assert(lake.currentSnapshot.files.forall(f =>
+      java.nio.file.Files.exists(Bloom.sidecar(lake.root.resolve(f.path)))))
+    // another compaction WITHOUT blooms + expiry: orphaned data files take
+    // their sidecars with them, fresh files are bloom-less
     Maintain.compact(spark, lake)
     val (_, deleted) = Maintain.expireSnapshots(lake, keepLast = 1)
     assert(deleted > 0)

@@ -28,7 +28,9 @@ import graft.functions.NativeFns
   *     by construction ([[LakeTable.bucketOf]]), which the custom scan
   *     truthfully declares, so only the BATCH is shuffled (O(batch) bytes
   *     regardless of table size) and each task streams its bucket's stored
-  *     rows against a map of batch winners. Fallback (mixed schema
+  *     rows (k-way LWW-folded when the bucket holds several files, e.g.
+  *     MOR delta history) against the url-sorted batch winners in an O(1)-
+  *     state sorted merge. Fallback (mixed schema
   *     versions among touched files, or `useColocatedCow=false`): union
   *     target+batch, `repartition(nBuckets, url)` + `max_by` — the round-1
   *     single-shuffle formulation, shuffling touched table rows too;

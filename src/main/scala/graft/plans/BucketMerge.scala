@@ -3,9 +3,9 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, GenericInternalRow, JoinedRow, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, HashPartitioning, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{Distribution, HashPartitioning, Partitioning, StatefulOpClusteredDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, LeafExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.unsafe.types.UTF8String
@@ -20,26 +20,37 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   *  - [[BucketTableScanExec]] — a leaf that reads each bucket's parquet
   *    files in the task OWNING that bucket, and (truthfully) declares
-  *    `outputPartitioning = HashPartitioning(url, nBuckets)`. Because the
-  *    declaration matches the physical layout, EnsureRequirements inserts
-  *    NO exchange above it.
-  *  - [[BucketMergeExec]] — a binary node requiring both sides clustered by
-  *    url into exactly nBuckets partitions. The table side satisfies it for
-  *    free; only the BATCH side is shuffled (one Exchange in the whole
-  *    plan, O(batch) bytes, independent of table size). Per bucket it
-  *    builds a hash map of batch winners (O(batch/n) rows) and STREAMS the
-  *    table rows against it — last-writer-wins by the `S3Offset` total
-  *    order `(warc_ts, _seq_offset, _seq_part)`, ties kept on the table
-  *    side (a tie is the same event replayed; keeping the stored row skips
-  *    re-extraction and is byte-identical by determinism of the extractor).
+  *    `outputPartitioning = HashPartitioning(url, nBuckets)` and
+  *    `outputOrdering = url ASC`. Because the declarations match the
+  *    physical layout, EnsureRequirements inserts NO exchange and NO sort
+  *    above it. A bucket holding SEVERAL files (MOR delta history crossed
+  *    into a COW apply, pruning carry-overs) is k-way LWW-FOLDED while
+  *    streaming — one winner row per url, tombstone winners kept — so the
+  *    scan's output has unique, sorted urls whatever the file count.
+  *  - [[BucketMergeExec]] — a binary node requiring both sides hash-
+  *    clustered by url into exactly nBuckets partitions
+  *    (`StatefulOpClusteredDistribution`, which pins the EXACT
+  *    partitioning function — a range-partitioned batch can NOT sneak
+  *    through and misroute rows) and url-sorted. The table side satisfies
+  *    both for free; the BATCH side gets one Exchange (O(batch) bytes,
+  *    independent of table size) plus a spillable SortExec on
+  *    `(url ASC, warc_ts DESC, _seq_offset DESC, _seq_part DESC)`, so the
+  *    first batch row of each url run is its LWW winner. The merge itself
+  *    is then a streaming sorted full-outer resolve with O(1) state — no
+  *    per-bucket hash map, no memory ceiling, no admission bound: last-
+  *    writer-wins by the `S3Offset` total order `(warc_ts, _seq_offset,
+  *    _seq_part)`, ties kept on the table side (a tie is the same event
+  *    replayed; keeping the stored row skips re-extraction and is
+  *    byte-identical by determinism of the extractor).
   *
   * The reference's analog is its cursor→chunk-index dereference that
   * rewrites only affected chunks
   * (`/root/reference/sink/src/main/java/com/spredfast/kafka/connect/s3/S3Writer.java:47-109`).
   *
   * Scale: shuffle bytes per batch drop from O(touched table rows + batch)
-  * to O(batch). Batch-side per-bucket state is bounded by the source's
-  * admission control (`maxEventsPerBatch / nBuckets` rows).
+  * to O(batch); per-task memory is O(1) (two live head rows + the sorter's
+  * own spillable pages). Output is url-sorted per bucket, so the writer's
+  * `sortWithinPartitions(url)` above this plan is elided as redundant.
   */
 final case class BucketMergeLogical(
     batch: LogicalPlan, // aligned batch: table columns ++ `_xt = true`
@@ -87,12 +98,15 @@ object BucketMergeStrategy extends SparkStrategy {
   }
 }
 
-/** Reads the given parquet files with one task per BUCKET, emitting rows in
-  * the physical schema. The partitioning declaration is the load-bearing
+/** Reads the given parquet files with one task per BUCKET, emitting LWW-
+  * folded rows (unique urls, url-sorted, tombstone winners kept) in the
+  * physical schema. The partitioning declaration is the load-bearing
   * invariant: file bucket ids were assigned by `bucketOf(url) ==
   * HashPartitioning(url, n).partitionIdExpression`, so "partition i holds
   * exactly the rows whose url hashes to i" is TRUE and Catalyst may elide
-  * the exchange. Uses Spark's own (vectorized) parquet reader. */
+  * the exchange; likewise files are written url-sorted, so the k-way fold
+  * emits in url order and the ordering declaration is truthful. Uses
+  * Spark's own (vectorized) parquet reader. */
 final case class BucketTableScanExec(
     output: Seq[Attribute],
     bucketFiles: Map[Int, Seq[(String, Long)]],
@@ -105,6 +119,8 @@ final case class BucketTableScanExec(
 
   override def outputPartitioning: Partitioning =
     HashPartitioning(Seq(urlAttr), nBuckets)
+
+  override def outputOrdering: Seq[SortOrder] = Seq(SortOrder(urlAttr, Ascending))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val spark = SparkSession.active
@@ -123,34 +139,119 @@ final case class BucketTableScanExec(
         hadoopConf = spark.sessionState.newHadoopConf())
     val filesByBucket: Array[Array[(String, Long)]] =
       Array.tabulate(nBuckets)(b => bucketFiles.getOrElse(b, Nil).toArray)
-    new BucketFilesRDD(sparkContext, filesByBucket, readFile)
+    def fieldIdx(n: String): Int = tableSchema.fieldNames.indexOf(n)
+    new BucketFilesRDD(sparkContext, filesByBucket, readFile,
+      fieldIdx("url"), fieldIdx("warc_ts"), fieldIdx("_seq_offset"), fieldIdx("_seq_part"))
   }
 }
 
-/** nBuckets partitions; partition i reads bucket i's files. */
+/** nBuckets partitions; partition i reads bucket i's files. A single-file
+  * bucket streams through untouched (COW output already has unique sorted
+  * urls); a multi-file bucket (MOR deltas, carry-overs) is k-way LWW-folded
+  * so downstream sees exactly one winner per url — concatenating would
+  * expose duplicate urls with stale versions to the merge. */
 private final class BucketFilesRDD(
     sc: org.apache.spark.SparkContext,
     filesByBucket: Array[Array[(String, Long)]],
-    readFile: org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow])
+    readFile: org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow],
+    urlIdx: Int, tsIdx: Int, offIdx: Int, partIdx: Int)
   extends RDD[InternalRow](sc, Nil) {
 
   override protected def getPartitions: Array[org.apache.spark.Partition] =
     Array.tabulate(filesByBucket.length)(i => new org.apache.spark.Partition { def index: Int = i })
 
+  private def readOne(file: (String, Long)): Iterator[InternalRow] = {
+    val pf = org.apache.spark.sql.execution.datasources.PartitionedFile(
+      InternalRow.empty,
+      org.apache.spark.paths.SparkPath.fromPathString(file._1),
+      0L, file._2)
+    // OPTION_RETURNING_BATCH=false → the reader yields rows, never batches
+    readFile(pf)
+  }
+
   override def compute(split: org.apache.spark.Partition,
-      context: org.apache.spark.TaskContext): Iterator[InternalRow] =
-    filesByBucket(split.index).iterator.flatMap { case (path, bytes) =>
-      val pf = org.apache.spark.sql.execution.datasources.PartitionedFile(
-        InternalRow.empty,
-        org.apache.spark.paths.SparkPath.fromPathString(path),
-        0L, bytes)
-      // OPTION_RETURNING_BATCH=false → the reader yields rows, never batches
-      readFile(pf)
-    }
+      context: org.apache.spark.TaskContext): Iterator[InternalRow] = {
+    val files = filesByBucket(split.index)
+    if (files.length <= 1) files.iterator.flatMap(readOne)
+    else new KWayLwwIterator(files.map(readOne), urlIdx, tsIdx, offIdx, partIdx)
+  }
 }
 
-/** Per-bucket streaming LWW merge of (table rows, batch rows) — see file
-  * doc. Output layout == batch child layout (table columns ++ _xt). */
+/** Streaming k-way LWW fold over url-sorted row iterators: emits the
+  * `(warc_ts, _seq_offset, _seq_part)`-max row per url, in url order,
+  * including tombstone winners. Zero copies: each head row comes from a
+  * DISTINCT file reader (its buffer is stable until that file advances),
+  * and advancing the emitted url's files is DEFERRED to the next call, so
+  * the returned row honors the standard valid-until-next-next() contract. */
+private final class KWayLwwIterator(
+    its: Array[Iterator[InternalRow]],
+    urlIdx: Int, tsIdx: Int, offIdx: Int, partIdx: Int)
+  extends Iterator[InternalRow] {
+
+  private val heads: Array[InternalRow] = its.map(it => if (it.hasNext) it.next() else null)
+  private val pending = new Array[Boolean](its.length)
+  private var nextRow: InternalRow = _
+  private var computed = false
+
+  // seq(a) > seq(b) by (warc_ts, offset, partition) — S3Offset order
+  private def wins(a: InternalRow, b: InternalRow): Boolean = {
+    val ta = a.getLong(tsIdx); val tb = b.getLong(tsIdx)
+    if (ta != tb) return ta > tb
+    val oa = a.getLong(offIdx); val ob = b.getLong(offIdx)
+    if (oa != ob) return oa > ob
+    a.getInt(partIdx) > b.getInt(partIdx)
+  }
+
+  private def compute(): Unit = {
+    var i = 0
+    while (i < its.length) {
+      if (pending(i)) {
+        heads(i) = if (its(i).hasNext) its(i).next() else null
+        pending(i) = false
+      }
+      i += 1
+    }
+    var minI = -1
+    i = 0
+    while (i < heads.length) {
+      if (heads(i) != null &&
+        (minI < 0 || heads(i).getUTF8String(urlIdx).compareTo(heads(minI).getUTF8String(urlIdx)) < 0))
+        minI = i
+      i += 1
+    }
+    if (minI < 0) { nextRow = null; computed = true; return }
+    // `u` is a view into heads(minI)'s buffer — safe: nothing advances here
+    val u = heads(minI).getUTF8String(urlIdx)
+    var winner = heads(minI)
+    pending(minI) = true
+    var j = minI + 1
+    while (j < heads.length) {
+      if (heads(j) != null && heads(j).getUTF8String(urlIdx).compareTo(u) == 0) {
+        pending(j) = true
+        if (wins(heads(j), winner)) winner = heads(j)
+      }
+      j += 1
+    }
+    nextRow = winner
+    computed = true
+  }
+
+  override def hasNext: Boolean = {
+    if (!computed) compute()
+    nextRow != null
+  }
+
+  override def next(): InternalRow = {
+    if (!hasNext) throw new NoSuchElementException("KWayLwwIterator exhausted")
+    computed = false
+    nextRow
+  }
+}
+
+/** Per-bucket streaming sorted LWW merge of (table rows, batch rows) — see
+  * file doc. Output layout == batch child layout (table columns ++ _xt);
+  * output is url-sorted per partition (declared, so downstream local sorts
+  * on url are removed). */
 final case class BucketMergeExec(tableScan: SparkPlan, batch: SparkPlan, nBuckets: Int)
   extends BinaryExecNode {
 
@@ -159,15 +260,34 @@ final case class BucketMergeExec(tableScan: SparkPlan, batch: SparkPlan, nBucket
   override def output: Seq[Attribute] = batch.output
 
   private def urlOf(p: SparkPlan): Attribute = p.output.find(_.name == "url").get
+  private def battr(n: String): Attribute = batch.output.find(_.name == n).getOrElse(
+    throw new IllegalStateException(s"bucket merge batch side needs a $n column"))
 
+  /** StatefulOpClusteredDistribution pins the exact partitioning function:
+    * only `HashPartitioning(url, nBuckets)` satisfies it, so a batch that
+    * happens to be RANGE-partitioned on url into nBuckets partitions still
+    * gets the exchange instead of silently misrouting rows to buckets that
+    * do not match `bucketOf`. */
   override def requiredChildDistribution: Seq[Distribution] = Seq(
-    ClusteredDistribution(Seq(urlOf(tableScan)), requireAllClusterKeys = false,
-      requiredNumPartitions = Some(nBuckets)),
-    ClusteredDistribution(Seq(urlOf(batch)), requireAllClusterKeys = false,
-      requiredNumPartitions = Some(nBuckets)))
+    StatefulOpClusteredDistribution(Seq(urlOf(tableScan)), nBuckets),
+    StatefulOpClusteredDistribution(Seq(urlOf(batch)), nBuckets))
+
+  /** Batch side sorted by url then seq DESC: the first row of each url run
+    * is the batch-side LWW winner, and the sort is Spark's own spillable
+    * SortExec — the merge needs no hash map and has no per-bucket memory
+    * ceiling. The table side's requirement is satisfied by the scan's
+    * declared ordering (no sort inserted). */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(urlOf(tableScan), Ascending)),
+    Seq(SortOrder(urlOf(batch), Ascending),
+      SortOrder(battr("warc_ts"), Descending),
+      SortOrder(battr("_seq_offset"), Descending),
+      SortOrder(battr("_seq_part"), Descending)))
 
   override def outputPartitioning: Partitioning =
     HashPartitioning(Seq(urlOf(batch)), nBuckets)
+
+  override def outputOrdering: Seq[SortOrder] = Seq(SortOrder(urlOf(batch), Ascending))
 
   override protected def withNewChildrenInternal(newLeft: SparkPlan, newRight: SparkPlan): BucketMergeExec =
     copy(tableScan = newLeft, batch = newRight)
@@ -191,7 +311,12 @@ final case class BucketMergeExec(tableScan: SparkPlan, batch: SparkPlan, nBucket
       s"bucket merge needs $nBuckets==${lRdd.getNumPartitions}(table)==${rRdd.getNumPartitions}(batch)")
 
     lRdd.zipPartitions(rRdd) { (tableIt, batchIt) =>
-      // seq(a) > seq(b) by (warc_ts, offset, partition) — S3Offset order
+      // Both inputs arrive url-sorted: table side has unique urls (k-way
+      // folded), batch side has runs of equal url whose FIRST row is the
+      // run's LWW winner (sorted url ASC, seq DESC). Streaming full-outer
+      // resolve, O(1) state. All head advances are DEFERRED to the start of
+      // the following call so an emitted row stays valid until the caller's
+      // next next() (reader/sorter rows reuse buffers).
       def wins(a: InternalRow, b: InternalRow): Boolean = {
         val ta = a.getLong(tsIdx); val tb = b.getLong(tsIdx)
         if (ta != tb) return ta > tb
@@ -199,52 +324,55 @@ final case class BucketMergeExec(tableScan: SparkPlan, batch: SparkPlan, nBucket
         if (oa != ob) return oa > ob
         a.getInt(partIdx) > b.getInt(partIdx)
       }
-      // 1. batch winners in a hash map (rows copied — iterators reuse
-      //    buffers). Memory bound: distinct batch urls in this bucket —
-      //    ≤ maxEventsPerBatch/nBuckets by the source's admission control.
-      //    Enforce it explicitly so a misconfigured pipeline fails with a
-      //    remediation instead of an executor OOM.
-      val limit = java.lang.Long.getLong("graft.merge.maxBatchRowsPerBucket", 8000000L)
-      val winners = new java.util.HashMap[UTF8String, InternalRow]()
-      while (batchIt.hasNext) {
-        val r = batchIt.next()
-        val u = r.getUTF8String(urlIdx)
-        val prev = winners.get(u)
-        if (prev == null) {
-          if (winners.size() >= limit) throw new IllegalStateException(
-            s"co-located merge: > $limit distinct batch urls in one bucket — " +
-              "raise nBuckets (Maintain.rebucket), lower maxEventsPerBatch, " +
-              "or raise -Dgraft.merge.maxBatchRowsPerBucket")
-          winners.put(u.clone(), r.copy())
-        } else if (wins(r, prev)) winners.put(u.clone(), r.copy())
-      }
-      // 2. stream table rows against the map; ties keep the table row.
-      //    Emitted rows follow the standard iterator contract (valid until
-      //    the next next() call): pass-through table rows are JoinedRow
-      //    VIEWS (no copy — the downstream operator materializes what it
-      //    keeps), batch winners are the copies made in step 1.
-      val falseRow = new GenericInternalRow(Array[Any](false))
-      val joined = new JoinedRow
-      val mergedTable = tableIt.map { tr =>
-        val u = tr.getUTF8String(urlIdx)
-        val w = winners.get(u)
-        if (w == null) joined(tr, falseRow)
-        else {
-          winners.remove(u)
-          if (wins(w, tr)) w else joined(tr, falseRow)
+      new Iterator[InternalRow] {
+        private val falseRow = new GenericInternalRow(Array[Any](false))
+        private val joined = new JoinedRow
+        private var tb: InternalRow = if (tableIt.hasNext) tableIt.next() else null
+        private var bb: InternalRow = if (batchIt.hasNext) batchIt.next() else null
+        private var tbConsumed = false
+        private var skipUrl: UTF8String = null // emitted batch url — skip its run
+
+        private def refresh(): Unit = {
+          if (tbConsumed) {
+            tb = if (tableIt.hasNext) tableIt.next() else null
+            tbConsumed = false
+          }
+          if (skipUrl != null) {
+            while (bb != null && bb.getUTF8String(urlIdx).compareTo(skipUrl) == 0)
+              bb = if (batchIt.hasNext) batchIt.next() else null
+            skipUrl = null
+          }
+        }
+
+        override def hasNext: Boolean = {
+          // refresh mutates head buffers — allowed: the previously returned
+          // row's validity window ends at the caller's next next(), and
+          // Spark's consumers process a row before polling hasNext again
+          refresh()
+          tb != null || bb != null
+        }
+
+        override def next(): InternalRow = {
+          refresh()
+          if (tb == null && bb == null) throw new NoSuchElementException
+          if (bb == null) { tbConsumed = true; return joined(tb, falseRow) }
+          if (tb == null) {
+            skipUrl = bb.getUTF8String(urlIdx).clone()
+            return bb
+          }
+          val cmp = tb.getUTF8String(urlIdx).compareTo(bb.getUTF8String(urlIdx))
+          if (cmp < 0) { tbConsumed = true; joined(tb, falseRow) }
+          else if (cmp > 0) {
+            skipUrl = bb.getUTF8String(urlIdx).clone()
+            bb
+          } else {
+            // same url: batch winner is bb; ties keep the stored row
+            skipUrl = bb.getUTF8String(urlIdx).clone()
+            tbConsumed = true
+            if (wins(bb, tb)) bb else joined(tb, falseRow)
+          }
         }
       }
-      // 3. batch-only urls (inserts) — evaluated AFTER the table pass
-      val inserts = new Iterator[InternalRow] {
-        private var it: java.util.Iterator[InternalRow] = _
-        private def delegate = {
-          if (it == null) it = winners.values.iterator
-          it
-        }
-        def hasNext: Boolean = delegate.hasNext
-        def next(): InternalRow = delegate.next()
-      }
-      mergedTable ++ inserts
     }
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 import graft.binlog.{BinlogRead, ChangeEventGen, GenProfile}
-import graft.cdc.{Ingest, Merge}
+import graft.cdc.{Cow, Ingest, Merge, Mor}
 import graft.lake.LakeTable
 
 /** The co-located COW merge's structural guarantees:
@@ -70,6 +70,53 @@ class BucketMergeSpec extends SparkSpec {
     val sh = replay(work.resolve("sh"), colocated = false)
     assert(co.length == sh.length)
     assert(co.sameElements(sh))
+  }
+
+  test("COW apply over MOR delta history k-way folds cross-file LWW (no duplicates)") {
+    val (work, binlog) = mkBinlog(1500)
+
+    def replay(root: java.nio.file.Path, colocated: Boolean) = {
+      Merge.useColocatedCow = colocated
+      try {
+        val t = LakeTable.create(root, nBuckets = 4)
+        // two MOR batches leave multi-file buckets (delta history) …
+        Ingest.applyBatch(spark, t, mode = Mor)(BinlogRead.range(spark, binlog.toString, 0, 500), 0L)
+        Ingest.applyBatch(spark, t, mode = Mor)(BinlogRead.range(spark, binlog.toString, 500, 1000), 1L)
+        // … then a COW batch on overlapping urls must LWW-fold those files,
+        // not concatenate them (concat wrote duplicate urls with stale
+        // versions into the rewritten single-file bucket, which then skips
+        // resolve-on-read and exposes them to every reader)
+        Ingest.applyBatch(spark, t, mode = Cow)(BinlogRead.range(spark, binlog.toString, 1000, 1500), 2L)
+        t.readRaw(spark)
+          .select(col("url"), unix_micros(col("warc_ts")).as("ts"), col("text"),
+            col("content_len"), col("_seq_part"), col("_seq_offset"), col("_deleted"))
+          .collect().map(_.toString).sorted
+      } finally Merge.useColocatedCow = true
+    }
+
+    val co = replay(work.resolve("co"), colocated = true)
+    val urls = co.map(_.takeWhile(_ != ','))
+    assert(urls.length == urls.distinct.length, "duplicate urls after COW over MOR history")
+    val sh = replay(work.resolve("sh"), colocated = false)
+    assert(co.sameElements(sh))
+  }
+
+  test("single hot bucket with many distinct urls completes (no per-bucket memory ceiling)") {
+    // nBuckets=1 forces every url through one task: the old hash-map resolve
+    // had an admission bound here; the sorted-merge resolve is O(1) state
+    // with Spark's own spillable sort on the batch side.
+    val (work, binlog) = mkBinlog(3000)
+    val t = LakeTable.create(work.resolve("hot"), nBuckets = 1)
+    Ingest.applyBatch(spark, t)(BinlogRead.range(spark, binlog.toString, 0, 1500), 0L)
+    Ingest.applyBatch(spark, t)(BinlogRead.range(spark, binlog.toString, 1500, 3000), 1L)
+    val t2 = LakeTable.create(work.resolve("wide"), nBuckets = 8)
+    Ingest.applyBatch(spark, t2)(BinlogRead.range(spark, binlog.toString, 0, 1500), 0L)
+    Ingest.applyBatch(spark, t2)(BinlogRead.range(spark, binlog.toString, 1500, 3000), 1L)
+    val a = t.readRaw(spark).select("url", "warc_ts", "_seq_offset", "_deleted")
+      .collect().map(_.toString).sorted
+    val b = t2.readRaw(spark).select("url", "warc_ts", "_seq_offset", "_deleted")
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
   }
 
   test("tie on (warc_ts, offset, partition) keeps stored row; strict winner replaces") {

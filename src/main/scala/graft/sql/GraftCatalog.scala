@@ -74,26 +74,68 @@ class GraftCatalog extends TableCatalog {
     new GraftSqlTable(lake, s"$ident@v$version", pinnedSnapshot = Some(id))
   }
 
+  /** CREATE TABLE accepts any VERSION of the web-page schema (newest match
+    * wins): declaring `content_len INT` without `lang` creates a v1 table,
+    * which `ALTER TABLE` can later evolve. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val root = rootOf(ident)
     if (LakeTable.exists(root)) throw new TableAlreadyExistsException(ident)
-    val userFacing = GraftSqlTable.userSchema.fields.map(f => f.name -> f.dataType).toMap
-    val unknown = schema.fieldNames.filterNot(userFacing.contains)
-    require(unknown.isEmpty,
-      s"graft tables have a fixed web-page schema; unknown columns: ${unknown.mkString(", ")}")
-    val mistyped = schema.fields.filter(f => userFacing(f.name) != f.dataType)
-    require(mistyped.isEmpty,
-      "graft tables have a fixed web-page schema; mistyped columns: " +
-        mistyped.map(f => s"${f.name} is ${userFacing(f.name).sql}, got ${f.dataType.sql}").mkString(", "))
+    val version = (TableSchemas.current to 1 by -1).find { v =>
+      val userFacing = GraftSqlTable.userSchemaFor(v).fields.map(f => f.name -> f.dataType).toMap
+      schema.fields.forall(f => userFacing.get(f.name).contains(f.dataType))
+    }.getOrElse {
+      val userFacing = GraftSqlTable.userSchema.fields.map(f => f.name -> f.dataType).toMap
+      val unknown = schema.fieldNames.filterNot(userFacing.contains)
+      throw new IllegalArgumentException(
+        if (unknown.nonEmpty)
+          s"graft tables have a fixed web-page schema; unknown columns: ${unknown.mkString(", ")}"
+        else "graft tables have a fixed web-page schema; mistyped columns: " +
+          schema.fields.filter(f => userFacing.get(f.name).exists(_ != f.dataType))
+            .map(f => s"${f.name} is ${userFacing(f.name).sql}, got ${f.dataType.sql}").mkString(", "))
+    }
     val nBuckets = Option(properties.get("buckets")).map(_.toInt).getOrElse(32)
-    LakeTable.create(root, nBuckets)
+    LakeTable.create(root, nBuckets, schemaVersion = version)
     new GraftSqlTable(LakeTable.load(root), ident.toString)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER via SQL not supported; use LakeTable.evolveSchema")
+  /** `ALTER TABLE graft.t ADD COLUMN …` / `ALTER COLUMN … TYPE …` mapped
+    * onto the versioned evolution chain ([[LakeTable.evolveSchema]]): each
+    * change must be part of the delta from the table's version to the
+    * current one (today: v1→v2 adds `lang STRING` and widens `content_len`
+    * INT→BIGINT). Anything outside that delta — drops, renames, arbitrary
+    * columns — is rejected; a valid change evolves the table to the version
+    * containing it (a metadata-only commit; old files align at read). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    if (!LakeTable.exists(root)) throw new NoSuchTableException(ident)
+    val lake = LakeTable.load(root)
+    val from = lake.currentSnapshot.schemaVersion
+    val fromSchema = GraftSqlTable.userSchemaFor(from)
+    val toSchema = GraftSqlTable.userSchemaFor(TableSchemas.current)
+    val added = toSchema.fields.filterNot(f => fromSchema.fieldNames.contains(f.name))
+      .map(f => f.name -> f.dataType).toMap
+    val widened = toSchema.fields.filter(f => fromSchema.fieldNames.contains(f.name) &&
+      fromSchema(f.name).dataType != f.dataType).map(f => f.name -> f.dataType).toMap
+    def reject(what: String): Nothing = throw new IllegalArgumentException(
+      s"graft ALTER TABLE: $what. Supported evolution from schema v$from: " +
+        (added.map { case (n, t) => s"ADD COLUMN $n ${t.sql}" } ++
+          widened.map { case (n, t) => s"ALTER COLUMN $n TYPE ${t.sql}" }).mkString(", "))
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        val name = add.fieldNames().mkString(".")
+        if (!added.get(name).contains(add.dataType()))
+          reject(s"cannot add column `$name` ${add.dataType().sql}")
+      case upd: TableChange.UpdateColumnType =>
+        val name = upd.fieldNames().mkString(".")
+        if (!widened.get(name).contains(upd.newDataType()))
+          reject(s"cannot change column `$name` to ${upd.newDataType().sql}")
+      case other => reject(s"unsupported change ${other.getClass.getSimpleName}")
+    }
+    if (changes.nonEmpty && from < TableSchemas.current)
+      lake.evolveSchema(TableSchemas.current): Unit
+    new GraftSqlTable(LakeTable.load(root), ident.toString)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val root = rootOf(ident)
@@ -118,8 +160,10 @@ class GraftCatalog extends TableCatalog {
 
 object GraftSqlTable {
   /** User-facing schema: the logical schema minus engine columns. */
-  def userSchema: StructType = StructType(
-    TableSchemas.forVersion(TableSchemas.current).fields
+  def userSchema: StructType = userSchemaFor(TableSchemas.current)
+
+  def userSchemaFor(version: Int): StructType = StructType(
+    TableSchemas.forVersion(version).fields
       .filterNot(f => TableSchemas.internalNames.contains(f.name)))
 }
 
@@ -132,7 +176,11 @@ final class GraftSqlTable(val lake: LakeTable, ident: String,
     pinnedSnapshot: Option[Long] = None) extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = ident
-  override def schema(): StructType = GraftSqlTable.userSchema
+  /** Schema follows the table's (or the pinned snapshot's) logical version —
+    * a v1 table presents v1 columns until ALTERed; time travel to a
+    * pre-evolution snapshot presents that era's schema. */
+  override def schema(): StructType = GraftSqlTable.userSchemaFor(
+    pinnedSnapshot.map(lake.snapshot).getOrElse(lake.currentSnapshot).schemaVersion)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE).asJava
@@ -145,7 +193,7 @@ final class GraftSqlTable(val lake: LakeTable, ident: String,
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.Write {
           override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-            new GraftBatchWrite(lake)
+            new GraftBatchWrite(lake, info.schema())
           // df.writeStream.toTable("graft.t"): user-schema rows as upsert
           // epochs (epoch id == exactly-once batch id)
           override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
@@ -193,9 +241,16 @@ final class GraftLakeScan(lake: LakeTable, snapshotId: Option[Long],
     raw: Boolean = false, bucketFilter: Option[Set[Int]] = None)
     extends ScanBuilder with Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  /** The snapshot is resolved ONCE per scan: planInputPartitions and
+    * createReaderFactory must see the same file/version set — a concurrent
+    * commit (ingest, auto-maintenance) between the two calls would
+    * otherwise leave the reader map missing a schema version a planned
+    * partition uses, failing on executors. */
+  private lazy val snap = snapshotId.map(lake.snapshot).getOrElse(lake.currentSnapshot)
   override def build(): Scan = this
   override def readSchema(): StructType =
-    if (raw) TableSchemas.forVersion(TableSchemas.current) else GraftSqlTable.userSchema
+    if (raw) TableSchemas.forVersion(snap.schemaVersion)
+    else GraftSqlTable.userSchemaFor(snap.schemaVersion)
   override def description(): String =
     s"GraftLakeScan(${lake.root}${if (raw) ", raw" else ""})" +
       (if (urlKeys.nonEmpty) s" urlKeys=${urlKeys.mkString(",")}" else "")
@@ -226,7 +281,6 @@ final class GraftLakeScan(lake: LakeTable, snapshotId: Option[Long],
     else Array(org.apache.spark.sql.sources.In("url", urlKeys.toArray[Any]))
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val snap = snapshotId.map(lake.snapshot).getOrElse(lake.currentSnapshot)
     val byBucket = snap.files.groupBy(_.bucket)
       .filter { case (b, _) => bucketFilter.forall(_.contains(b)) }
     val selected =
@@ -257,8 +311,8 @@ final class GraftLakeScan(lake: LakeTable, snapshotId: Option[Long],
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
-    val snap = snapshotId.map(lake.snapshot).getOrElse(lake.currentSnapshot)
     // one driver-built parquet reader closure per physical schema version
+    // (same snapshot object as planInputPartitions — see `snap`)
     val versions = snap.files.map(_.schemaVersion).distinct.sorted
     val readers = versions.map { v =>
       v -> new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
@@ -291,10 +345,10 @@ final class GraftBucketReader(
     readers: Map[Int, org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow]])
   extends PartitionReader[InternalRow] {
 
-  // align to the COMPILE-TIME current schema (what readSchema() declares),
-  // not the snapshot's version — a pre-evolution snapshot read via SQL then
-  // presents added columns as null instead of mis-binding ordinals
-  private val full = TableSchemas.forVersion(TableSchemas.current)
+  // align to the SNAPSHOT's logical schema (what readSchema() declares):
+  // a pre-evolution snapshot presents its own era's columns; files can
+  // never be newer than their snapshot, so alignment only widens/null-fills
+  private val full = TableSchemas.forVersion(p.currentVersion)
   private def idx(n: String) = full.fieldNames.indexOf(n)
   private val urlIdx = idx("url")
   private val tsIdx = idx("warc_ts")
@@ -333,7 +387,8 @@ final class GraftBucketReader(
   // raw mode (compaction/maintenance): emit the FULL layout including
   // tombstone winners; user mode: project user columns, drop tombstones
   private val outIdxs =
-    if (p.raw) full.fieldNames.map(idx) else GraftSqlTable.userSchema.fieldNames.map(idx)
+    if (p.raw) full.fieldNames.map(idx)
+    else GraftSqlTable.userSchemaFor(p.currentVersion).fieldNames.map(idx)
   private val outProj = UnsafeProjection.create(
     outIdxs.map { srcIdx =>
       BoundReference(srcIdx, full.fields(srcIdx).dataType, full.fields(srcIdx).nullable): Expression

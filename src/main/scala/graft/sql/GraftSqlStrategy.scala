@@ -1,10 +1,10 @@
 package graft.sql
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{AnalysisException, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, LogicalPlan, MergeIntoTable}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeIntoTable, UpdateAction}
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions._
@@ -47,13 +47,88 @@ object GraftSqlStrategy extends SparkStrategy {
       }
       target match {
         case Some(t) =>
-          val deleteCond = m.matchedActions.collectFirst {
-            case DeleteAction(Some(c)) => c
-          }
-          GraftMergeExec(t, m.sourceTable, deleteCond) :: Nil
+          GraftMergeExec(t, m.sourceTable, validateShape(m)) :: Nil
         case None => Nil
       }
     case _ => Nil
+  }
+
+  /** The engine executes exactly ONE merge semantics — the canonical CDC
+    * upsert in the object doc. Anything else (no NOT MATCHED clause,
+    * partial UPDATE SET, conditions on UPDATE/INSERT, UPDATE before the
+    * DELETE, NOT MATCHED BY SOURCE) would silently run AS that semantics
+    * and return wrong results — reject it at planning instead. Returns the
+    * optional delete condition. */
+  private def validateShape(m: MergeIntoTable): Option[Expression] = {
+    def fail(what: String): Nothing = throw new AnalysisException(
+      errorClass = "USER_RAISED_EXCEPTION",
+      messageParameters = Map("errorMessage" ->
+        (s"graft MERGE: $what. Supported shape: MERGE INTO graft.<t> t USING <src> s ON t.url = s.url " +
+          "[WHEN MATCHED AND <cond> THEN DELETE] WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *")))
+
+    def rootAttr(e: Expression): Option[Attribute] = e match {
+      case a: Attribute => Some(a)
+      case c: Cast => rootAttr(c.child)
+      case a: Alias => rootAttr(a.child)
+      // alignment wraps a nullable source column assigned to a non-null
+      // target key (url) — still the plain `k = s.k` star shape
+      case n: org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull => rootAttr(n.child)
+      case k: org.apache.spark.sql.catalyst.expressions.KnownNotNull => rootAttr(k.child)
+      case _ => None
+    }
+    def rootName(e: Expression): Option[String] = rootAttr(e).map(_.name.toLowerCase)
+    val sourceOut = m.sourceTable.outputSet
+
+    // the engine's merge key IS url — any other ON clause would be ignored
+    m.mergeCondition match {
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(l, r)
+        if rootName(l).contains("url") && rootName(r).contains("url") &&
+          (rootAttr(l) ++ rootAttr(r)).count(sourceOut.contains) == 1 => ()
+      case other => fail(s"ON must be t.url = s.url (got ${other.sql})")
+    }
+
+    // every target user column assigned from the same-named source column
+    // (what SET * / INSERT * resolve to, modulo alignment casts)
+    def requireStar(assignments: Seq[Assignment], clause: String): Unit = {
+      val assigned = assignments.flatMap { a =>
+        (rootName(a.key), rootAttr(a.value)) match {
+          // the value must be the SAME-NAMED column of the SOURCE plan —
+          // an analyzer-autofilled `t.col = t.col` carry-over (a partial
+          // SET in disguise) has the right name but the target's exprId
+          case (Some(k), Some(v)) if k == v.name.toLowerCase && sourceOut.contains(v) => Some(k)
+          case (Some(k), _) => fail(s"$clause assigns `$k` from an expression; only `$k = s.$k` (the SET */INSERT * shape) is supported")
+          case _ => fail(s"$clause has an unresolvable assignment ${a.sql}")
+        }
+      }.toSet
+      val targetCols = GraftSqlTable.userSchema.fieldNames.map(_.toLowerCase).toSet
+      val missing = targetCols -- assigned
+      if (missing.nonEmpty)
+        fail(s"$clause is partial — missing ${missing.toSeq.sorted.mkString(", ")}; only SET */INSERT * is supported")
+    }
+
+    if (m.notMatchedBySourceActions.nonEmpty)
+      fail("WHEN NOT MATCHED BY SOURCE is not supported")
+
+    val deleteCond = m.matchedActions match {
+      case Seq(UpdateAction(None, as, _)) =>
+        requireStar(as, "WHEN MATCHED UPDATE"); None
+      case Seq(DeleteAction(Some(c)), UpdateAction(None, as, _)) =>
+        requireStar(as, "WHEN MATCHED UPDATE"); Some(c)
+      case Seq(DeleteAction(None)) =>
+        fail("unconditional WHEN MATCHED THEN DELETE is not supported (the engine is an LWW upsert; use a conditional DELETE)")
+      case Seq(UpdateAction(Some(_), _, _), _*) | Seq(_, UpdateAction(Some(_), _, _), _*) =>
+        fail("conditional WHEN MATCHED UPDATE is not supported")
+      case other =>
+        fail(s"unsupported WHEN MATCHED actions: ${other.map(_.getClass.getSimpleName).mkString(", ")} (expect [conditional DELETE,] unconditional UPDATE SET *)")
+    }
+    m.notMatchedActions match {
+      case Seq(InsertAction(None, as)) => requireStar(as, "WHEN NOT MATCHED INSERT")
+      case Seq(InsertAction(Some(_), _)) => fail("conditional WHEN NOT MATCHED INSERT is not supported")
+      case other =>
+        fail(s"exactly one unconditional WHEN NOT MATCHED THEN INSERT * is required (got ${other.size} actions)")
+    }
+    deleteCond
   }
 }
 

@@ -25,14 +25,15 @@ import graft.model.ChangeEvent
   * tails), the driver commit replays the staging directory through
   * `Merge.apply` as ONE exactly-once batch, then deletes the staging area.
   * Abort deletes the staging area without committing. */
-final class GraftBatchWrite(lake: LakeTable) extends BatchWrite {
+final class GraftBatchWrite(lake: LakeTable,
+    schema: org.apache.spark.sql.types.StructType) extends BatchWrite {
 
   private val staging: Path =
     Files.createDirectories(lake.root.resolve("staging")).resolve(
       s"ins-${java.util.UUID.randomUUID().toString.take(8)}")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftInsertWriterFactory(staging.toString)
+    new GraftInsertWriterFactory(staging.toString, schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -59,17 +60,26 @@ final class GraftBatchWrite(lake: LakeTable) extends BatchWrite {
   }
 }
 
-final class GraftInsertWriterFactory(staging: String) extends DataWriterFactory {
+final class GraftInsertWriterFactory(staging: String,
+    schema: org.apache.spark.sql.types.StructType) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     // per-ATTEMPT subdir (taskId is attempt-unique): speculative or retried
     // attempts never share a tmp path, and abort removes the whole dir
-    new GraftInsertWriter(Paths.get(staging, s"task-$taskId"), partitionId)
+    new GraftInsertWriter(Paths.get(staging, s"task-$taskId"), partitionId, schema)
 }
 
 /** Buffers nothing: streams rows straight into a segment file. Input layout
-  * is the user-facing schema (url, warc_ts, html, text, content_len, lang). */
-final class GraftInsertWriter(dir: Path, partitionId: Int)
+  * is the table's user-facing schema for ITS version — ordinals are resolved
+  * by name (a v1 table has no `lang` column). */
+final class GraftInsertWriter(dir: Path, partitionId: Int,
+    schema: org.apache.spark.sql.types.StructType)
   extends DataWriter[InternalRow] {
+
+  private def idx(n: String): Int = schema.fieldNames.indexOf(n)
+  private val urlIdx = idx("url")
+  private val tsIdx = idx("warc_ts")
+  private val htmlIdx = idx("html")
+  private val langIdx = idx("lang") // -1 on v1 tables
 
   private var w: SegmentWriter = _
   private var n = 0L
@@ -77,17 +87,17 @@ final class GraftInsertWriter(dir: Path, partitionId: Int)
   override def write(row: InternalRow): Unit = {
     if (w == null)
       w = new SegmentWriter(dir, partitionId, 0L, 64L * 1024 * 1024)
-    val micros = row.getLong(1)
+    val micros = row.getLong(tsIdx)
     val ts = new Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
     ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
     w.writeEvent(ChangeEvent(
       partition = partitionId,
       offset = n,
       op = ChangeEvent.OpUpsert,
-      url = row.getUTF8String(0).toString,
+      url = row.getUTF8String(urlIdx).toString,
       warc_ts = ts,
-      html = if (row.isNullAt(2)) null else row.getBinary(2),
-      lang = if (row.isNullAt(5)) null else row.getUTF8String(5).toString))
+      html = if (htmlIdx < 0 || row.isNullAt(htmlIdx)) null else row.getBinary(htmlIdx),
+      lang = if (langIdx < 0 || row.isNullAt(langIdx)) null else row.getUTF8String(langIdx).toString))
     n += 1
   }
 

@@ -74,6 +74,43 @@ class GraftSqlSpec extends SparkSpec {
     assert(lake.currentSnapshot.batches.map(_.batchId) == Seq(0L, 1L))
   }
 
+  test("MERGE shape validation: non-canonical merges are rejected, not mis-executed") {
+    enable()
+    spark.sql("CREATE TABLE graft.val (url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, content_len BIGINT, lang STRING) USING graft TBLPROPERTIES('buckets'='2')")
+    spark.range(5).createOrReplaceTempView("vseed")
+    val srcSql =
+      """SELECT concat('u', id) AS url, timestamp_micros(1700000000000000 + id) AS warc_ts,
+        |  cast('<p>x</p>' AS BINARY) AS html, CAST(NULL AS STRING) AS text,
+        |  CAST(NULL AS BIGINT) AS content_len, 'en' AS lang, 'upsert' AS op FROM vseed""".stripMargin
+    def m(body: String) =
+      spark.sql(s"MERGE INTO graft.val t USING ($srcSql) s ON t.url = s.url\n$body")
+
+    // MERGE without WHEN NOT MATCHED previously still inserted unmatched rows
+    val e1 = intercept[org.apache.spark.sql.AnalysisException](
+      m("WHEN MATCHED THEN UPDATE SET *"))
+    assert(e1.getMessage.contains("INSERT"))
+    // partial UPDATE SET was silently treated as SET *
+    intercept[org.apache.spark.sql.AnalysisException](
+      m("WHEN MATCHED THEN UPDATE SET lang = s.lang WHEN NOT MATCHED THEN INSERT *"))
+    // conditions on UPDATE were silently dropped
+    intercept[org.apache.spark.sql.AnalysisException](
+      m("WHEN MATCHED AND s.op = 'upsert' THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"))
+    // conditions on INSERT were silently dropped
+    intercept[org.apache.spark.sql.AnalysisException](
+      m("WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED AND s.op = 'upsert' THEN INSERT *"))
+    // a non-url ON clause was silently merged on url anyway
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql(s"""MERGE INTO graft.val t USING ($srcSql) s ON t.lang = s.lang
+        |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    // nothing committed by any rejected statement
+    assert(spark.sql("SELECT * FROM graft.val").count() == 0)
+
+    // the canonical shape (with and without the conditional DELETE) works
+    m("WHEN MATCHED AND s.op = 'delete' THEN DELETE WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    m("WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.sql("SELECT * FROM graft.val").count() == 5)
+  }
+
   test("SELECT equals the library read() path, including MOR delta resolve") {
     enable()
     spark.sql("CREATE TABLE graft.morpages (url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, content_len BIGINT, lang STRING) USING graft TBLPROPERTIES('buckets'='4')")
@@ -130,6 +167,65 @@ class GraftSqlSpec extends SparkSpec {
     assert(in3.collect().map(_.getString(0)).sorted.sameElements(Array("u1", "u2", "u7")))
     // a key that hashes to an existing bucket but matches no row: pruned read, empty result
     assert(spark.sql("SELECT * FROM graft.morpages WHERE url = 'nope'").count() == 0)
+  }
+
+  test("ALTER TABLE evolves schema: v1 create → insert → ADD COLUMN → merge → mixed read, all SQL") {
+    enable()
+    // v1 schema: content_len INT, no lang
+    spark.sql("CREATE TABLE graft.ev (url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, content_len INT) USING graft TBLPROPERTIES('buckets'='2')")
+    val s1 = spark.table("graft.ev").schema
+    assert(!s1.fieldNames.contains("lang"))
+    assert(s1("content_len").dataType == org.apache.spark.sql.types.IntegerType)
+
+    spark.sql(
+      """INSERT INTO graft.ev
+        |SELECT concat('e', id), timestamp_micros(1700000000000000 + id),
+        |  cast(concat('<p>v1-', id, '</p>') AS BINARY), CAST(NULL AS STRING), CAST(NULL AS INT)
+        |FROM range(20)""".stripMargin)
+    assert(spark.sql("SELECT * FROM graft.ev").count() == 20)
+
+    // evolution outside the versioned delta is rejected
+    intercept[Exception](spark.sql("ALTER TABLE graft.ev ADD COLUMN bogus DOUBLE"))
+    intercept[Exception](spark.sql("ALTER TABLE graft.ev DROP COLUMN text"))
+
+    // the real evolution: ADD COLUMN lang (carries the content_len widen of
+    // the same version step, as documented)
+    spark.sql("ALTER TABLE graft.ev ADD COLUMN lang STRING")
+    val s2 = spark.table("graft.ev").schema
+    assert(s2.fieldNames.contains("lang"))
+    assert(s2("content_len").dataType == org.apache.spark.sql.types.LongType)
+
+    // MERGE against the ALTERed table (v2 source with lang), LWW over v1
+    // rows — in MOR mode so v1 base files and v2 delta files COEXIST and the
+    // SQL read exercises the mixed-version k-way resolve
+    GraftSql.sqlMergeMode = graft.cdc.Mor
+    try {
+      spark.range(10).createOrReplaceTempView("evseed")
+      spark.sql(
+        """MERGE INTO graft.ev t USING (
+          |  SELECT concat('e', id) AS url, timestamp_micros(1900000000000000 + id) AS warc_ts,
+          |    cast(concat('<p>v2-', id, '</p>') AS BINARY) AS html, CAST(NULL AS STRING) AS text,
+          |    CAST(NULL AS BIGINT) AS content_len, 'fr' AS lang FROM evseed) s
+          |ON t.url = s.url
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    } finally GraftSql.sqlMergeMode = graft.cdc.Cow
+    val rows = spark.sql("SELECT url, lang, text FROM graft.ev").collect()
+      .map(r => r.getString(0) -> (Option(r.getString(1)), r.getString(2))).toMap
+    assert(rows.size == 20)
+    // v2-era winners carry lang; v1-era rows read as null lang
+    assert(rows("e3") == (Some("fr"), "v2-3"))
+    assert(rows("e15") == (None, "v1-15"))
+    // physical files span both versions under one table
+    val lake = graft.lake.LakeTable.load(java.nio.file.Paths.get(wh, "ev"))
+    assert(lake.currentSnapshot.files.map(_.schemaVersion).toSet == Set(1, 2))
+
+    // the widen-only route works too
+    spark.sql("CREATE TABLE graft.ev2 (url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, content_len INT) USING graft TBLPROPERTIES('buckets'='2')")
+    spark.sql("ALTER TABLE graft.ev2 ALTER COLUMN content_len TYPE BIGINT")
+    assert(spark.table("graft.ev2").schema.fieldNames.contains("lang"))
+    // idempotent: altering an already-current table with an in-delta change fails cleanly
+    intercept[Exception](spark.sql("ALTER TABLE graft.ev2 ADD COLUMN lang STRING"))
   }
 
   test("time travel: SELECT ... VERSION AS OF reads an earlier snapshot") {

@@ -101,8 +101,10 @@ final class BinlogScan(rootPath: String, options: CaseInsensitiveStringMap)
       val segs = Segment.listAll(Paths.get(path))
       val ends = BinlogOffsets.endOffsets(segs)
         .filter { case (p, _) => partitionFilter.forall(_.contains(p)) }
-      val ranges = ends.map { case (p, e) => p -> (fromOffset, math.min(e, untilOffset)) }
-        .filter { case (_, (f, u)) => u > f }
+      val starts = BinlogOffsets.startOffsets(segs)
+      val ranges = ends.map { case (p, e) =>
+        p -> (math.max(fromOffset, starts.getOrElse(p, 0L)), math.min(e, untilOffset))
+      }.filter { case (_, (f, u)) => u > f }
       BinlogOffsets.splitRanges(path, ranges, eventsPerTask)
     }
     override def createReaderFactory(): PartitionReaderFactory =
@@ -140,6 +142,13 @@ object BinlogOffsets {
   def endOffsets(segs: Vector[SegmentFile]): Map[Int, Long] =
     segs.groupBy(_.partition).map { case (p, fs) => p -> fs.map(_.endOffset).max }
 
+  /** First available offset per partition — segments need not start at 0
+    * (epoch-anchored sink staging, GC-truncated archives). Planning from 0
+    * against a segment anchored at a large offset would split the void
+    * below it into millions of empty tasks. */
+  def startOffsets(segs: Vector[SegmentFile]): Map[Int, Long] =
+    segs.groupBy(_.partition).map { case (p, fs) => p -> fs.map(_.startOffset).min }
+
   /** Split per-partition ranges into ≤ eventsPerTask slices. */
   def splitRanges(path: String, ranges: Map[Int, (Long, Long)], eventsPerTask: Long): Array[InputPartition] = {
     val out = Array.newBuilder[InputPartition]
@@ -172,8 +181,14 @@ final class BinlogMicroBatchStream(path: String, maxEventsPerBatch: Long, events
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(listEnds())
 
-  override def initialOffset(): Offset =
-    BinlogOffset(listEnds().map { case (p, _) => p -> 0L })
+  override def initialOffset(): Offset = {
+    // earliest AVAILABLE offset per partition (not 0): an archive whose head
+    // was GC'd, or segments anchored at a large base offset, must not plan
+    // the void below their first record
+    val starts = BinlogOffsets.startOffsets(Segment.listAll(Paths.get(path)))
+      .filter { case (p, _) => partitionFilter.forall(_.contains(p)) }
+    BinlogOffset(listEnds().map { case (p, _) => p -> starts.getOrElse(p, 0L) })
+  }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxEventsPerBatch)
 

@@ -74,13 +74,27 @@ object Ingest {
       case None =>
         val events = df.persist(StorageLevel.MEMORY_AND_DISK)
         try {
-          // per-partition lineage (startOffset, count): the gap-free chain of
-          // the reference's chunk index (BlockGZIPFileWriter.java:174-176)
-          val lineage = events.groupBy(col("partition"))
+          // per-partition lineage as CONTIGUOUS (startOffset, count) runs:
+          // the gap-free chain of the reference's chunk index
+          // (BlockGZIPFileWriter.java:174-176). A (min, count) envelope
+          // would FABRICATE coverage when the incoming frame has offset
+          // gaps (an upstream filter): the audit would pass on a range the
+          // batch never carried. Runs are found distributed — one window
+          // sort over (partition, offset), run heads where the previous
+          // offset is not offset−1, then one small aggregate per run.
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("partition")).orderBy(col("offset"))
+          val lineage = events.select(col("partition"), col("offset")).distinct()
+            .withColumn("_prev", lag(col("offset"), 1).over(w))
+            .withColumn("_head", when(col("_prev").isNull || col("offset") =!= col("_prev") + 1L, 1L).otherwise(0L))
+            .withColumn("_run", sum(col("_head")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy(col("partition"))
+                .orderBy(col("offset")).rowsBetween(Long.MinValue, 0)))
+            .groupBy(col("partition"), col("_run"))
             .agg(min(col("offset")).as("start"), count(lit(1)).as("cnt"))
             .collect()
-            .map(r => PartLineage(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(2)))
-            .toSeq.sortBy(_.partition)
+            .map(r => PartLineage(r.getInt(0), r.getLong(2), r.getLong(3), r.getLong(3)))
+            .toSeq.sortBy(l => (l.partition, l.startOffset))
           if (lineage.isEmpty) return
           Merge(spark, table, events, batchId, lineage, mode)
           if (sys.env.contains("GRAFT_TIMING")) System.err.println(

@@ -175,6 +175,12 @@ object Merge {
       files = keep ++ newFiles,
       totalRows = keep.map(_.rowCount).sum + newFiles.map(_.rowCount).sum)
     table.commit(next)
+    // inherit point-lookup bloom coverage through AUTOMATIC compaction: if a
+    // replaced file carried a sidecar the deployment uses blooms — build
+    // them for the replacements (executor-side, per-file) so lookups stay
+    // pruned without waiting for the next maintenance pass
+    if (sel.exists(f => java.nio.file.Files.exists(Bloom.sidecar(table.root.resolve(f.path)))))
+      Bloom.build(spark, newFiles.map(f => (table.root.resolve(f.path), f.rowCount))): Unit
     next
   }
 

@@ -2,9 +2,7 @@ package graft.lake
 
 import java.nio.file.{Files, Path}
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
-import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
 
 /** Per-data-file url bloom filters for point-lookup pruning.
   *
@@ -18,9 +16,9 @@ import org.apache.spark.sql.functions._
   *  - blooms are SIDECARS, not manifest payload: snapshot JSON stays small,
   *    no format migration; presence is probed per candidate file (≤
   *    MaxFilesPerBucket of ONE bucket per lookup);
-  *  - built by [[Maintain.buildBlooms]] as a MAINTENANCE pass (a
-  *    column-pruned cluster scan of files lacking sidecars, hashes
-  *    aggregated per file) — the ingest hot path is untouched, lookups use
+  *  - built by [[Maintain.buildBlooms]] as a MAINTENANCE pass (one task per
+  *    file lacking a sidecar: column-pruned url read, per-file-sized bitset
+  *    written executor-side) — the ingest hot path is untouched, lookups use
   *    blooms opportunistically and fall back to bounds where absent;
   *  - a bloom can only SKIP (membership "no"); false positives just read a
   *    file the bounds would have read anyway — correctness never depends
@@ -72,49 +70,58 @@ object Bloom {
     true
   }
 
-  /** Cluster-side per-file bloom aggregation: (rowCountHint → bitset). */
-  final class BloomAgg(mBits: Int) extends Aggregator[Long, Array[Byte], Array[Byte]] {
-    override def zero: Array[Byte] = new Array[Byte](mBits / 8)
-    override def reduce(b: Array[Byte], h: Long): Array[Byte] = { set(b, h); b }
-    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-      var i = 0
-      while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
-      a
-    }
-    override def finish(r: Array[Byte]): Array[Byte] = r
-    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
-    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
-  }
-
   /** Build sidecars for the given data files (absolute path → expected
-    * rows); skips files that already have one. Returns #built. */
+    * rows); skips files that already have one. Returns #built.
+    *
+    * Fully distributed: one task per missing file — each task reads ITS
+    * file's url column (column-pruned vectorized parquet read), folds the
+    * hashes into a bitset sized for THAT file's own row count
+    * (`bitsFor(rows)`, not one global maximum), and renames the sidecar
+    * into place next to the file it describes. Nothing but the built-count
+    * crosses to the driver — at 10^5 files the old groupBy+collect design
+    * funneled every bitset (up to 2^27 bytes each) through driver memory
+    * and paired them back to paths by URI-suffix heuristics. */
   def build(spark: SparkSession, files: Seq[(Path, Long)]): Int = {
     val missing = files.filterNot(f => Files.exists(sidecar(f._1)))
+      .map { case (p, rows) => (p.toString, rows) }
     if (missing.isEmpty) return 0
-    val maxRows = missing.map(_._2).max
-    val m = bitsFor(maxRows) // one size per batch of files — simple, safe
-    val agg = udaf(new BloomAgg(m), Encoders.scalaLong)
-    val rows: Array[(String, Array[Byte])] =
-      spark.read.parquet(missing.map(_._1.toString): _*)
-        .select(input_file_name().as("f"), xxhash64(col("url")).as("h"))
-        .groupBy(col("f")).agg(agg(col("h")).as("bits"))
-        .collect().map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
-    val byName = missing.map(f => f._1.toUri.toString -> f._1).toMap
-    var built = 0
-    rows.foreach { case (uri, bits) =>
-      // input_file_name returns a URI form; match on the tail
-      byName.find { case (u, _) => uri == u || uri.endsWith(u) || u.endsWith(uri) }
-        .orElse(byName.find { case (_, p) => uri.endsWith(p.getFileName.toString) })
-        .foreach { case (_, p) =>
-          val tmp = p.resolveSibling(p.getFileName.toString + ".bloom.tmp")
-          Files.write(tmp, bits)
-          Files.move(tmp, sidecar(p),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          built += 1
-        }
-    }
-    built
+    val urlOnly = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("url", org.apache.spark.sql.types.StringType, nullable = false)))
+    // Spark's own parquet reader closure (driver-built, executor-shippable —
+    // same pattern as the bucket scans); requiredSchema prunes to `url`
+    val readFile = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+      .buildReaderWithPartitionValues(
+        sparkSession = spark,
+        dataSchema = urlOnly,
+        partitionSchema = new org.apache.spark.sql.types.StructType(),
+        requiredSchema = urlOnly,
+        filters = Nil,
+        options = Map(org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "false"),
+        hadoopConf = spark.sessionState.newHadoopConf())
+    val slices = math.max(1, math.min(missing.size, spark.sparkContext.defaultParallelism * 2))
+    spark.sparkContext.parallelize(missing, slices).map { case (pathStr, rows) =>
+      val p = java.nio.file.Paths.get(pathStr)
+      if (Files.exists(sidecar(p))) 0
+      else {
+        val bits = new Array[Byte](bitsFor(rows) / 8)
+        val pf = org.apache.spark.sql.execution.datasources.PartitionedFile(
+          org.apache.spark.sql.catalyst.InternalRow.empty,
+          org.apache.spark.paths.SparkPath.fromPathString(pathStr), 0L, Files.size(p))
+        val it = readFile(pf)
+        while (it.hasNext) set(bits,
+          org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+            it.next().getUTF8String(0), 42L))
+        // attempt-unique tmp + atomic rename: retried/speculative tasks
+        // never tear each other's sidecar
+        val tmp = p.resolveSibling(
+          p.getFileName.toString + s".bloom.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+        Files.write(tmp, bits)
+        Files.move(tmp, sidecar(p),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        1
+      }
+    }.sum().toInt
   }
 
   // tiny driver-side cache: point lookups hit the same few sidecars

@@ -96,8 +96,15 @@ final class LakeStreamingWrite(root: String, nBuckets: Int, mode: graft.cdc.Merg
     val staging = stagingDir(epochId)
     try {
       if (table.currentSnapshot.committedBatchIds.contains(epochId)) return // replayed epoch
-      // staged segments across task dirs: true envelope + chunk metadata
-      val staged = Layout.listUnder(staging, Layout.Flat)
+      // ingest ONLY the attempt dirs reported by COMMITTED writers — a task
+      // attempt that closed segments and then died without abort() (executor
+      // crash, killed speculative loser) leaves orphans under staging/epoch-N
+      // which must not be read alongside the retry's copy (duplicate lineage
+      // runs would break the gap-free audit). Orphans die with the staging
+      // dir in the finally.
+      val committedDirs = messages.collect { case SegmentsStaged(dir) => Paths.get(dir) }
+        .filter(Files.isDirectory(_))
+      val staged = committedDirs.flatMap(d => Layout.listUnder(d, Layout.Flat)).toSeq
       if (staged.isEmpty) return
       // lineage from segment metadata (no data pass): one entry per
       // CONTIGUOUS run per partition — the canonical pipeline yields a
@@ -137,6 +144,10 @@ final class LakeStreamingWrite(root: String, nBuckets: Int, mode: graft.cdc.Merg
   }
 }
 
+/** Commit message: the attempt dir whose segments this writer staged and
+  * closed. The epoch commit ingests exactly these dirs. */
+final case class SegmentsStaged(dir: String) extends WriterCommitMessage
+
 final class LakeSinkWriterFactory(stagingRoot: String, userSchemaRows: Boolean = false)
   extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
@@ -144,7 +155,7 @@ final class LakeSinkWriterFactory(stagingRoot: String, userSchemaRows: Boolean =
     // disjoint dirs (no shared tmp paths), and abort can remove the whole
     // attempt dir — including segments already closed by a rolling writer
     val dir = Paths.get(stagingRoot, s"epoch-$epochId", s"task-$partitionId-a$taskId")
-    if (userSchemaRows) new LakeSinkUserWriter(dir, partitionId)
+    if (userSchemaRows) new LakeSinkUserWriter(dir, partitionId, epochId)
     else new LakeSinkWriter(dir)
   }
 }
@@ -161,20 +172,26 @@ private[graft] object SinkIO {
 
 /** `writeStream.toTable("graft.t")` variant: rows arrive in the USER schema
   * (url, warc_ts, html, text, content_len, lang) — every row is an upsert
-  * with a synthetic envelope (partition = task id, offsets 0..n), resolved
-  * LWW by warc_ts like any other batch; text/content_len are engine-derived. */
-final class LakeSinkUserWriter(dir: Path, partitionId: Int) extends DataWriter[InternalRow] {
+  * with a synthetic envelope (partition = task id, offsets anchored at
+  * `epochId << 32`), resolved LWW by warc_ts like any other batch;
+  * text/content_len are engine-derived. Anchoring offsets at the epoch
+  * makes the `(warc_ts, offset, partition)` tie-break DETERMINISTIC across
+  * epochs: two epochs can never repeat a (partition, offset) pair, so an
+  * equal-warc_ts upsert from a later epoch strictly wins. */
+final class LakeSinkUserWriter(dir: Path, partitionId: Int, epochId: Long)
+  extends DataWriter[InternalRow] {
   private var w: SegmentWriter = _
+  private val base: Long = epochId << 32
   private var n = 0L
 
   override def write(row: InternalRow): Unit = {
-    if (w == null) w = new SegmentWriter(dir, partitionId, 0L)
+    if (w == null) w = new SegmentWriter(dir, partitionId, base)
     val micros = row.getLong(1)
     val ts = new Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
     ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
     w.writeEvent(ChangeEvent(
       partition = partitionId,
-      offset = n,
+      offset = base + n,
       op = ChangeEvent.OpUpsert,
       url = row.getUTF8String(0).toString,
       warc_ts = ts,
@@ -185,7 +202,7 @@ final class LakeSinkUserWriter(dir: Path, partitionId: Int) extends DataWriter[I
 
   override def commit(): WriterCommitMessage = {
     if (w != null) w.close()
-    new WriterCommitMessage {}
+    SegmentsStaged(dir.toString)
   }
   // the attempt dir is exclusively ours (unique taskId in the path): abort
   // removes it WHOLE, including segments already rolled and closed
@@ -233,7 +250,7 @@ final class LakeSinkWriter(dir: Path) extends DataWriter[InternalRow] {
 
   override def commit(): WriterCommitMessage = {
     if (w != null) w.close()
-    new WriterCommitMessage {}
+    SegmentsStaged(dir.toString)
   }
   // the attempt dir is exclusively ours (unique taskId in the path): abort
   // removes it WHOLE, including segments already rolled and closed

@@ -38,10 +38,14 @@ final class GraftBatchWrite(lake: LakeTable,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     try {
-      val staged = graft.binlog.Layout.listUnder(staging, graft.binlog.Layout.Flat)
-      if (staged.nonEmpty) {
+      // only dirs reported by COMMITTED writers: an attempt that closed
+      // segments then died without abort() leaves orphans that must not be
+      // ingested next to the retry's copy (they die with the staging dir)
+      val dirs = messages.collect { case graft.lake.SegmentsStaged(d) => d }
+        .filter(d => Files.isDirectory(Paths.get(d))).distinct.toSeq
+        .filter(d => graft.binlog.Layout.listUnder(Paths.get(d), graft.binlog.Layout.Flat).nonEmpty)
+      if (dirs.nonEmpty) {
         val batchId = lake.currentSnapshot.batches.map(_.batchId).maxOption.getOrElse(-1L) + 1L
-        val dirs = staged.map(_._2.path.getParent.toString).distinct
         val df = dirs.map(d => graft.binlog.BinlogRead.all(spark, d)).reduce(_.unionByName(_))
         graft.cdc.Merge(spark, lake, df, batchId, lineage = Nil,
           mode = GraftSql.sqlMergeMode): Unit
@@ -103,7 +107,7 @@ final class GraftInsertWriter(dir: Path, partitionId: Int,
 
   override def commit(): WriterCommitMessage = {
     if (w != null) w.close()
-    new WriterCommitMessage {}
+    graft.lake.SegmentsStaged(dir.toString)
   }
 
   override def abort(): Unit = {

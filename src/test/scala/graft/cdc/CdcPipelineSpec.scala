@@ -208,6 +208,25 @@ class CdcPipelineSpec extends SparkSpec {
     assert(oracle.forall { case (u, (ts, _, _, _)) => got(u) == ts })
   }
 
+  test("fallback lineage records TRUE contiguous runs for an offset-gapped frame") {
+    import org.apache.spark.sql.functions.col
+    val p = GenProfile.uniformSmall().copy(partitions = 1, eventsPerPartition = 300)
+    val binlog = gen(p)
+    val table = LakeTable.create(tmpDir("gaptbl"), nBuckets = 4)
+    // a frame with an offset HOLE (an upstream filter dropped [100, 200)),
+    // materialized so the non-binlog fallback lineage path runs
+    val src = BinlogRead.range(spark, binlog.toString, 0, 300)
+      .filter(col("offset") < 100 || col("offset") >= 200)
+    val gapped = spark.createDataFrame(
+      java.util.Arrays.asList(src.collect(): _*), src.schema)
+    Ingest.applyBatch(spark, table)(gapped, 0L)
+    val lin = table.currentSnapshot.batches.head.lineage
+    // two runs — NOT a fabricated (min=0, count=200) envelope spanning the gap
+    assert(lin.map(l => (l.partition, l.startOffset, l.count)) ==
+      Seq((0, 0L, 100L), (0, 200L, 100L)), lin.toString)
+    assert(table.read(spark).count() > 0)
+  }
+
   test("time travel: earlier snapshot still readable after later commits") {
     val p = GenProfile.uniformSmall().copy(partitions = 1, eventsPerPartition = 600)
     val binlog = gen(p)

@@ -58,6 +58,13 @@ class BloomSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM graft.bl WHERE url = 'absent'").count() == 0)
     assert(spark.sql("SELECT count(*) FROM graft.bl").head().getLong(0) == 600)
 
+    // AUTOMATIC (MOR) compaction inherits coverage: replaced files had
+    // sidecars, so the compacted replacements come out covered inline
+    graft.cdc.Merge.compactBuckets(spark, lake, Set(0))
+    assert(lake.currentSnapshot.files.filter(_.bucket == 0).forall(f =>
+      java.nio.file.Files.exists(Bloom.sidecar(lake.root.resolve(f.path)))))
+    assert(spark.sql("SELECT count(*) FROM graft.bl").head().getLong(0) == 600)
+
     // compaction with inline blooms: the fresh files come out covered
     Maintain.compact(spark, lake, withBlooms = true)
     assert(lake.currentSnapshot.files.forall(f =>

@@ -109,4 +109,45 @@ class LakeSinkSpec extends SparkSpec {
     val lake = LakeTable.load(java.nio.file.Paths.get(wh, "tt"))
     assert(lake.currentSnapshot.batches.nonEmpty)
   }
+
+  test("toTable across epochs: equal warc_ts resolves deterministically (later epoch wins)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val wh = tmpDir("tt2-wh").toString
+    graft.sql.GraftSql.enable(spark, wh)
+    spark.sql("DROP TABLE IF EXISTS graft.tt2e")
+    spark.sql("CREATE TABLE graft.tt2e (url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, content_len BIGINT, lang STRING) USING graft TBLPROPERTIES('buckets'='2')")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Long, String)]
+    val ckpt = tmpDir("tt2e-ckpt").toString // ONE checkpoint: epochs advance
+    def frame(tag: String) = (0 until 20).map(i => (s"k$i", 1700000000000000L, tag))
+    def write(): Unit = {
+      val df = mem.toDF().toDF("u", "t", "v").selectExpr(
+        "u AS url", "timestamp_micros(t) AS warc_ts",
+        "cast(concat('<p>', v, '</p>') AS BINARY) AS html",
+        "CAST(NULL AS STRING) AS text", "CAST(NULL AS BIGINT) AS content_len",
+        "'en' AS lang")
+      df.writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .toTable("graft.tt2e")
+        .awaitTermination()
+    }
+    // epoch 0: every url at warc_ts T with payload "old"
+    mem.addData(frame("old"): _*)
+    write()
+    // epoch 1 (same checkpoint → next epoch id): SAME urls, SAME warc_ts,
+    // payload "new" — the (warc_ts, offset, partition) tie-break must be
+    // decided by the epoch-anchored offsets (epoch << 32), not a replayed
+    // 0..n sequence that could collide and tie-keep arbitrarily
+    mem.addData(frame("new"): _*)
+    write()
+
+    val texts = spark.sql("SELECT url, text FROM graft.tt2e").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(texts.size == 20)
+    assert(texts.values.forall(_ == "new"),
+      s"later epoch must win every equal-warc_ts tie: ${texts.view.filter(_._2 != "new").take(3).toMap}")
+  }
 }

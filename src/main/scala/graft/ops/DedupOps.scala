@@ -56,16 +56,7 @@ object DedupOps {
   def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
       threshold: Double = 0.6, maxBucketSize: Int = 1000): DataFrame = {
-    val k = bands * rowsPerBand
-    val sigs = withMinhashes(docs.select(col(idCol).as("id"), col(textCol).as("txt")), "txt", n, k)
-    // band keys: one row per (doc, band)
-    val bandKeys0 = sigs.select(
-      col("id"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          md5(to_binary(concat_ws("|", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*), lit("utf-8"))).as("bucket"))
-      }: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val bandKeys0 = bandKeysOf(docs, textCol, idCol, n, bands, rowsPerBand)
     val bandKeys = capBuckets(bandKeys0, Seq("band", "bucket"), maxBucketSize)
     val a = bandKeys.alias("a")
     val b = bandKeys.alias("b")
@@ -75,6 +66,59 @@ object DedupOps {
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
     verifyJaccard(candidates, docs, textCol, idCol, n, threshold)
+  }
+
+  /** LSH band keys: one row per (doc, band) with the band's bucket hash. */
+  private def bandKeysOf(docs: DataFrame, textCol: String, idCol: String,
+      n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigs = withMinhashes(docs.select(col(idCol).as("id"), col(textCol).as("txt")), "txt", n, k)
+    sigs.select(
+      col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          md5(to_binary(concat_ws("|", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*), lit("utf-8"))).as("bucket"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+  }
+
+  /** Caps derived from the corpus itself (see [[tuneCaps]]). */
+  final case class TunedCaps(maxBucketSize: Int, maxDf: Int)
+
+  /** Derive `maxBucketSize` / `maxDf` from a corpus SAMPLE instead of fixed
+    * defaults: a high quantile of the observed band-bucket-size and
+    * shingle-df distributions, a headroom factor so genuine near-dup
+    * clusters clear the cap, then scaled by `1/sampleFraction` — a
+    * boilerplate bucket's membership grows linearly with corpus size, so
+    * the sample quantile under-states the full-corpus bucket by exactly the
+    * sampling rate, while the quantile itself (taken at p≪hot) tracks the
+    * NORMAL population.
+    *
+    * Scale: ONE pass over an (e.g. 1%) sample; only two approximate
+    * quantiles cross to the driver. At 10⁹ docs a 1% sample still holds
+    * every pathological bucket at ~1% of its true size — far above the
+    * normal-population quantile — so the derived cap separates the two
+    * populations the same way it does at test scale. */
+  def tuneCaps(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
+      sampleFraction: Double = 0.01, seed: Long = 42L,
+      quantile: Double = 0.99, headroom: Double = 4.0,
+      floorCap: Int = 16): TunedCaps = {
+    val f = math.min(1.0, sampleFraction)
+    val sample = (if (f >= 1.0) docs else docs.sample(withReplacement = false, f, seed))
+      .select(col(idCol), col(textCol)).persist()
+    try {
+      val keys = bandKeysOf(sample, textCol, idCol, n, bands, rowsPerBand)
+      val qb = keys.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("size"))
+        .stat.approxQuantile("size", Array(quantile), 0.001).headOption.getOrElse(1.0)
+      val maxBucket = math.ceil(math.max(floorCap.toDouble, math.ceil(qb * headroom)) / f).toInt
+      val qd = sample
+        .select(explode(array_distinct(TextOps.shingles(col(textCol), n))).as("s"))
+        .groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .stat.approxQuantile("df", Array(quantile), 0.001).headOption.getOrElse(1.0)
+      val maxDf = math.ceil(math.max(floorCap.toDouble, math.ceil(qd * headroom)) / f).toInt
+      TunedCaps(maxBucket, maxDf)
+    } finally { sample.unpersist(): Unit }
   }
 
   /** Drop rows whose bucket (the given key columns) holds more than

@@ -136,6 +136,35 @@ class OpsSpec extends SparkSpec {
     assert(cappedExact.forall { case (a, b) => a < 100000L && b < 100000L })
   }
 
+  test("caps derived from a corpus sample separate hot buckets from the normal population") {
+    import spark.implicits._
+    val boiler = (100000L until 100400L)
+      .map(id => (id, "lorem ipsum boilerplate text repeated verbatim on every mirror page"))
+      .toDF("doc_id", "text")
+    val mixed = docs.select(col("doc_id"), col("text")).unionByName(boiler)
+
+    // tune on a 50% sample: the p99 quantile tracks the NORMAL bucket/df
+    // population; the 400-doc boilerplate bucket (~200 in-sample) sits far
+    // above cap even after 1/f scaling
+    val caps = DedupOps.tuneCaps(mixed, "text", "doc_id", 3, 4, 2,
+      sampleFraction = 0.5, seed = 7L)
+    assert(caps.maxBucketSize >= 16 && caps.maxBucketSize < 200,
+      s"derived bucket cap must clear normal buckets and exclude the 400-doc one: $caps")
+    assert(caps.maxDf >= 16 && caps.maxDf < 200, s"derived df cap: $caps")
+
+    // the derived caps behave like the hand-picked ones: boilerplate
+    // excluded, normal-bucket recall intact
+    val exact = pairSet(DedupOps.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.6))
+    val auto = pairSet(DedupOps.minhashNearDups(mixed, "text", "doc_id", 3, 4, 2, 0.6,
+      maxBucketSize = caps.maxBucketSize))
+    assert(auto.forall { case (a, b) => a < 100000L && b < 100000L })
+    val recall = auto.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"derived cap must not hurt normal-bucket recall ($recall)")
+    val autoExact = pairSet(DedupOps.ngramJaccardPairs(mixed, "text", "doc_id", 3, 0.6,
+      maxDf = caps.maxDf))
+    assert(autoExact.forall { case (a, b) => a < 100000L && b < 100000L })
+  }
+
   test("token count and quality: edge cases") {
     import spark.implicits._
     val df = Seq((1L, ""), (2L, "   "), (3L, "one"), (4L, "the cat, and the 42 dog."))

@@ -424,9 +424,12 @@ object SparkEntry {
       DedupOps.minhashNearDups(t(s, dir, "documents"), "text", "doc_id",
         n = 3, bands = 4, rowsPerBand = 2, threshold = 0.6)),
 
-    // SimHash near-dup pairs (Hamming ≤ 3 via 16-bit block banding)
+    // SimHash near-dup pairs (Hamming ≤ 3 via 16-bit block banding);
+    // md5 hash domain so the DuckDB oracle grades the whole pipeline
+    // bit-for-bit (the XXH64 domain stays the scale default in DedupOps)
     "doc_simhash_neardup" -> ((s, dir) =>
-      DedupOps.simhashNearDups(t(s, dir, "documents"), "text", "doc_id", maxDist = 3)),
+      DedupOps.simhashNearDups(t(s, dir, "documents"), "text", "doc_id", maxDist = 3,
+        sigFn = DedupOps.simhash64Md5)),
 
     // rolling-hash document fingerprint
     "doc_fingerprint" -> ((s, dir) =>
@@ -739,6 +742,29 @@ object SparkEntry {
         |JOIN sz sx ON c.id1 = sx.doc_id JOIN sz sy ON c.id2 = sy.doc_id
         |WHERE round(CAST(coalesce(i.i, 0) AS DOUBLE) /
         |      CAST(sx.n + sy.n - coalesce(i.i, 0) AS DOUBLE), 4) >= 0.6""".stripMargin,
+
+    // md5-domain simhash: token hash = md5 low 64 bits; per-bit ±1 votes;
+    // 4×16-bit block banding; Hamming ≤ 3 — all-integer pipeline, so the
+    // oracle reproduces the kernel exactly (no float hazards)
+    "doc_simhash_neardup" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(trim(text), '[^ \t\n\r]+') ws FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) t FROM w),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(t), 17, 16))::UBIGINT hv FROM tok),
+        |bits AS (SELECT doc_id, i, sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) v
+        |         FROM h CROSS JOIN (SELECT unnest(range(64)) i) b GROUP BY 1, 2),
+        |sig0 AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0
+        |           THEN (1::UBIGINT << CAST(i AS INTEGER)) ELSE 0::UBIGINT END) AS UBIGINT) s
+        |         FROM bits GROUP BY 1),
+        |allsig AS (SELECT w.doc_id, coalesce(sig0.s, 0::UBIGINT) s
+        |           FROM w LEFT JOIN sig0 USING (doc_id)),
+        |blk AS (SELECT doc_id, s, CAST(b.blk AS INTEGER) blk,
+        |               (s >> (CAST(b.blk AS INTEGER) * 16)) & 65535 bkey
+        |        FROM allsig CROSS JOIN (SELECT unnest(range(4)) blk) b),
+        |pairs AS (SELECT DISTINCT a.doc_id id1, b.doc_id id2,
+        |                 CAST(bit_count(xor(a.s, b.s)) AS INTEGER) dist
+        |          FROM blk a JOIN blk b
+        |            ON a.blk = b.blk AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+        |SELECT id1, id2, dist FROM pairs WHERE dist <= 3""".stripMargin,
 
     // fp_md5 = whitespace-normalized md5; fp_roll = Rabin-Karp fold over
     // md5-derived term ints (kernel ≡ this list_reduce, verified byte-equal)

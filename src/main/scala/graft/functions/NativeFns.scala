@@ -74,6 +74,21 @@ object NativeFns {
       propagateNull = true,
       returnNullable = false))
 
+  /** text → 64-bit SimHash with an ORACLE-PORTABLE hash domain: token hash
+    * = low 64 bits of md5(token) — the value DuckDB computes as
+    * `('0x' || substr(md5(t), 17, 16))::UBIGINT` — same vote fold as
+    * [[simhash64]]. Use for oracle-graded runs; [[simhash64]] (XXH64) is
+    * the faster scale default. */
+  def simhash64Md5(text: Column): Column = column(
+    StaticInvoke(
+      NativeKernels.getClass,
+      LongType,
+      "simhashMd5UTF8",
+      Seq(expression(text)),
+      inputTypes = Seq(StringType),
+      propagateNull = true,
+      returnNullable = false))
+
   /** text → Rabin-Karp rolling hash over the token stream, md5-based term
     * hashes (portable to the DuckDB oracle: term = first 8 md5 hex chars as
     * int, mod 1e9+7; fold acc·257 + term mod 1e9+7). */
@@ -134,6 +149,37 @@ object NativeKernels {
   private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** md5-domain SimHash; see [[NativeFns.simhash64Md5]]. Tokens are the
+    * non-empty whitespace-split runs of trim(text) (≡ DuckDB
+    * `regexp_extract_all(trim(text), '[^ \t\n\r]+')`); a token's hash is
+    * md5 bytes 8..15 big-endian (hex chars 17..32). No tokens → sig 0. */
+  def simhashMd5UTF8(text: UTF8String): Long = {
+    val words = text.toString.trim.split("[ \t\n\r]+")
+    val md = md5Digest.get()
+    val votes = new Array[Int](64)
+    var w = 0
+    while (w < words.length) {
+      val word = words(w)
+      if (word.nonEmpty) {
+        md.reset()
+        val dg = md.digest(word.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var h = 0L
+        var j = 8
+        while (j < 16) { h = (h << 8) | (dg(j) & 0xffL); j += 1 }
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+          i += 1
+        }
+      }
+      w += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (votes(i) > 0) sig |= (1L << i); i += 1 }
+    sig
   }
 
   private val hexDigits = "0123456789abcdef".toCharArray

@@ -209,6 +209,11 @@ object DedupOps {
     * shares ≥1 of 4 blocks). */
   def simhash64(text: Column): Column = graft.functions.NativeFns.simhash64(text)
 
+  /** md5-domain SimHash — slower per token than [[simhash64]] but exactly
+    * reproducible in portable SQL (the DuckDB oracle grades the full
+    * near-dup pipeline bit-for-bit). */
+  def simhash64Md5(text: Column): Column = graft.functions.NativeFns.simhash64Md5(text)
+
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("int")
 
@@ -217,8 +222,9 @@ object DedupOps {
     * block-bucket membership like [[minhashNearDups]] — a 16-bit block key
     * gathers n/65536 docs on average, quadratic at 10⁹ docs without a cap. */
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
-      maxDist: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
-    val sigs = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+      maxDist: Int = 3, maxBucketSize: Int = 1000,
+      sigFn: Column => Column = simhash64): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"), sigFn(col(textCol)).as("sig"))
     val blocks0 = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("blk"), shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))

@@ -449,13 +449,17 @@ object SparkEntry {
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 3)),
 
     // LSH-bucketed near pairs (ANN scale path; recall vs brute force in specs)
+    // md5-derived hyperplanes so the DuckDB oracle reproduces bucket signs
+    // bit-for-bit (SplitMix64 planes stay the scale default in Similarity)
     "emb_lsh_pairs" -> ((s, dir) =>
-      Similarity.lshNearPairs(t(s, dir, "embeddings"), threshold = 0.5, nBits = 8, tables = 8)),
+      Similarity.lshNearPairs(t(s, dir, "embeddings"), threshold = 0.5, nBits = 8, tables = 8,
+        md5Planes = true)),
 
-    // IVF top-k (ANN scale path)
+    // IVF top-k (ANN scale path); md5 seed ranking so the SQL oracle
+    // reproduces the whole pipeline (seed → assign → Lloyd → probe → top-k)
     "emb_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L, 3L, 4L),
-        k = 3, nLists = 16, nprobe = 4)),
+        k = 3, nLists = 16, nprobe = 4, md5Seeding = true)),
 
     // multimodal: binary payload + metadata → partition-batched features
     "mm_features" -> ((s, dir) => {
@@ -806,6 +810,72 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, cos, rank FROM (
         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
         |  FROM c) WHERE rank <= 3""".stripMargin,
+
+    // full IVF pipeline in SQL: md5-ranked seeds → assign (argmax dot, ties
+    // → larger list) → one Lloyd mean pass (empty lists keep seeds) →
+    // re-assign → nprobe=4 probes per query → top-3 by (cos desc, id).
+    // Dots fold float→double in index order, matching the kernels.
+    "emb_ivf_topk" ->
+      """WITH v AS (SELECT vec_id, embedding FROM embeddings),
+        |rk AS (SELECT vec_id, md5('s|' || vec_id) r FROM v),
+        |seeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY r, vec_id) - 1 AS INTEGER) list
+        |          FROM rk QUALIFY row_number() OVER (ORDER BY r, vec_id) <= 16),
+        |cents0 AS (SELECT s.list, v.embedding::DOUBLE[] c FROM seeds s JOIN v USING (vec_id)),
+        |dots0 AS (SELECT v.vec_id, c0.list, list_dot_product(v.embedding::DOUBLE[], c0.c) d
+        |          FROM v CROSS JOIN cents0 c0),
+        |assign0 AS (SELECT vec_id, list FROM (
+        |  SELECT vec_id, list, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, list DESC) rn
+        |  FROM dots0) WHERE rn = 1),
+        |pos AS (SELECT CAST(unnest(range(1, 65)) AS INTEGER) p),
+        |sums AS (SELECT a.list, p.p, sum(v.embedding[p.p]::DOUBLE) s, count(*) c
+        |         FROM assign0 a JOIN v USING (vec_id) CROSS JOIN pos p GROUP BY 1, 2),
+        |refined AS (SELECT c0.list, list(coalesce(s.s / s.c, c0.c[p.p]) ORDER BY p.p) c
+        |            FROM cents0 c0 CROSS JOIN pos p
+        |            LEFT JOIN sums s ON s.list = c0.list AND s.p = p.p
+        |            GROUP BY c0.list),
+        |dots1 AS (SELECT v.vec_id, r.list, list_dot_product(v.embedding::DOUBLE[], r.c) d
+        |          FROM v CROSS JOIN refined r),
+        |assign1 AS (SELECT vec_id, list FROM (
+        |  SELECT vec_id, list, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, list DESC) rn
+        |  FROM dots1) WHERE rn = 1),
+        |probes AS (SELECT vec_id query_id, list FROM (
+        |  SELECT vec_id, list, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, list DESC) rn
+        |  FROM dots1 WHERE vec_id IN (0,1,2,3,4)) WHERE rn <= 4),
+        |cand AS (SELECT p.query_id, a.vec_id neighbor_id
+        |         FROM probes p JOIN assign1 a ON a.list = p.list AND a.vec_id <> p.query_id),
+        |cosv AS (SELECT c.query_id, c.neighbor_id,
+        |  round(list_dot_product(vq.embedding, vn.embedding) /
+        |    (sqrt(list_dot_product(vq.embedding, vq.embedding)) *
+        |     sqrt(list_dot_product(vn.embedding, vn.embedding))), 4) cos
+        |  FROM cand c JOIN v vq ON vq.vec_id = c.query_id JOIN v vn ON vn.vec_id = c.neighbor_id)
+        |SELECT query_id, neighbor_id, cos, CAST(rnk AS INTEGER) rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rnk
+        |  FROM cosv) WHERE rnk <= 3""".stripMargin,
+
+    // md5-plane LSH: plane(t,b,d) = (md5low64("t|b|d") >> 11)·2^-52 − 1 (a
+    // 53-bit-exact double), bucket = packed dot-sign bits, candidates from
+    // per-table bucket equality, one cosine per deduped pair — the same
+    // pipeline the Spark kernel runs, float→double folds in index order
+    "emb_lsh_pairs" ->
+      """WITH idx AS (SELECT t, b, dd FROM unnest(range(8)) tt(t), unnest(range(8)) bb(b),
+        |                               unnest(range(64)) d2(dd)),
+        |planes AS (SELECT t, b,
+        |             list(((('0x' || substr(md5(t || '|' || b || '|' || dd), 17, 16))::UBIGINT >> 11)::DOUBLE
+        |                   * power(2.0, -52) - 1.0) ORDER BY dd) plane
+        |           FROM idx GROUP BY t, b),
+        |sig AS (SELECT e.vec_id id, p.t,
+        |          CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) > 0.0
+        |                        THEN (1::UBIGINT << CAST(p.b AS INTEGER)) ELSE 0::UBIGINT END) AS UBIGINT) bkt
+        |        FROM embeddings e CROSS JOIN planes p GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.id id1, b.id id2
+        |         FROM sig a JOIN sig b ON a.t = b.t AND a.bkt = b.bkt AND a.id < b.id),
+        |v AS (SELECT vec_id, embedding FROM embeddings)
+        |SELECT c.id1, c.id2,
+        |  round(list_dot_product(v1.embedding, v2.embedding) /
+        |    (sqrt(list_dot_product(v1.embedding, v1.embedding)) *
+        |     sqrt(list_dot_product(v2.embedding, v2.embedding))), 4) cos
+        |FROM cand c JOIN v v1 ON c.id1 = v1.vec_id JOIN v v2 ON c.id2 = v2.vec_id
+        |WHERE cos >= 0.5""".stripMargin,
 
     "mm_features" ->
       """SELECT doc_id,

@@ -50,6 +50,17 @@ object VecFns {
       inputTypes = Seq(ArrayType(FloatType), IntegerType, LongType),
       propagateNull = true, returnNullable = false))
 
+  /** [[lshBucket]] with an ORACLE-PORTABLE plane domain: plane(t,b,d) =
+    * `((md5low64("t|b|d") >>> 11)·2⁻⁵² − 1)` — a 53-bit-mantissa-exact
+    * double both engines derive identically; dots fold floats→double in
+    * index order, so bucket signs are bit-reproducible in portable SQL.
+    * The seeded SplitMix64 domain stays the scale default. */
+  def lshBucketMd5(vec: Column, nBits: Int, table: Int): Column = column(
+    StaticInvoke(VecKernels.getClass, LongType, "lshBucketMd5",
+      Seq(expression(vec), expression(lit(nBits)), expression(lit(table))),
+      inputTypes = Seq(ArrayType(FloatType), IntegerType, IntegerType),
+      propagateNull = true, returnNullable = false))
+
   /** Nearest-centroid id by max dot product (ties → larger id, matching the
     * previous `array_max(struct(d, list))` ordering). `cents` is the
     * flattened nLists×dim centroid matrix as ONE array literal. */
@@ -114,6 +125,47 @@ object VecKernels {
       }
       arr
     })
+
+  private val md5PlaneCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
+
+  /** md5-domain planes; see [[VecFns.lshBucketMd5]]. */
+  private[graft] def md5PlanesFor(table: Int, nBits: Int, dim: Int): Array[Double] =
+    md5PlaneCache.computeIfAbsent((table, nBits, dim), { _ =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val arr = new Array[Double](nBits * dim)
+      var b = 0
+      while (b < nBits) {
+        var d = 0
+        while (d < dim) {
+          md.reset()
+          val dg = md.digest(s"$table|$b|$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var h = 0L
+          var j = 8
+          while (j < 16) { h = (h << 8) | (dg(j) & 0xffL); j += 1 }
+          arr(b * dim + d) = (h >>> 11).toDouble * math.pow(2.0, -52) - 1.0
+          d += 1
+        }
+        b += 1
+      }
+      arr
+    })
+
+  def lshBucketMd5(v: ArrayData, nBits: Int, table: Int): Long = {
+    val dim = v.numElements()
+    val planes = md5PlanesFor(table, nBits, dim)
+    var bucket = 0L
+    var b = 0
+    while (b < nBits) {
+      var d = 0.0
+      var i = 0
+      val off = b * dim
+      while (i < dim) { d += v.getFloat(i).toDouble * planes(off + i); i += 1 }
+      if (d > 0.0) bucket |= (1L << b)
+      b += 1
+    }
+    bucket
+  }
 
   def lshBucketSeeded(v: ArrayData, nBits: Int, seed: Long): Long = {
     val dim = v.numElements()

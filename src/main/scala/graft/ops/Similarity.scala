@@ -67,12 +67,14 @@ object Similarity {
     * vectors are joined back for that single computation. */
   def lshNearPairs(vecs: DataFrame, threshold: Double, nBits: Int = 12,
       tables: Int = 4, seed: Long = 42L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      md5Planes: Boolean = false): DataFrame = {
     val v = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
     val keyed = v.select(col("id"),
       explode(array((0 until tables).map { t =>
         struct(lit(t).as("tbl"),
-          VecFns.lshBucket(col("v"), nBits, Rng.key(seed, t.toLong)).as("bkt"))
+          (if (md5Planes) VecFns.lshBucketMd5(col("v"), nBits, t)
+           else VecFns.lshBucket(col("v"), nBits, Rng.key(seed, t.toLong))).as("bkt"))
       }: _*)).as("tb"))
       .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
     val a = keyed.alias("a")
@@ -107,11 +109,17 @@ object Similarity {
     * that, the single-literal layout keeps assignment map-only (no join, no
     * shuffle). */
   def ivfAssign(vecs: DataFrame, nLists: Int, seed: Long = 42L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, Array[(Int, Array[Double])]) = {
-    // seed centroids: nLists rows with smallest mix64(seed ^ id)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      md5Seeding: Boolean = false): (DataFrame, Array[(Int, Array[Double])]) = {
+    // seed centroids: nLists rows with the smallest rank hash — SplitMix64
+    // by default; md5 hex (`md5("s|" ++ id)`, lexicographic ≡ unsigned) for
+    // the oracle-portable variant the SQL oracle reproduces
+    val rank =
+      if (md5Seeding) md5(to_binary(concat(lit("s|"), col(idCol).cast("string")), lit("utf-8")))
+      else xxhash64(lit(seed), col(idCol))
     val seeded = vecs
-      .withColumn("_rk", xxhash64(lit(seed), col(idCol)))
-      .orderBy(col("_rk")).limit(nLists)
+      .withColumn("_rk", rank)
+      .orderBy(col("_rk"), col(idCol)).limit(nLists)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     val cents0 = seeded.zipWithIndex.map { case (v, i) => (i, v) }
@@ -209,8 +217,9 @@ object Similarity {
     * the persisted layout makes the per-list scan a partition-pruned read. */
   def ivfTopK(vecs: DataFrame, queryIds: Seq[Long], k: Int, nLists: Int,
       nprobe: Int, seed: Long = 42L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val (assigned, cents) = ivfAssign(vecs, nLists, seed, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      md5Seeding: Boolean = false): DataFrame = {
+    val (assigned, cents) = ivfAssign(vecs, nLists, seed, idCol, vecCol, md5Seeding)
     val queries = assigned.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("probe",

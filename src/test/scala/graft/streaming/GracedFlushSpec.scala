@@ -81,4 +81,35 @@ class GracedFlushSpec extends SparkSpec {
         p1.head.startOffset == 0, s"p1 must flush once, whole: $p1")
     } finally q.stop()
   }
+
+  test("binlog stream: historical backlog drains, then wall-flushes whole per partition") {
+    import graft.binlog.{ChangeEventGen, GenProfile}
+    import spark.implicits._
+    // historical event times (the reference's rewind IT shape): now − firstProduced
+    // is huge, so the first wall-flush clause holds from the start and the flush
+    // waits only on the receive-grace; the interval is too large for any
+    // event-time flush, so each partition closes as exactly ONE wall chunk
+    val p = GenProfile.uniformSmall().copy(partitions = 2, eventsPerPartition = 100)
+    val dir = tmpDir("gfb")
+    ChangeEventGen.writeSegments(p, dir, segmentEvents = 1000)
+    // interval = 1 day: far above the backlog's ~100 s event-time span (no
+    // event-time flush) yet far below now − firstProduced (historical base),
+    // so the first wall clause holds throughout and only the grace gates
+    val q = FlushWindows.gracedChunkStream(spark, dir.toString,
+      flushIntervalMs = 24L * 3600 * 1000, graceMs = 500L)
+      .writeStream.outputMode("update").format("memory").queryName("gfb_out")
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      def chunks() = spark.table("gfb_out")
+        .as[FlushWindows.GracedChunk].collect().toSeq
+      val deadline = System.currentTimeMillis() + 30000
+      while (chunks().size < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val got = chunks()
+      assert(got.size == 2 && got.map(_.partition).toSet == Set(0, 1), got.toString)
+      assert(got.forall(c => c.wallFlush && c.numRecords == 100 && c.startOffset == 0),
+        s"each partition must wall-flush whole: $got")
+    } finally q.stop()
+  }
 }

@@ -136,6 +136,24 @@ class OpsSpec extends SparkSpec {
     assert(cappedExact.forall { case (a, b) => a < 100000L && b < 100000L })
   }
 
+  test("minhash LSH at-scale plan: signature pipeline computed once (exchange reuse)") {
+    // tiny inputs get broadcast self-joins, where each side recomputes the
+    // band-key pipeline (cheap there). At scale both sides SHUFFLE on
+    // (band,bucket) — disable broadcast to get that shape — and AQE's
+    // exchange reuse must dedupe the expensive tokenize+shingle+minhash
+    // kernel pass to exactly one execution.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val nd = DedupOps.minhashNearDups(docs, "text", "doc_id", 3, 4, 2, 0.6,
+        maxBucketSize = 100)
+      nd.collect() // materialize THIS queryExecution so AQE finalizes stages
+      val plan = nd.queryExecution.executedPlan.toString
+      assert("ReusedExchange \\[[^\\]]*band".r.findFirstIn(plan).isDefined,
+        s"band-key exchange must be reused, not recomputed:\n${plan.take(1500)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("caps derived from a corpus sample separate hot buckets from the normal population") {
     import spark.implicits._
     val boiler = (100000L until 100400L)

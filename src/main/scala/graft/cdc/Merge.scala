@@ -134,15 +134,13 @@ object Merge {
     val row = obs.get
     val dels = row("dels").asInstanceOf[Long]
     val n = row("n").asInstanceOf[Long]
-    val next = snap.copy(
-      snapshotId = nextId,
-      parentId = snap.snapshotId,
-      files = snap.files ++ newFiles,
-      // marker counts are post-dedup winners in MOR (raw counts would need
-      // an extra pass; lineage carries the raw coverage)
-      batches = snap.batches :+ BatchMarker(batchId, lineage, n - dels, dels),
-      totalRows = snap.totalRows + newFiles.map(_.rowCount).sum)
-    table.commit(next)
+    // ADD-ONLY commit with rebase: a concurrent maintenance commit (blooms
+    // excepted — no commit — but compaction commits) between our read and
+    // here just moves the head; the delta applies identically on top.
+    // Marker counts are post-dedup winners in MOR (raw counts would need an
+    // extra pass; lineage carries the raw coverage).
+    val next = table.commitAppend(newFiles,
+      Some(BatchMarker(batchId, lineage, n - dels, dels)))
 
     // incremental compaction: only crowded buckets, only their files
     val crowded = next.files.groupBy(_.bucket).filter(_._2.size > MaxFilesPerBucket).keySet
@@ -169,18 +167,23 @@ object Merge {
     val resolved = resolvedRaw
       .withColumn("bucket", LakeTable.bucketOf(col("url"), nBuckets))
       .sortWithinPartitions(col("url"))
-    val nextId = snap.snapshotId + 1
-    val newFiles = table.writeDataFiles(resolved, nextId, snap.schemaVersion)
-    val next = snap.copy(snapshotId = nextId, parentId = snap.snapshotId,
-      files = keep ++ newFiles,
-      totalRows = keep.map(_.rowCount).sum + newFiles.map(_.rowCount).sum)
-    table.commit(next)
+    // unique output dir + replacement-rebase commit: compaction may run
+    // CONCURRENTLY with an ingest stream — concurrent ADDs survive the
+    // rebase; if a competing maintenance already replaced our inputs, the
+    // output is deleted and this is a no-op (LakeTable.commitReplace)
+    val outDir = s"s${snap.snapshotId + 1}c${java.util.UUID.randomUUID().toString.take(8)}"
+    val newFiles = table.writeDataFilesTo(resolved, outDir, snap.schemaVersion)
+    val next = table.commitReplace(sel, newFiles)
     // inherit point-lookup bloom coverage through AUTOMATIC compaction: if a
     // replaced file carried a sidecar the deployment uses blooms — build
     // them for the replacements (executor-side, per-file) so lookups stay
-    // pruned without waiting for the next maintenance pass
-    if (sel.exists(f => java.nio.file.Files.exists(Bloom.sidecar(table.root.resolve(f.path)))))
-      Bloom.build(spark, newFiles.map(f => (table.root.resolve(f.path), f.rowCount))): Unit
+    // pruned without waiting for the next maintenance pass. Only for files
+    // the commit actually kept (a no-op'd replace deleted them).
+    val committed = next.files.map(_.path).toSet
+    val keptNew = newFiles.filter(f => committed.contains(f.path))
+    if (keptNew.nonEmpty &&
+        sel.exists(f => java.nio.file.Files.exists(Bloom.sidecar(table.root.resolve(f.path)))))
+      Bloom.build(spark, keptNew.map(f => (table.root.resolve(f.path), f.rowCount))): Unit
     next
   }
 

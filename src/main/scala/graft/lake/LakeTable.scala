@@ -60,10 +60,16 @@ final class LakeTable(val root: Path) {
     } finally s.close()
   }
 
-  /** Commit `next` whose parent must be the current version (CAS). */
-  def commit(next: Snapshot): Unit = {
+  /** Commit `next` whose parent must be the current version (CAS).
+    *
+    * The check-then-swap is made atomic WITHIN a JVM by a per-root lock
+    * (one driver owns a table — matching one sink task per partition in the
+    * reference; a losing thread gets [[CommitConflict]] and can rebase via
+    * [[commitAppend]]/[[commitReplace]]). Cross-process writers would need
+    * an external catalog lock, as in Iceberg — out of scope here. */
+  def commit(next: Snapshot): Unit = LakeTable.commitLock(root).synchronized {
     val cur = currentSnapshotId
-    require(next.parentId == cur,
+    if (next.parentId != cur) throw new CommitConflict(
       s"concurrent commit detected: parent ${next.parentId} != current $cur")
     val tmp = metaDir.resolve(s".snap-${next.snapshotId}.json.tmp")
     Files.write(tmp, next.toJson.getBytes(StandardCharsets.UTF_8))
@@ -72,6 +78,62 @@ final class LakeTable(val root: Path) {
     Files.write(vTmp, next.snapshotId.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(vTmp, versionFile, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** ADD-ONLY commit with rebase: append `added` files (and optionally a
+    * batch marker) on top of WHATEVER the head is when we get the lock.
+    * Sound for merge-on-read deltas — a delta's rows apply identically over
+    * any concurrent compaction/ingest result because resolve-on-read keeps
+    * per-row (warc_ts, offset, partition) envelopes, so LWW winner
+    * resolution commutes with any interleaving. Returns the committed (or,
+    * for an already-committed batchId, the current) snapshot. */
+  def commitAppend(added: Seq[DataFile], marker: Option[BatchMarker],
+      maxAttempts: Int = 5): Snapshot = {
+    var attempt = 0
+    while (true) {
+      val cur = currentSnapshot
+      if (marker.exists(m => cur.committedBatchIds.contains(m.batchId)))
+        return cur // exactly-once: a concurrent path already landed this batch
+      val next = cur.copy(snapshotId = cur.snapshotId + 1, parentId = cur.snapshotId,
+        files = cur.files ++ added,
+        batches = marker.fold(cur.batches)(cur.batches :+ _),
+        totalRows = cur.totalRows + added.map(_.rowCount).sum)
+      try { commit(next); return next }
+      catch {
+        case _: CommitConflict if attempt < maxAttempts => attempt += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** REPLACEMENT commit with rebase (maintenance: compaction): replace
+    * `replaced` with `added`, rebasing over concurrent ADD commits — files
+    * a concurrent ingest appended since our read survive untouched (their
+    * deltas still resolve correctly over the compacted file, see
+    * [[commitAppend]]). If any replaced file has VANISHED from the head (a
+    * concurrent maintenance already rewrote it), our output would duplicate
+    * its rows next to the competitor's — so delete `added`'s files and
+    * return the head unchanged (graceful no-op). */
+  def commitReplace(replaced: Seq[DataFile], added: Seq[DataFile],
+      maxAttempts: Int = 5): Snapshot = {
+    val replacedPaths = replaced.map(_.path).toSet
+    var attempt = 0
+    while (true) {
+      val cur = currentSnapshot
+      if (!replaced.forall(f => cur.files.exists(_.path == f.path))) {
+        added.foreach(f => Files.deleteIfExists(root.resolve(f.path)))
+        return cur
+      }
+      val keep = cur.files.filterNot(f => replacedPaths.contains(f.path))
+      val next = cur.copy(snapshotId = cur.snapshotId + 1, parentId = cur.snapshotId,
+        files = keep ++ added,
+        totalRows = keep.map(_.rowCount).sum + added.map(_.rowCount).sum)
+      try { commit(next); return next }
+      catch {
+        case _: CommitConflict if attempt < maxAttempts => attempt += 1
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Evolve the table's logical schema (add column / widen type): a pure
@@ -186,8 +248,16 @@ final class LakeTable(val root: Path) {
     * SURVEY.md §7.4.3). Manifest entries carry exact per-file row counts and
     * url bounds, both read from the parquet footers (metadata-only, parallel)
     * — no extra stats pass over the data. */
-  def writeDataFiles(df: DataFrame, newSnapshotId: Long, schemaVersion: Int): Vector[DataFile] = {
-    val relDir = s"data/s$newSnapshotId"
+  def writeDataFiles(df: DataFrame, newSnapshotId: Long, schemaVersion: Int): Vector[DataFile] =
+    writeDataFilesTo(df, s"s$newSnapshotId", schemaVersion)
+
+  /** As [[writeDataFiles]] but with an explicit directory name — maintenance
+    * jobs that may run CONCURRENTLY with ingest must write to a unique dir
+    * (e.g. `s<id>c<rand>`): both pick `snapshotId+1` from the same head, and
+    * `mode(overwrite)` on a shared `data/s<id>` would clobber the other
+    * writer's files before either commits. */
+  def writeDataFilesTo(df: DataFrame, dirName: String, schemaVersion: Int): Vector[DataFile] = {
+    val relDir = s"data/$dirName"
     val outDir = root.resolve(relDir)
     df.write.mode("overwrite").partitionBy("bucket").parquet(outDir.toString)
     // enumerate written files
@@ -213,7 +283,18 @@ final class LakeTable(val root: Path) {
   }
 }
 
+/** A losing concurrent commit. Extends IllegalArgumentException so callers
+  * of the original fail-fast contract are unaffected. */
+final class CommitConflict(msg: String) extends IllegalArgumentException(msg)
+
 object LakeTable {
+  /** Per-root commit locks: every LakeTable instance over the same root in
+    * this JVM serializes its check-then-swap through one monitor. */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[lake] def commitLock(root: Path): Object =
+    commitLocks.computeIfAbsent(root.toAbsolutePath.normalize.toString, _ => new Object)
+
   /** Create an empty table with an initial snapshot 0. */
   def create(root: Path, nBuckets: Int, schemaVersion: Int = TableSchemas.current): LakeTable = {
     Files.createDirectories(root.resolve("meta"))

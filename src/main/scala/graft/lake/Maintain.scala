@@ -22,6 +22,10 @@ object Maintain {
     * part of the change log can still deliver an OLDER upsert for that url —
     * i.e. the caller passes a watermark ≤ (oldest event time that can still
     * arrive). Passing Long.MinValue keeps all tombstones (pure compaction).
+    * The same watermark contract covers CONCURRENT ingest (compaction
+    * rebases over concurrently appended deltas): events below the watermark
+    * cannot arrive on any path, so a dropped tombstone can never be
+    * out-resolved by a late concurrent upsert.
     *
     * Produces a maintenance snapshot: same batches/lineage, new files. */
   def compact(spark: SparkSession, table: LakeTable,
@@ -54,14 +58,22 @@ object Maintain {
     val out = kept
       .withColumn("bucket", LakeTable.bucketOf(col("url"), nBuckets))
       .sortWithinPartitions(col("url"))
-    val nextId = snap.snapshotId + 1
-    val newFiles = table.writeDataFiles(out, nextId, snap.schemaVersion)
-    val next = snap.copy(snapshotId = nextId, parentId = snap.snapshotId,
-      files = newFiles, totalRows = newFiles.map(_.rowCount).sum)
-    table.commit(next)
-    // optionally keep point-lookup blooms current through maintenance
-    if (withBlooms)
-      Bloom.build(spark, newFiles.map(f => (table.root.resolve(f.path), f.rowCount))): Unit
+    // unique output dir + replacement-rebase commit: compaction is safe to
+    // run CONCURRENTLY with a MOR ingest stream — deltas a batch appended
+    // since our read survive the rebase (resolve-on-read LWW commutes); a
+    // competing maintenance that already replaced our inputs turns this
+    // into a clean no-op (see LakeTable.commitReplace)
+    val outDir = s"s${snap.snapshotId + 1}c${java.util.UUID.randomUUID().toString.take(8)}"
+    val newFiles = table.writeDataFilesTo(out, outDir, snap.schemaVersion)
+    val next = table.commitReplace(snap.files, newFiles)
+    // optionally keep point-lookup blooms current through maintenance —
+    // only for files the commit actually kept (a no-op'd replace deleted them)
+    if (withBlooms) {
+      val committed = next.files.map(_.path).toSet
+      val keptNew = newFiles.filter(f => committed.contains(f.path))
+      if (keptNew.nonEmpty)
+        Bloom.build(spark, keptNew.map(f => (table.root.resolve(f.path), f.rowCount))): Unit
+    }
     next
   }
 
@@ -75,7 +87,13 @@ object Maintain {
     * This is how a 10^10-row table outgrows its creation-time bucket count:
     * buckets size write parallelism AND per-task merge state, so they must
     * scale with the table. One full rewrite, run on the maintenance cadence
-    * when `avg bucket bytes > target` (see [[maybeGrowBuckets]]). */
+    * when `avg bucket bytes > target` (see [[maybeGrowBuckets]]).
+    *
+    * UNLIKE compaction, rebucketing must NOT run concurrently with ingest:
+    * a rebase would mix files bucketed under two different bucket functions.
+    * The commit is deliberately fail-fast — a concurrent commit raises
+    * [[CommitConflict]] and this rewrite is discarded; pause the stream (or
+    * run on the maintenance window) to rebucket. */
   def rebucket(spark: SparkSession, table: LakeTable, newBuckets: Int): Snapshot = {
     val snap = table.currentSnapshot
     require(newBuckets >= 1)

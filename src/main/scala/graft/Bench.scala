@@ -58,7 +58,9 @@ object Bench {
       val fn = SparkEntry.queries(name)
       def once(): Double = try time(fn(spark, sfDir).count())
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1.0 }
-      val sec = if (bestOf2(name)) { val a = once(); val b = once(); math.min(a, b) }
+      // min over SUCCESSFUL runs only: a transient failure (-1) must not
+      // discard the other run's valid measurement
+      val sec = if (bestOf2(name)) Seq(once(), once()).filter(_ >= 0).minOption.getOrElse(-1.0)
       else once()
       results(name) = sec
     }
@@ -95,14 +97,7 @@ object Bench {
       mode = graft.cdc.Cow)
     val events = table.currentSnapshot.batches.flatMap(_.lineage).map(_.count).sum
     val sec = (System.nanoTime() - t0) / 1e9
-    def rm(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p)) {
-        val s = java.nio.file.Files.list(p)
-        try s.forEach(rm) finally s.close()
-      }
-      java.nio.file.Files.deleteIfExists(p)
-    }
-    rm(work)
+    graft.lake.SinkIO.rmDir(work)
     (events, sec, events / sec)
   }
 }

@@ -199,11 +199,24 @@ final class BinlogMicroBatchStream(path: String, maxEventsPerBatch: Long, events
     * cap total new events per batch, budget spread across partitions
     * proportionally to their backlog. Also discovers NEW partitions mid-stream
     * (≙ partition-growth IT, `S3SinkConnectorIT.java:406-446`). */
+  /** First available offset per (filtered) partition — the base for any
+    * partition the checkpoint doesn't know yet. A partition DISCOVERED
+    * MID-STREAM may be anchored far above 0 (epoch-anchored sink staging,
+    * GC-truncated archive); without the clamp its backlog would count the
+    * void below the first segment, the rate budget would be burned advancing
+    * through thousands of empty batches, and the planned (0, …) ranges would
+    * FABRICATE lineage coverage of offsets that never existed. */
+  private def listStarts(): Map[Int, Long] =
+    BinlogOffsets.startOffsets(Segment.listAll(Paths.get(path)))
+      .filter { case (p, _) => partitionFilter.forall(_.contains(p)) }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val cur = start.asInstanceOf[BinlogOffset].parts
     val ends = availableNowTarget.getOrElse(listEnds())
+    val starts = listStarts()
+    def base(p: Int): Long = cur.getOrElse(p, starts.getOrElse(p, 0L))
     val all = (cur.keySet ++ ends.keySet).toSeq.sorted
-    val backlog = all.map(p => p -> math.max(0L, ends.getOrElse(p, 0L) - cur.getOrElse(p, 0L)))
+    val backlog = all.map(p => p -> math.max(0L, ends.getOrElse(p, 0L) - base(p)))
     val totalBacklog = backlog.map(_._2).sum
     val cap = limit match {
       case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxRows => rl.maxRows()
@@ -211,7 +224,7 @@ final class BinlogMicroBatchStream(path: String, maxEventsPerBatch: Long, events
     }
     val next =
       if (totalBacklog <= cap) ends.keySet.union(cur.keySet)
-        .map(p => p -> math.max(cur.getOrElse(p, 0L), ends.getOrElse(p, 0L))).toMap
+        .map(p => p -> math.max(base(p), ends.getOrElse(p, 0L))).toMap
       else {
         // proportional budget, at least 1 for any nonempty backlog while budget lasts
         var remaining = cap
@@ -220,7 +233,7 @@ final class BinlogMicroBatchStream(path: String, maxEventsPerBatch: Long, events
           val share = math.min(b, math.max(1L, cap * b / math.max(1L, totalBacklog)))
           val take = math.min(share, remaining)
           remaining -= take
-          m += p -> (cur.getOrElse(p, 0L) + take)
+          m += p -> (base(p) + take)
         }
         m.result()
       }
@@ -230,8 +243,12 @@ final class BinlogMicroBatchStream(path: String, maxEventsPerBatch: Long, events
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[BinlogOffset].parts
     val e = end.asInstanceOf[BinlogOffset].parts
-    val ranges = e.map { case (p, until) => p -> (s.getOrElse(p, 0L), until) }
-      .filter { case (_, (f, u)) => u > f }
+    // a partition absent from the START offset was discovered this batch:
+    // its range begins at the first AVAILABLE offset, never 0 (see listStarts)
+    lazy val starts = listStarts()
+    val ranges = e.map { case (p, until) =>
+      p -> (s.getOrElse(p, starts.getOrElse(p, 0L)), until)
+    }.filter { case (_, (f, u)) => u > f }
     BinlogLineage.record(lineageKey, ranges)
     BinlogOffsets.splitRanges(path, ranges, eventsPerTask)
   }

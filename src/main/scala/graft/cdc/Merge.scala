@@ -177,13 +177,9 @@ object Merge {
     // inherit point-lookup bloom coverage through AUTOMATIC compaction: if a
     // replaced file carried a sidecar the deployment uses blooms — build
     // them for the replacements (executor-side, per-file) so lookups stay
-    // pruned without waiting for the next maintenance pass. Only for files
-    // the commit actually kept (a no-op'd replace deleted them).
-    val committed = next.files.map(_.path).toSet
-    val keptNew = newFiles.filter(f => committed.contains(f.path))
-    if (keptNew.nonEmpty &&
-        sel.exists(f => java.nio.file.Files.exists(Bloom.sidecar(table.root.resolve(f.path)))))
-      Bloom.build(spark, keptNew.map(f => (table.root.resolve(f.path), f.rowCount))): Unit
+    // pruned without waiting for the next maintenance pass
+    if (sel.exists(f => java.nio.file.Files.exists(Bloom.sidecar(table.root.resolve(f.path)))))
+      Bloom.inherit(spark, table, next, newFiles): Unit
     next
   }
 

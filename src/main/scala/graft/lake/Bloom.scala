@@ -124,6 +124,18 @@ object Bloom {
     }.sum().toInt
   }
 
+  /** Build blooms for the subset of `newFiles` a (possibly rebased or
+    * no-op'd) commit actually kept — shared by automatic (MOR hot-path) and
+    * maintenance compaction so "rebuild coverage for replacement files"
+    * stays one code path. */
+  def inherit(spark: SparkSession, table: LakeTable, committed: Snapshot,
+      newFiles: Seq[DataFile]): Int = {
+    val kept = committed.files.map(_.path).toSet
+    val keep = newFiles.filter(f => kept.contains(f.path))
+    if (keep.isEmpty) 0
+    else build(spark, keep.map(f => (table.root.resolve(f.path), f.rowCount)))
+  }
+
   // tiny driver-side cache: point lookups hit the same few sidecars
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
 

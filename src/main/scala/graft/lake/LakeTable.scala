@@ -92,8 +92,13 @@ final class LakeTable(val root: Path) {
     var attempt = 0
     while (true) {
       val cur = currentSnapshot
-      if (marker.exists(m => cur.committedBatchIds.contains(m.batchId)))
-        return cur // exactly-once: a concurrent path already landed this batch
+      if (marker.exists(m => cur.committedBatchIds.contains(m.batchId))) {
+        // exactly-once: a concurrent path already landed this batch — our
+        // just-written files are referenced by no snapshot; delete them
+        // (expireSnapshots only GCs files referenced by EXPIRED snapshots)
+        added.foreach(f => Files.deleteIfExists(root.resolve(f.path)))
+        return cur
+      }
       val next = cur.copy(snapshotId = cur.snapshotId + 1, parentId = cur.snapshotId,
         files = cur.files ++ added,
         batches = marker.fold(cur.batches)(cur.batches :+ _),
@@ -120,7 +125,8 @@ final class LakeTable(val root: Path) {
     var attempt = 0
     while (true) {
       val cur = currentSnapshot
-      if (!replaced.forall(f => cur.files.exists(_.path == f.path))) {
+      val curPaths = cur.files.map(_.path).toSet // set lookups: replaced may be the WHOLE table
+      if (!replacedPaths.forall(curPaths.contains)) {
         added.foreach(f => Files.deleteIfExists(root.resolve(f.path)))
         return cur
       }

@@ -66,14 +66,8 @@ object Maintain {
     val outDir = s"s${snap.snapshotId + 1}c${java.util.UUID.randomUUID().toString.take(8)}"
     val newFiles = table.writeDataFilesTo(out, outDir, snap.schemaVersion)
     val next = table.commitReplace(snap.files, newFiles)
-    // optionally keep point-lookup blooms current through maintenance —
-    // only for files the commit actually kept (a no-op'd replace deleted them)
-    if (withBlooms) {
-      val committed = next.files.map(_.path).toSet
-      val keptNew = newFiles.filter(f => committed.contains(f.path))
-      if (keptNew.nonEmpty)
-        Bloom.build(spark, keptNew.map(f => (table.root.resolve(f.path), f.rowCount))): Unit
-    }
+    // optionally keep point-lookup blooms current through maintenance
+    if (withBlooms) Bloom.inherit(spark, table, next, newFiles): Unit
     next
   }
 

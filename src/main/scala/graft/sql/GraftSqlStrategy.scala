@@ -47,7 +47,7 @@ object GraftSqlStrategy extends SparkStrategy {
       }
       target match {
         case Some(t) =>
-          GraftMergeExec(t, m.sourceTable, validateShape(m)) :: Nil
+          GraftMergeExec(t, m.sourceTable, validateShape(m, t)) :: Nil
         case None => Nil
       }
     case _ => Nil
@@ -59,7 +59,7 @@ object GraftSqlStrategy extends SparkStrategy {
     * DELETE, NOT MATCHED BY SOURCE) would silently run AS that semantics
     * and return wrong results — reject it at planning instead. Returns the
     * optional delete condition. */
-  private def validateShape(m: MergeIntoTable): Option[Expression] = {
+  private def validateShape(m: MergeIntoTable, t: GraftSqlTable): Option[Expression] = {
     def fail(what: String): Nothing = throw new AnalysisException(
       errorClass = "USER_RAISED_EXCEPTION",
       messageParameters = Map("errorMessage" ->
@@ -101,7 +101,12 @@ object GraftSqlStrategy extends SparkStrategy {
           case _ => fail(s"$clause has an unresolvable assignment ${a.sql}")
         }
       }.toSet
-      val targetCols = GraftSqlTable.userSchema.fieldNames.map(_.toLowerCase).toSet
+      // completeness against the TARGET TABLE's schema version — SET * on a
+      // v1 (pre-evolution) table resolves to its 5 columns, which IS the
+      // star shape for that table; checking the compile-time-current schema
+      // would reject every canonical MERGE into a not-yet-ALTERed table
+      val targetCols = GraftSqlTable.userSchemaFor(t.lake.currentSnapshot.schemaVersion)
+        .fieldNames.map(_.toLowerCase).toSet
       val missing = targetCols -- assigned
       if (missing.nonEmpty)
         fail(s"$clause is partial — missing ${missing.toSeq.sorted.mkString(", ")}; only SET */INSERT * is supported")

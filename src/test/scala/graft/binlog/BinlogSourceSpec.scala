@@ -41,6 +41,22 @@ class BinlogSourceSpec extends SparkSpec {
     val parts = s.planInputPartitions(all, grown).map(_.asInstanceOf[BinlogInputPartition])
     assert(parts.map(ip => ip.until - ip.from).sum == 10L)
     assert(parts.forall(ip => ip.until - ip.from <= 100))
+
+    // a partition discovered mid-stream ANCHORED far above 0 (epoch-anchored
+    // sink staging, GC-truncated archive): the void below the anchor must not
+    // be budgeted (backlog from the anchor, not 0) nor planned (no fabricated
+    // (0, …) lineage ranges) — the whole 10-event backlog drains in ONE batch
+    val base = 1L << 32
+    val w9 = new SegmentWriter(dir, 9, base)
+    (0 until 10).foreach(i => w9.writeEvent(ChangeEventGen.event(p, 9, base + i)))
+    w9.close()
+    val grown2 = s.latestOffset(grown, ReadLimit.maxRows(100)).asInstanceOf[BinlogOffset]
+    assert(grown2.parts(9) == base + 10L,
+      s"backlog must be counted from the anchor: ${grown2.parts(9)}")
+    val parts2 = s.planInputPartitions(grown, grown2).map(_.asInstanceOf[BinlogInputPartition])
+    val p9 = parts2.filter(_.partition == 9)
+    assert(p9.map(ip => ip.until - ip.from).sum == 10L)
+    assert(p9.forall(_.from >= base), s"no planning below the anchor: ${p9.toSeq}")
   }
 
   test("streaming read returns exactly the planned rows; batch read honors offset pushdown") {

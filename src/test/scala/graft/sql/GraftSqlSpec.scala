@@ -169,6 +169,34 @@ class GraftSqlSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM graft.morpages WHERE url = 'nope'").count() == 0)
   }
 
+  test("MERGE INTO a v1 (pre-evolution) table: SET */INSERT * validate against v1 columns") {
+    enable()
+    spark.sql("DROP TABLE IF EXISTS graft.mv1")
+    spark.sql("CREATE TABLE graft.mv1 (url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, content_len INT) USING graft TBLPROPERTIES('buckets'='2')")
+    spark.sql(
+      """INSERT INTO graft.mv1
+        |SELECT concat('m', id), timestamp_micros(1700000000000000 + id),
+        |  cast(concat('<p>old-', id, '</p>') AS BINARY), CAST(NULL AS STRING), CAST(NULL AS INT)
+        |FROM range(5)""".stripMargin)
+    // the canonical MERGE shape with a v1-shaped source resolves SET */
+    // INSERT * to the TABLE's 5 columns — validation must accept that as
+    // star-complete (checking the compile-time-current v2 schema would
+    // reject every MERGE into a not-yet-ALTERed table)
+    spark.sql(
+      """MERGE INTO graft.mv1 t USING (
+        |  SELECT concat('m', id) AS url,
+        |         timestamp_micros(1800000000000000 + id) AS warc_ts,
+        |         cast(concat('<p>new-', id, '</p>') AS BINARY) AS html,
+        |         CAST(NULL AS STRING) AS text, CAST(NULL AS INT) AS content_len
+        |  FROM range(3)) s
+        |ON t.url = s.url
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM graft.mv1").head().getLong(0) == 5)
+    assert(spark.sql("SELECT text FROM graft.mv1 WHERE url = 'm1'").head().getString(0) == "new-1")
+    spark.sql("DROP TABLE graft.mv1")
+  }
+
   test("ALTER TABLE evolves schema: v1 create → insert → ADD COLUMN → merge → mixed read, all SQL") {
     enable()
     // v1 schema: content_len INT, no lang

@@ -139,28 +139,61 @@ object Merge {
     // here just moves the head; the delta applies identically on top.
     // Marker counts are post-dedup winners in MOR (raw counts would need an
     // extra pass; lineage carries the raw coverage).
-    val next = table.commitAppend(newFiles,
+    val next = table.commitAppend(newFiles.map(_.copy(tier = DataFile.TierDelta)),
       Some(BatchMarker(batchId, lineage, n - dels, dels)))
 
-    // incremental compaction: only crowded buckets, only their files.
-    // Uniform ingest crowds ALL buckets in lockstep, so the default pass is
-    // a periodic whole-table-width spike (measured 27 s vs 1 s steady
-    // batches at 8M events) — but ONE batched pass is cheaper in total than
-    // spreading it (measured: capping at nBuckets/4 traded the spike for
-    // +20% sustained wall via per-call job overhead). Latency-sensitive
-    // deployments can bound p99 with `-Dgraft.compact.maxBucketsPerBatch`
-    // (most-crowded first; waiting buckets just carry a few files above the
-    // soft MaxFilesPerBucket read knob until their turn).
+    // TIERED incremental compaction (LSM-style size tiering): when a
+    // bucket's DELTA count crosses MaxFilesPerBucket, fold just the deltas
+    // into one MID file — cost O(deltas), no base rewrite; only when
+    // MidFilesPerBucket mids have accumulated does the FULL fold rewrite
+    // the base — so the expensive base rewrite runs 1/MidFilesPerBucket as
+    // often (write amplification O(base/(8·Mids)) per batch instead of
+    // O(base/8)). A legacy/untier-stamped bucket falls back to the full
+    // fold once its total file count crosses the combined bound. One
+    // batched pass per kind is cheaper than spreading (measured: capping
+    // traded the spike for +20% sustained wall via per-call overhead);
+    // `-Dgraft.compact.maxBucketsPerBatch` bounds p99 when needed.
     val byBucket = next.files.groupBy(_.bucket)
-    val crowded = byBucket.filter(_._2.size > MaxFilesPerBucket).keySet
-    if (crowded.nonEmpty) {
-      val cap = sys.props.get("graft.compact.maxBucketsPerBatch").map(_.toInt)
-        .getOrElse(Int.MaxValue)
-      val take =
-        if (cap >= crowded.size) crowded
-        else crowded.toSeq.sortBy(b => -byBucket(b).size).take(cap).toSet
-      compactBuckets(spark, table, take)
-    } else next
+    val fullFold = byBucket.filter { case (_, fs) =>
+      val d = fs.count(_.tier == DataFile.TierDelta)
+      val m = fs.count(_.tier == DataFile.TierMid)
+      (d > MaxFilesPerBucket && m >= MidFilesPerBucket) ||
+        fs.size > MaxFilesPerBucket + MidFilesPerBucket + 2 // legacy manifests
+    }.keySet
+    val deltaFold = byBucket.filter { case (b, fs) =>
+      !fullFold(b) && fs.count(_.tier == DataFile.TierDelta) > MaxFilesPerBucket
+    }.keySet
+    val cap = sys.props.get("graft.compact.maxBucketsPerBatch").map(_.toInt)
+      .getOrElse(Int.MaxValue)
+    def capped(s: Set[Int]): Set[Int] =
+      if (cap >= s.size) s else s.toSeq.sortBy(b => -byBucket(b).size).take(cap).toSet
+    val afterFull = if (fullFold.nonEmpty) compactBuckets(spark, table, capped(fullFold)) else next
+    if (deltaFold.nonEmpty) compactDeltaTier(spark, table, capped(deltaFold)) else afterFull
+  }
+
+  /** Mid files per bucket before the full fold runs (the tiering fan-out). */
+  @volatile var MidFilesPerBucket = 4
+
+  /** Fold ONLY the delta-tier files of the given buckets into one MID file
+    * per bucket (tombstones retained, envelopes kept — LWW-sound next to
+    * the untouched base). Deltas are small (≤ MaxFilesPerBucket batches'
+    * winners), so a plain shuffle fold is proportionate; the co-located
+    * machinery stays reserved for the base-rewriting full fold. */
+  def compactDeltaTier(spark: SparkSession, table: LakeTable, buckets: Set[Int]): Snapshot = {
+    val snap = table.currentSnapshot
+    val nBuckets = snap.nBuckets
+    val sel = snap.files.filter(f => buckets.contains(f.bucket) && f.tier == DataFile.TierDelta)
+    if (sel.isEmpty) return snap
+    val dataCols = TableSchemas.forVersion(snap.schemaVersion)
+      .fieldNames.toSeq.filterNot(TableSchemas.internalNames.contains)
+    val resolved = graft.lake.Resolve.lww(
+        table.readFiles(spark, snap, sel).repartition(nBuckets, col("url")), dataCols)
+      .withColumn("bucket", LakeTable.bucketOf(col("url"), nBuckets))
+      .sortWithinPartitions(col("url"))
+    val outDir = s"s${snap.snapshotId + 1}d${java.util.UUID.randomUUID().toString.take(8)}"
+    val newFiles = table.writeDataFilesTo(resolved, outDir, snap.schemaVersion)
+      .map(_.copy(tier = DataFile.TierMid))
+    table.commitReplace(sel, newFiles)
   }
 
   /** Fold all files of the given buckets into one resolved file per bucket

@@ -22,7 +22,22 @@ final case class DataFile(
     urlMin: String,
     urlMax: String,
     schemaVersion: Int,
-    bytes: Long)
+    bytes: Long,
+    /** Compaction tier: 0 = base (full fold / COW rewrite), 1 = mid (folded
+      * deltas), 2 = delta (per-batch MOR append). Tiers bound WRITE
+      * amplification: deltas fold into a mid often (cost O(deltas)), mids
+      * fold into the base rarely (cost O(base) but 1/MidFilesPerBucket as
+      * frequent) — LSM-style size tiering. LWW correctness is tier-blind:
+      * every row keeps its (warc_ts, offset, partition) envelope, so the
+      * k-way resolve-on-read picks the same winner whatever the layout.
+      * Absent in pre-tier manifests → 0 (one full fold re-stamps). */
+    tier: Int = 0)
+
+object DataFile {
+  val TierBase = 0
+  val TierMid = 1
+  val TierDelta = 2
+}
 
 /** Lineage of one binlog partition within one committed batch
   * (≙ the gap-free chain `next.first = prev.first + prev.num_records`,
@@ -67,6 +82,7 @@ final case class Snapshot(
       o.put("path", f.path); o.put("bucket", f.bucket); o.put("row_count", f.rowCount)
       o.put("url_min", f.urlMin); o.put("url_max", f.urlMax)
       o.put("schema_version", f.schemaVersion); o.put("bytes", f.bytes)
+      o.put("tier", f.tier)
     }
     val ba = root.putArray("batches")
     batches.foreach { b =>
@@ -95,7 +111,8 @@ object Snapshot {
     val files = arr(root, "files").map { o =>
       DataFile(o.get("path").asText(), o.get("bucket").asInt(), o.get("row_count").asLong(),
         o.get("url_min").asText(), o.get("url_max").asText(),
-        o.get("schema_version").asInt(), o.get("bytes").asLong())
+        o.get("schema_version").asInt(), o.get("bytes").asLong(),
+        tier = if (o.has("tier")) o.get("tier").asInt() else 0)
     }.toVector
     val batches = arr(root, "batches").map { o =>
       BatchMarker(o.get("batch_id").asLong(),

@@ -1,0 +1,58 @@
+package graft.cdc
+
+import graft.{Oracle, SparkSpec}
+import graft.binlog.{ChangeEventGen, GenProfile}
+import graft.lake.DataFile
+
+/** LSM-style tiered compaction: per-batch MOR deltas fold into MID files
+  * often (cost O(deltas)); mids fold into the base rarely — write
+  * amplification drops from O(base/8) to O(base/(8·MidFilesPerBucket)) per
+  * batch while LWW stays tier-blind (envelopes decide winners whatever the
+  * file layout). */
+class TieredCompactionSpec extends SparkSpec {
+
+  test("long MOR replay: delta→mid→full folds happen; state equals oracle; counts bounded") {
+    val p = GenProfile.uniformSmall().copy(partitions = 2, eventsPerPartition = 4500)
+    val binlog = tmpDir("tier-binlog")
+    ChangeEventGen.writeSegments(p, binlog, segmentEvents = 1000, chunkThreshold = 64 * 1024)
+    val tblDir = tmpDir("tier-tbl").resolve("t")
+
+    // 45 batches of 100 events/partition: deltas cross MaxFilesPerBucket(8)
+    // every ~9 batches → a mid; after MidFilesPerBucket(4) mids the FULL
+    // fold rewrites the base
+    val table = Ingest.replayBatch(spark, binlog.toString, tblDir,
+      eventsPerBatch = 100, nBuckets = 4, mode = Mor)
+
+    // tier history: mids were created (delta folds ran) and a full fold
+    // re-based at least once (some snapshot where a bucket is exactly one
+    // tier-0 file + fresh deltas)
+    val snaps = table.snapshotIds.map(table.snapshot)
+    assert(snaps.exists(_.files.exists(_.tier == DataFile.TierMid)),
+      "no mid-tier file ever existed — delta folds never ran")
+    assert(snaps.exists { s =>
+      s.files.nonEmpty && s.files.groupBy(_.bucket).exists { case (_, fs) =>
+        fs.count(_.tier == DataFile.TierBase) == 1 && fs.count(_.tier == DataFile.TierMid) == 0
+      }
+    }, "no bucket was ever fully re-based")
+
+    // bounded file counts: ≤ 1 base + MidFilesPerBucket mids + (MaxFiles+1) deltas
+    val byBucket = table.currentSnapshot.files.groupBy(_.bucket)
+    byBucket.foreach { case (b, fs) =>
+      assert(fs.size <= 1 + Merge.MidFilesPerBucket + Merge.MaxFilesPerBucket + 1,
+        s"bucket $b holds ${fs.size} files: ${fs.map(f => (f.tier, f.path)).mkString(", ")}")
+      assert(fs.count(_.tier == DataFile.TierBase) <= 1, s"bucket $b has multiple bases")
+    }
+
+    // final state identical to the pure LWW oracle — byte-identical text
+    val oracle = Oracle.finalState(p)
+    val got = table.read(spark).collect().map { r =>
+      r.getAs[String]("url") -> ((Oracle.micros(r.getAs[java.sql.Timestamp]("warc_ts")),
+        r.getAs[String]("text")))
+    }.toMap
+    assert(got.size == oracle.size, s"engine=${got.size} oracle=${oracle.size}")
+    oracle.foreach { case (url, (ts, text, _, _)) =>
+      assert(got(url)._1 == ts, s"warc_ts mismatch at $url")
+      assert(got(url)._2 == text, s"text not byte-identical at $url")
+    }
+  }
+}

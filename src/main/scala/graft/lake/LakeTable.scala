@@ -60,6 +60,40 @@ final class LakeTable(val root: Path) {
     } finally s.close()
   }
 
+  /** Pin a snapshot against [[Maintain.expireSnapshots]]: a lease file a
+    * long-running reader (time travel, incremental consumer) holds so GC
+    * cannot delete the metadata/files under it. Release when done; a
+    * crashed holder's stale lease can be aged out via the expiry call's
+    * `ignorePinsOlderThanMs`. */
+  def pin(snapshotId: Long): SnapshotPin = {
+    require(Files.exists(snapFile(snapshotId)), s"no snapshot $snapshotId")
+    val dir = metaDir.resolve("pins")
+    Files.createDirectories(dir)
+    val f = dir.resolve(s"pin-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(f, Array.empty[Byte])
+    new SnapshotPin(snapshotId, f)
+  }
+
+  /** Snapshot ids currently pinned (optionally ignoring leases older than
+    * `ignoreOlderThanMs` — crashed holders). */
+  def pinnedSnapshotIds(ignoreOlderThanMs: Long = Long.MaxValue): Set[Long] = {
+    val dir = metaDir.resolve("pins")
+    if (!Files.isDirectory(dir)) return Set.empty
+    val now = System.currentTimeMillis()
+    val s = Files.list(dir)
+    try {
+      val b = Set.newBuilder[Long]
+      s.iterator().forEachRemaining { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("pin-")) {
+          val fresh = now - Files.getLastModifiedTime(p).toMillis < ignoreOlderThanMs
+          if (fresh) n.split("-").lift(1).flatMap(_.toLongOption).foreach(b += _)
+        }
+      }
+      b.result()
+    } finally s.close()
+  }
+
   /** Commit `next` whose parent must be the current version (CAS).
     *
     * The check-then-swap is made atomic WITHIN a JVM by a per-root lock
@@ -292,6 +326,12 @@ final class LakeTable(val root: Path) {
 /** A losing concurrent commit. Extends IllegalArgumentException so callers
   * of the original fail-fast contract are unaffected. */
 final class CommitConflict(msg: String) extends IllegalArgumentException(msg)
+
+/** A held snapshot lease; release when the read is done. */
+final class SnapshotPin(val snapshotId: Long, file: Path) extends AutoCloseable {
+  def release(): Unit = { Files.deleteIfExists(file): Unit }
+  override def close(): Unit = release()
+}
 
 object LakeTable {
   /** Per-root commit locks: every LakeTable instance over the same root in

@@ -135,13 +135,19 @@ object Maintain {
       snap.files.map(f => (table.root.resolve(f.path), f.rowCount)))
   }
 
-  /** Expire all snapshots except the newest `keepLast` (and the current);
-    * delete their metadata and any data file no retained snapshot
-    * references. Time travel remains valid for retained snapshots. */
-  def expireSnapshots(table: LakeTable, keepLast: Int): (Int, Int) = {
+  /** Expire all snapshots except the newest `keepLast`, the current, and
+    * any snapshot PINNED by a live reader lease ([[LakeTable.pin]] — a
+    * long-running time-travel or incremental read must not have its files
+    * GC'd from under it; leases from crashed holders age out via
+    * `ignorePinsOlderThanMs`). Deletes expired metadata and any data file
+    * no retained snapshot references. Time travel remains valid for
+    * retained snapshots. */
+  def expireSnapshots(table: LakeTable, keepLast: Int,
+      ignorePinsOlderThanMs: Long = Long.MaxValue): (Int, Int) = {
     require(keepLast >= 1)
     val ids = table.snapshotIds
-    val retain = ids.takeRight(keepLast).toSet + table.currentSnapshotId
+    val retain = ids.takeRight(keepLast).toSet + table.currentSnapshotId ++
+      table.pinnedSnapshotIds(ignorePinsOlderThanMs).filter(ids.contains)
     val expire = ids.filterNot(retain.contains)
     if (expire.isEmpty) return (0, 0)
     val referenced: Set[String] =

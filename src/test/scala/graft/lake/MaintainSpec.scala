@@ -57,6 +57,25 @@ class MaintainSpec extends SparkSpec {
     assert(!retained.contains(allIds.head) || allIds.head == table.currentSnapshotId)
   }
 
+  test("pinned snapshot survives expiry with its files; aged/released pins are reclaimed") {
+    val (table, _, _) = build()
+    val allIds = table.snapshotIds
+    val pinId = allIds.head // the oldest — first to expire without the pin
+    val pinnedRows = table.read(spark, Some(pinId)).count()
+    val pin = table.pin(pinId)
+    val (expired1, _) = Maintain.expireSnapshots(table, keepLast = 1)
+    assert(expired1 >= 0 && table.snapshotIds.contains(pinId),
+      s"pinned $pinId must survive: ${table.snapshotIds}")
+    // the pinned read still works, files intact
+    assert(table.read(spark, Some(pinId)).count() == pinnedRows)
+    // a crashed holder's stale lease ages out
+    assert(table.pinnedSnapshotIds(ignoreOlderThanMs = 0L).isEmpty)
+    pin.release()
+    val (expired2, _) = Maintain.expireSnapshots(table, keepLast = 1)
+    assert(expired2 >= 1 && !table.snapshotIds.contains(pinId),
+      s"released $pinId must expire: ${table.snapshotIds}")
+  }
+
   test("auto-expiry cadence in the streaming loop bounds snapshot count, state stays correct") {
     val p = graft.binlog.GenProfile.uniformSmall().copy(partitions = 2, eventsPerPartition = 1500)
     val binlog = tmpDir("aebl")

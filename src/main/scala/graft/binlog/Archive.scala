@@ -35,10 +35,20 @@ object Archive {
     * headers, `BlockGZIPFileWriter.java:133-141`). The date is an explicit
     * argument, not wall clock, so replaying a batch rewrites the SAME keys
     * with identical bytes. */
+  /** `flushIntervalUs`: the reference's event-time flush policy (W1,
+    * `S3SinkTask.shouldFlushBefore`) applied to the ARCHIVE's file
+    * boundaries — a segment also rotates before accepting a record whose
+    * `warc_ts` is ≥ interval past the segment's FIRST record (the
+    * triggering record opens the next file, exactly the reference's
+    * `testSinkWithBigFlushInterval` behavior). Pure event time, so replay
+    * still rewrites byte-identical files; the micro-batch boundary itself
+    * plays the wall-clock-flush role for quiet tails (W2's graced analog —
+    * every batch closes its open segments durably). */
   def archiveBatch(spark: SparkSession, destDir: Path, segmentEvents: Long,
       chunkThreshold: Long, layout: Layout = Layout.Flat, topic: String = "events",
       date: String = "1970-01-01", codecSpec: CodecSpec = CodecSpec(),
-      header: Array[Byte] = Array.empty)(df: DataFrame, batchId: Long): Seq[ArchivedSegment] = {
+      header: Array[Byte] = Array.empty, flushIntervalUs: Option[Long] = None)
+      (df: DataFrame, batchId: Long): Seq[ArchivedSegment] = {
     import spark.implicits._
     val dest = destDir.toString
     val written = df.as[ChangeEvent]
@@ -52,17 +62,23 @@ object Archive {
         var curPart = -1
         var curStart = 0L
         var inSeg = 0L
+        var firstTsUs = 0L
+        def micros(e: ChangeEvent): Long =
+          Math.floorDiv(e.warc_ts.getTime, 1000L) * 1000000L + e.warc_ts.getNanos / 1000L
         def closeSeg(): Unit = if (w != null) {
           w.close()
           out += ArchivedSegment(curPart, curStart, inSeg, rel + ".gz")
           w = null
         }
         it.foreach { e =>
-          if (e.partition != curPart || inSeg >= segmentEvents) {
+          val timeFlush = flushIntervalUs.exists(iv =>
+            w != null && inSeg > 0 && micros(e) - firstTsUs >= iv)
+          if (e.partition != curPart || inSeg >= segmentEvents || timeFlush) {
             closeSeg()
             curPart = e.partition
             curStart = e.offset
             inSeg = 0L
+            firstTsUs = micros(e)
             rel = layout.blockPath(topic, date, curPart, curStart)
             val full = Paths.get(dest).resolve(rel + ".gz")
             w = new SegmentWriter(full.getParent, curPart, curStart, chunkThreshold,

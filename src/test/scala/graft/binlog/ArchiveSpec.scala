@@ -54,4 +54,38 @@ class ArchiveSpec extends SparkSpec {
     val after = md5s(dest)
     assert(after == before, "rewind must regenerate byte-identical segment files")
   }
+
+  test("event-time flush policy drives ARCHIVE file boundaries (W1 in the sink)") {
+    import graft.streaming.FlushWindows
+    val p = GenProfile.uniformSmall().copy(partitions = 2, eventsPerPartition = 1500)
+    val origin = tmpDir("archfw-src")
+    ChangeEventGen.writeSegments(p, origin, segmentEvents = 700, chunkThreshold = 64 * 1024)
+    val dest = tmpDir("archfw-dst")
+    val intervalUs = 200L * 1000000 // ~200 events of event time per file
+
+    // single batch (the whole stream), count rotation effectively off: file
+    // boundaries must be EXACTLY the reference's shouldFlushBefore decisions
+    val df = BinlogRead.all(spark, origin.toString)
+    val segs = Archive.archiveBatch(spark, dest, segmentEvents = Long.MaxValue,
+      chunkThreshold = 16 * 1024, flushIntervalUs = Some(intervalUs))(df, 0L)
+
+    (0 until p.partitions).foreach { part =>
+      val evts = ChangeEventGen.events(p, part).map { e =>
+        FlushWindows.EventLite(part, e.offset, graft.Oracle.micros(e.warc_ts),
+          if (e.html == null) 0L else e.html.length.toLong)
+      }
+      val (closed, open, _) = FlushWindows.foldEvents(evts, None, intervalUs)
+      val oracle = (closed.map(c => (c.startOffset, c.numRecords)) ++
+        open.map(o => (o.startOffset, o.numRecords))).toVector // tail closes at batch end
+      val got = segs.filter(_.partition == part).sortBy(_.startOffset)
+        .map(s => (s.startOffset, s.records)).toVector
+      assert(got == oracle, s"p$part boundaries: got=$got oracle=$oracle")
+    }
+    // and the files are a faithful decodable archive
+    (0 until p.partitions).foreach { part =>
+      val a = Segment.readRange(origin, part, 0, Long.MaxValue).toVector
+      val b = Segment.readRange(dest, part, 0, Long.MaxValue).toVector
+      assert(a.map(_.copy(html = null)) == b.map(_.copy(html = null)))
+    }
+  }
 }

@@ -229,7 +229,9 @@ final class LakeTable(val root: Path) {
     * Rows carry the internal columns; `_deleted = true` rows are the delete
     * events. Compaction/maintenance snapshots rewrite rows without changing
     * content — pass `skipMaintenance = true` (default) to ignore snapshots
-    * that carry no new batch markers. */
+    * that carry no new batch markers (incl. tier folds). A LONG-LIVED
+    * consumer should [[pin]] its `from` snapshot so expiry cannot GC the
+    * metadata/files of the span it still has to read. */
   def readIncrement(spark: SparkSession, fromSnapshotId: Long,
       toSnapshotId: Option[Long] = None, skipMaintenance: Boolean = true): DataFrame = {
     val to = toSnapshotId.getOrElse(currentSnapshotId)

@@ -43,6 +43,13 @@ class TieredCompactionSpec extends SparkSpec {
       assert(fs.count(_.tier == DataFile.TierBase) <= 1, s"bucket $b has multiple bases")
     }
 
+    // the CDC-out change feed is fold-transparent: increments across the
+    // whole run are exactly the per-batch winners, never the rewritten
+    // mid/base copies (fold commits carry no markers and are skipped)
+    val incRows = table.readIncrement(spark, 0L).count()
+    val markerRows = table.currentSnapshot.batches.map(b => b.upserts + b.deletes).sum
+    assert(incRows == markerRows, s"increment=$incRows markers=$markerRows")
+
     // final state identical to the pure LWW oracle — byte-identical text
     val oracle = Oracle.finalState(p)
     val got = table.read(spark).collect().map { r =>

@@ -74,10 +74,14 @@ object Merge {
     println(lastPlan)
   }
 
-  /** MOR: compact a bucket once it accumulates this many delta files —
-    * bounds read amplification to ~MaxFilesPerBucket-way resolves. Default
-    * justified by the read-latency sweep in BENCH_LOCAL.md (resolve cost vs
-    * delta count); tunable for that bench and for read-heavy deployments. */
+  /** MOR: fold a bucket's DELTA tier once it accumulates this many delta
+    * files. With tiering the worst-case resolve width is ~(1 base +
+    * MidFilesPerBucket mids + MaxFilesPerBucket+1 deltas) ≈ 14 files, not
+    * MaxFilesPerBucket — tiering trades bounded extra read fan-out for a
+    * 1/MidFilesPerBucket-rarer base rewrite (A/B in BENCH_LOCAL.md). The
+    * delta-count default comes from the read-latency sweep in
+    * BENCH_LOCAL.md (resolve cost vs file count); lower it (and/or
+    * MidFilesPerBucket) for read-heavy deployments. */
   @volatile var MaxFilesPerBucket = 8
 
   /** Escape hatch for A/B: when false, COW uses the round-1 union+max_by
@@ -157,18 +161,26 @@ object Merge {
     val fullFold = byBucket.filter { case (_, fs) =>
       val d = fs.count(_.tier == DataFile.TierDelta)
       val m = fs.count(_.tier == DataFile.TierMid)
+      // legacy (pre-tier) manifests parse every file as tier 0, so >1 base
+      // file identifies them precisely — a TIERED bucket whose deltas piled
+      // up while deferred by the batch cap must NOT escalate to the full
+      // fold (only the cheap delta fold is due until its mids fill up)
       (d > MaxFilesPerBucket && m >= MidFilesPerBucket) ||
-        fs.size > MaxFilesPerBucket + MidFilesPerBucket + 2 // legacy manifests
+        fs.count(_.tier == DataFile.TierBase) > 1
     }.keySet
     val deltaFold = byBucket.filter { case (b, fs) =>
       !fullFold(b) && fs.count(_.tier == DataFile.TierDelta) > MaxFilesPerBucket
     }.keySet
+    // ONE cap across both kinds: the knob bounds total compaction work in a
+    // batch, so the delta folds only get the budget the full folds left
     val cap = sys.props.get("graft.compact.maxBucketsPerBatch").map(_.toInt)
       .getOrElse(Int.MaxValue)
-    def capped(s: Set[Int]): Set[Int] =
-      if (cap >= s.size) s else s.toSeq.sortBy(b => -byBucket(b).size).take(cap).toSet
-    val afterFull = if (fullFold.nonEmpty) compactBuckets(spark, table, capped(fullFold)) else next
-    if (deltaFold.nonEmpty) compactDeltaTier(spark, table, capped(deltaFold)) else afterFull
+    def capped(s: Set[Int], n: Int): Set[Int] =
+      if (n >= s.size) s else s.toSeq.sortBy(b => -byBucket(b).size).take(n).toSet
+    val fullSel = capped(fullFold, cap)
+    val deltaSel = capped(deltaFold, cap - fullSel.size)
+    val afterFull = if (fullSel.nonEmpty) compactBuckets(spark, table, fullSel) else next
+    if (deltaSel.nonEmpty) compactDeltaTier(spark, table, deltaSel) else afterFull
   }
 
   /** Mid files per bucket before the full fold runs (the tiering fan-out). */
@@ -190,10 +202,23 @@ object Merge {
         table.readFiles(spark, snap, sel).repartition(nBuckets, col("url")), dataCols)
       .withColumn("bucket", LakeTable.bucketOf(col("url"), nBuckets))
       .sortWithinPartitions(col("url"))
-    val outDir = s"s${snap.snapshotId + 1}d${java.util.UUID.randomUUID().toString.take(8)}"
+    replaceResolved(spark, table, snap, sel, resolved, "d", DataFile.TierMid)
+  }
+
+  /** Shared tail of the fold paths: write the resolved rows to a unique
+    * replacement dir, replacement-rebase commit (safe next to concurrent
+    * ingest — see [[graft.lake.LakeTable.commitReplace]]), and inherit
+    * point-lookup bloom sidecars when any replaced file carried one (so
+    * lookups stay pruned without waiting for the maintenance pass). */
+  private def replaceResolved(spark: SparkSession, table: LakeTable, snap: Snapshot,
+      sel: Seq[DataFile], resolved: DataFrame, dirTag: String, outTier: Int): Snapshot = {
+    val outDir = s"s${snap.snapshotId + 1}$dirTag${java.util.UUID.randomUUID().toString.take(8)}"
     val newFiles = table.writeDataFilesTo(resolved, outDir, snap.schemaVersion)
-      .map(_.copy(tier = DataFile.TierMid))
-    table.commitReplace(sel, newFiles)
+      .map(_.copy(tier = outTier))
+    val next = table.commitReplace(sel, newFiles)
+    if (sel.exists(f => java.nio.file.Files.exists(Bloom.sidecar(table.root.resolve(f.path)))))
+      Bloom.inherit(spark, table, next, newFiles): Unit
+    next
   }
 
   /** Fold all files of the given buckets into one resolved file per bucket
@@ -220,16 +245,7 @@ object Merge {
     // CONCURRENTLY with an ingest stream — concurrent ADDs survive the
     // rebase; if a competing maintenance already replaced our inputs, the
     // output is deleted and this is a no-op (LakeTable.commitReplace)
-    val outDir = s"s${snap.snapshotId + 1}c${java.util.UUID.randomUUID().toString.take(8)}"
-    val newFiles = table.writeDataFilesTo(resolved, outDir, snap.schemaVersion)
-    val next = table.commitReplace(sel, newFiles)
-    // inherit point-lookup bloom coverage through AUTOMATIC compaction: if a
-    // replaced file carried a sidecar the deployment uses blooms — build
-    // them for the replacements (executor-side, per-file) so lookups stay
-    // pruned without waiting for the next maintenance pass
-    if (sel.exists(f => java.nio.file.Files.exists(Bloom.sidecar(table.root.resolve(f.path)))))
-      Bloom.inherit(spark, table, next, newFiles): Unit
-    next
+    replaceResolved(spark, table, snap, sel, resolved, "c", DataFile.TierBase)
   }
 
   /** COPY-ON-WRITE apply: see object doc — union of pruned target files and

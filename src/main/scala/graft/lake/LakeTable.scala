@@ -62,10 +62,17 @@ final class LakeTable(val root: Path) {
 
   /** Pin a snapshot against [[Maintain.expireSnapshots]]: a lease file a
     * long-running reader (time travel, incremental consumer) holds so GC
-    * cannot delete the metadata/files under it. Release when done; a
-    * crashed holder's stale lease can be aged out via the expiry call's
-    * `ignorePinsOlderThanMs`. */
-  def pin(snapshotId: Long): SnapshotPin = {
+    * cannot delete the metadata/files under it — NOR of any LATER snapshot
+    * (expiry retains the pin's entire forward span, so an incremental read
+    * from the pin stays valid). Release when done; a crashed holder's stale
+    * lease ages out via the expiry call's `ignorePinsOlderThanMs` — a LIVE
+    * holder running longer than that window must [[SnapshotPin.touch]] the
+    * lease periodically (heartbeat) or it is treated as crashed.
+    *
+    * Taken under the table's commit lock so a pin cannot be granted on a
+    * snapshot a concurrent [[Maintain.expireSnapshots]] (same JVM) is
+    * mid-way through deleting. */
+  def pin(snapshotId: Long): SnapshotPin = LakeTable.commitLock(root).synchronized {
     require(Files.exists(snapFile(snapshotId)), s"no snapshot $snapshotId")
     val dir = metaDir.resolve("pins")
     Files.createDirectories(dir)
@@ -230,8 +237,11 @@ final class LakeTable(val root: Path) {
     * events. Compaction/maintenance snapshots rewrite rows without changing
     * content — pass `skipMaintenance = true` (default) to ignore snapshots
     * that carry no new batch markers (incl. tier folds). A LONG-LIVED
-    * consumer should [[pin]] its `from` snapshot so expiry cannot GC the
-    * metadata/files of the span it still has to read. */
+    * consumer should [[pin]] its `from` snapshot — expiry then retains the
+    * pin's entire forward span, so the increment stays readable; if the
+    * span WAS expired anyway (no pin, or the lease aged out), the broken
+    * parent chain is detected and the read fails loudly rather than
+    * misreporting rewritten files as changes. */
   def readIncrement(spark: SparkSession, fromSnapshotId: Long,
       toSnapshotId: Option[Long] = None, skipMaintenance: Boolean = true): DataFrame = {
     val to = toSnapshotId.getOrElse(currentSnapshotId)
@@ -241,6 +251,12 @@ final class LakeTable(val root: Path) {
     val added = Vector.newBuilder[DataFile]
     ids.foreach { id =>
       val cur = snapshot(id)
+      if (cur.parentId != prev.snapshotId) throw new IllegalStateException(
+        s"incremental read $fromSnapshotId -> $to crosses an EXPIRED span: " +
+          s"snapshot $id has parent ${cur.parentId} but the previous retained " +
+          s"snapshot is ${prev.snapshotId} — the intermediate snapshots were " +
+          "garbage-collected (pin the from-snapshot and heartbeat the lease " +
+          "to keep the span readable)")
       val isMaintenance = cur.batches.size == prev.batches.size
       if (!(skipMaintenance && isMaintenance)) {
         val prevPaths = prev.files.map(_.path).toSet
@@ -329,8 +345,17 @@ final class LakeTable(val root: Path) {
   * of the original fail-fast contract are unaffected. */
 final class CommitConflict(msg: String) extends IllegalArgumentException(msg)
 
-/** A held snapshot lease; release when the read is done. */
+/** A held snapshot lease; release when the read is done. A holder that may
+  * outlive the expiry call's `ignorePinsOlderThanMs` staleness window must
+  * call [[touch]] on a shorter cadence — freshness is the lease file's
+  * mtime, so an un-touched lease is indistinguishable from a crashed one. */
 final class SnapshotPin(val snapshotId: Long, file: Path) extends AutoCloseable {
+  /** Heartbeat: refresh the lease so stale-lease aging doesn't GC a
+    * snapshot a live long-running reader still holds. */
+  def touch(): Unit =
+    if (Files.exists(file))
+      Files.setLastModifiedTime(file,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis())): Unit
   def release(): Unit = { Files.deleteIfExists(file): Unit }
   override def close(): Unit = release()
 }

@@ -135,19 +135,26 @@ object Maintain {
       snap.files.map(f => (table.root.resolve(f.path), f.rowCount)))
   }
 
-  /** Expire all snapshots except the newest `keepLast`, the current, and
-    * any snapshot PINNED by a live reader lease ([[LakeTable.pin]] — a
-    * long-running time-travel or incremental read must not have its files
-    * GC'd from under it; leases from crashed holders age out via
-    * `ignorePinsOlderThanMs`). Deletes expired metadata and any data file
-    * no retained snapshot references. Time travel remains valid for
-    * retained snapshots. */
+  /** Expire all snapshots except the newest `keepLast`, the current, and —
+    * for any snapshot PINNED by a live reader lease ([[LakeTable.pin]]) —
+    * the pin's ENTIRE FORWARD SPAN: an incremental consumer pinned at S
+    * still has to read every snapshot in (S, current], so retaining S alone
+    * would let GC delete the intermediate metadata and the folded-away
+    * delta files its change feed needs. Leases from crashed holders age out
+    * via `ignorePinsOlderThanMs` (live long-runners heartbeat via
+    * [[SnapshotPin.touch]]). Deletes expired metadata and any data file no
+    * retained snapshot references. Time travel remains valid for retained
+    * snapshots. Runs under the table's commit lock so it cannot race a
+    * concurrent [[LakeTable.pin]] in this JVM. */
   def expireSnapshots(table: LakeTable, keepLast: Int,
-      ignorePinsOlderThanMs: Long = Long.MaxValue): (Int, Int) = {
+      ignorePinsOlderThanMs: Long = Long.MaxValue): (Int, Int) =
+      LakeTable.commitLock(table.root).synchronized {
     require(keepLast >= 1)
     val ids = table.snapshotIds
+    val pinned = table.pinnedSnapshotIds(ignorePinsOlderThanMs).filter(ids.contains)
+    val minPinned = if (pinned.isEmpty) Long.MaxValue else pinned.min
     val retain = ids.takeRight(keepLast).toSet + table.currentSnapshotId ++
-      table.pinnedSnapshotIds(ignorePinsOlderThanMs).filter(ids.contains)
+      ids.filter(_ >= minPinned)
     val expire = ids.filterNot(retain.contains)
     if (expire.isEmpty) return (0, 0)
     val referenced: Set[String] =

@@ -57,23 +57,50 @@ class MaintainSpec extends SparkSpec {
     assert(!retained.contains(allIds.head) || allIds.head == table.currentSnapshotId)
   }
 
-  test("pinned snapshot survives expiry with its files; aged/released pins are reclaimed") {
+  test("pin retains its forward span through expiry; touch renews; release reclaims") {
     val (table, _, _) = build()
     val allIds = table.snapshotIds
-    val pinId = allIds.head // the oldest — first to expire without the pin
+    assert(allIds.size >= 4)
+    val pinId = allIds(allIds.size / 2) // a MIDDLE snapshot: something older must expire
     val pinnedRows = table.read(spark, Some(pinId)).count()
+    val incBefore = table.readIncrement(spark, pinId).count()
     val pin = table.pin(pinId)
     val (expired1, _) = Maintain.expireSnapshots(table, keepLast = 1)
-    assert(expired1 >= 0 && table.snapshotIds.contains(pinId),
-      s"pinned $pinId must survive: ${table.snapshotIds}")
-    // the pinned read still works, files intact
+    // snapshots strictly BEFORE the pin expired; the pin and its entire
+    // forward span survived (an incremental consumer still has to read it)
+    assert(expired1 >= 1, "expiry must reclaim the pre-pin snapshots")
+    val retained = table.snapshotIds
+    assert(allIds.filter(_ >= pinId).forall(retained.contains),
+      s"forward span of pinned $pinId must survive: $retained")
     assert(table.read(spark, Some(pinId)).count() == pinnedRows)
-    // a crashed holder's stale lease ages out
+    assert(table.readIncrement(spark, pinId).count() == incBefore,
+      "the pinned consumer's change feed must be unchanged by expiry")
+    // a crashed holder's stale lease ages out — but touch() renews a live one
     assert(table.pinnedSnapshotIds(ignoreOlderThanMs = 0L).isEmpty)
+    val pinsDir = table.root.resolve("meta").resolve("pins")
+    val lease = java.nio.file.Files.list(pinsDir).iterator().next()
+    java.nio.file.Files.setLastModifiedTime(lease,
+      java.nio.file.attribute.FileTime.fromMillis(1000L)) // ancient
+    assert(table.pinnedSnapshotIds(ignoreOlderThanMs = 3600000L).isEmpty)
+    pin.touch()
+    assert(table.pinnedSnapshotIds(ignoreOlderThanMs = 3600000L) == Set(pinId))
     pin.release()
     val (expired2, _) = Maintain.expireSnapshots(table, keepLast = 1)
     assert(expired2 >= 1 && !table.snapshotIds.contains(pinId),
       s"released $pinId must expire: ${table.snapshotIds}")
+  }
+
+  test("incremental read across an expired (GC'd) span fails loudly, not silently wrong") {
+    val (table, _, _) = build()
+    val ids = table.snapshotIds
+    assert(ids.size >= 4)
+    val from = ids.head
+    // simulate a span lost to expiry under an aged-out lease: a middle
+    // snapshot's metadata vanishes while `from` and the tip survive
+    val gone = ids(ids.size / 2)
+    java.nio.file.Files.delete(table.root.resolve("meta").resolve(s"snap-$gone.json"))
+    val e = intercept[IllegalStateException] { table.readIncrement(spark, from) }
+    assert(e.getMessage.contains("EXPIRED span"))
   }
 
   test("auto-expiry cadence in the streaming loop bounds snapshot count, state stays correct") {

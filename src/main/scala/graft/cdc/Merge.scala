@@ -102,8 +102,23 @@ object Merge {
     * bucket-aligned shuffle as COW, but the union side is EMPTY — the table
     * is never read), append the winners as per-bucket DELTA files, then
     * incrementally compact any bucket that exceeded MaxFilesPerBucket.
-    * Per-batch cost is O(batch), independent of table size. */
+    * Per-batch cost is O(batch), independent of table size.
+    *
+    * If a CONCURRENT [[graft.lake.Maintain.rebucketLive]] swaps the bucket
+    * layout between this batch's shuffle and its commit, the layout-guarded
+    * append throws and the whole batch is recomputed under the new layout
+    * (rare — once per table growth step; the batch plan is re-executable and
+    * the marker was never committed, so the retry is exactly-once-safe). */
   private def applyMor(spark: SparkSession, table: LakeTable, batch: DataFrame,
+      batchId: Long, lineage: Seq[PartLineage]): Snapshot =
+    try applyMorOnce(spark, table, batch, batchId, lineage)
+    catch {
+      case e: graft.lake.BucketLayoutChanged =>
+        System.err.println(s"[merge] batch $batchId: ${e.getMessage}; retrying")
+        applyMorOnce(spark, table, batch, batchId, lineage)
+    }
+
+  private def applyMorOnce(spark: SparkSession, table: LakeTable, batch: DataFrame,
       batchId: Long, lineage: Seq[PartLineage]): Snapshot = {
     val snap = table.currentSnapshot
     if (snap.committedBatchIds.contains(batchId)) return snap
@@ -144,7 +159,8 @@ object Merge {
     // Marker counts are post-dedup winners in MOR (raw counts would need an
     // extra pass; lineage carries the raw coverage).
     val next = table.commitAppend(newFiles.map(_.copy(tier = DataFile.TierDelta)),
-      Some(BatchMarker(batchId, lineage, n - dels, dels)))
+      Some(BatchMarker(batchId, lineage, n - dels, dels)),
+      expectedBuckets = Some(nBuckets))
 
     // TIERED incremental compaction (LSM-style size tiering): when a
     // bucket's DELTA count crosses MaxFilesPerBucket, fold just the deltas

@@ -127,9 +127,18 @@ final class LakeTable(val root: Path) {
     * any concurrent compaction/ingest result because resolve-on-read keeps
     * per-row (warc_ts, offset, partition) envelopes, so LWW winner
     * resolution commutes with any interleaving. Returns the committed (or,
-    * for an already-committed batchId, the current) snapshot. */
+    * for an already-committed batchId, the current) snapshot.
+    *
+    * `expectedBuckets`: the bucket count the files were SHUFFLED under.
+    * The rebase is only sound while the table's bucket function is
+    * unchanged — if a concurrent [[Maintain.rebucketLive]] swapped the
+    * layout, appending old-layout files would break the bucket invariant
+    * (a file's urls would no longer all hash to its bucket id), silently
+    * corrupting co-located reads. The commit then throws
+    * [[BucketLayoutChanged]] (after deleting its orphaned files) and the
+    * caller recomputes the batch under the new layout. */
   def commitAppend(added: Seq[DataFile], marker: Option[BatchMarker],
-      maxAttempts: Int = 5): Snapshot = {
+      maxAttempts: Int = 5, expectedBuckets: Option[Int] = None): Snapshot = {
     var attempt = 0
     while (true) {
       val cur = currentSnapshot
@@ -139,6 +148,12 @@ final class LakeTable(val root: Path) {
         // (expireSnapshots only GCs files referenced by EXPIRED snapshots)
         added.foreach(f => Files.deleteIfExists(root.resolve(f.path)))
         return cur
+      }
+      if (expectedBuckets.exists(_ != cur.nBuckets)) {
+        added.foreach(f => Files.deleteIfExists(root.resolve(f.path)))
+        throw new BucketLayoutChanged(
+          s"table rebucketed to ${cur.nBuckets} buckets while this batch was " +
+            s"shuffled under ${expectedBuckets.get} — recompute under the new layout")
       }
       val next = cur.copy(snapshotId = cur.snapshotId + 1, parentId = cur.snapshotId,
         files = cur.files ++ added,
@@ -344,6 +359,11 @@ final class LakeTable(val root: Path) {
 /** A losing concurrent commit. Extends IllegalArgumentException so callers
   * of the original fail-fast contract are unaffected. */
 final class CommitConflict(msg: String) extends IllegalArgumentException(msg)
+
+/** The table's bucket function changed (live rebucket) between a batch's
+  * shuffle and its commit — the batch must be recomputed under the new
+  * layout ([[LakeTable.commitAppend]] `expectedBuckets`). */
+final class BucketLayoutChanged(msg: String) extends IllegalStateException(msg)
 
 /** A held snapshot lease; release when the read is done. A holder that may
   * outlive the expiry call's `ignorePinsOlderThanMs` staleness window must

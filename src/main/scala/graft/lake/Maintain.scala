@@ -83,11 +83,11 @@ object Maintain {
     * scale with the table. One full rewrite, run on the maintenance cadence
     * when `avg bucket bytes > target` (see [[maybeGrowBuckets]]).
     *
-    * UNLIKE compaction, rebucketing must NOT run concurrently with ingest:
-    * a rebase would mix files bucketed under two different bucket functions.
-    * The commit is deliberately fail-fast — a concurrent commit raises
-    * [[CommitConflict]] and this rewrite is discarded; pause the stream (or
-    * run on the maintenance window) to rebucket. */
+    * UNLIKE compaction, THIS offline variant must NOT run concurrently with
+    * ingest: a rebase would mix files bucketed under two different bucket
+    * functions. The commit is deliberately fail-fast — a concurrent commit
+    * raises [[CommitConflict]] and this rewrite is discarded; pause the
+    * stream, or use [[rebucketLive]] to cut over WITHOUT pausing. */
   def rebucket(spark: SparkSession, table: LakeTable, newBuckets: Int): Snapshot = {
     val snap = table.currentSnapshot
     require(newBuckets >= 1)
@@ -113,6 +113,109 @@ object Maintain {
       totalRows = newFiles.map(_.rowCount).sum)
     table.commit(next)
     next
+  }
+
+  /** LIVE bucket-count change: rebucket WITHOUT pausing ingest — the
+    * staged-cutover alternative to [[rebucket]], removing the engine's last
+    * stop-the-world operation (a 10^10-row table outgrows its bucket count
+    * while its change stream keeps flowing).
+    *
+    * Protocol (all machinery reused from the concurrency/pin substrate):
+    *  1. PIN the current snapshot `s0` — expiry retains the pin's forward
+    *     span, so every intermediate snapshot and its (possibly
+    *     folded-away) delta files stay readable for the whole cutover.
+    *  2. REWRITE (long, no lock): LWW-resolve the table as of `s0`
+    *     (tombstones retained — replay safety unchanged) and shuffle the
+    *     winners once into the NEW bucket function; write as the new base.
+    *     Ingest keeps committing batches under the old layout meanwhile.
+    *  3. CATCH UP (no lock): replay the batches committed during step 2 via
+    *     [[LakeTable.readIncrement]] (fold-transparent: exactly the
+    *     per-batch post-dedup winners incl. tombstones, envelopes kept) and
+    *     re-shuffle them into new-layout DELTA files. Loop while ingest
+    *     stays ahead; each round shrinks the remaining tail.
+    *  4. BARRIER (commit lock): write the final sliver the same way, then
+    *     atomically swap — a snapshot carrying the new `nBuckets`, the new
+    *     base + catch-up deltas, and the UNCHANGED batch markers/lineage
+    *     (exactly-once replay audit unaffected). Ingest commits block only
+    *     for the sliver write.
+    *
+    * Safety against in-flight batches: a batch shuffled under the OLD
+    * function that commits AFTER the swap would silently break the bucket
+    * invariant — [[LakeTable.commitAppend]]'s `expectedBuckets` guard makes
+    * it throw instead, and [[graft.cdc.Merge]] recomputes that one batch
+    * under the new layout. A concurrent tier fold targeting old-layout
+    * files no-ops cleanly (vanished inputs, [[LakeTable.commitReplace]]).
+    * COW streams keep their pre-existing fail-fast CAS contract: a
+    * concurrent swap surfaces as [[CommitConflict]] rather than corruption
+    * — run live rebucketing under merge-on-read ingest (the mode a
+    * 10^10-scale deployment runs anyway).
+    *
+    * Run ONE live rebucket at a time; concurrent calls stay correct (each
+    * swap is a complete state) but waste the loser's rewrite. */
+  def rebucketLive(spark: SparkSession, table: LakeTable, newBuckets: Int,
+      maxCatchupRounds: Int = 8): Snapshot = {
+    val s0 = table.currentSnapshot
+    require(newBuckets >= 1)
+    if (newBuckets == s0.nBuckets || s0.files.isEmpty) return s0
+    val pin = table.pin(s0.snapshotId)
+    try {
+      val tag = s"rb${java.util.UUID.randomUUID().toString.take(8)}"
+      // step 2: resolve as of s0 under the old layout, one shuffle into the
+      // new function (same formulation as the offline rebucket)
+      val dataCols = TableSchemas.forVersion(s0.schemaVersion)
+        .fieldNames.toSeq.filterNot(TableSchemas.internalNames.contains)
+      val resolved =
+        if (s0.schemaVersion == TableSchemas.current)
+          graft.sql.GraftRead.rawResolved(spark, table, Some(s0.snapshotId))
+            .repartition(newBuckets, col("url"))
+        else Resolve.lww(table.readFiles(spark, s0, s0.files)
+          .repartition(newBuckets, col("url")), dataCols)
+      val base = resolved
+        .withColumn("bucket", LakeTable.bucketOf(col("url"), newBuckets))
+        .sortWithinPartitions(col("url"))
+      val baseFiles = table.writeDataFilesTo(base, s"$tag-base", s0.schemaVersion)
+
+      // step 3: chase the ingest head without blocking it
+      var lastSeen = s0.snapshotId
+      val deltas = Vector.newBuilder[DataFile]
+      var round = 0
+      var tip = table.currentSnapshotId
+      while (tip != lastSeen && round < maxCatchupRounds) {
+        deltas ++= rebucketCatchup(spark, table, lastSeen, tip, newBuckets, s"$tag-d$round")
+        lastSeen = tip
+        round += 1
+        tip = table.currentSnapshotId
+      }
+
+      // step 4: barrier — final sliver + atomic layout swap
+      LakeTable.commitLock(table.root).synchronized {
+        val cur = table.currentSnapshot
+        if (cur.snapshotId != lastSeen)
+          deltas ++= rebucketCatchup(spark, table, lastSeen, cur.snapshotId,
+            newBuckets, s"$tag-dfin")
+        val files = baseFiles ++ deltas.result()
+        val next = cur.copy(snapshotId = cur.snapshotId + 1, parentId = cur.snapshotId,
+          nBuckets = newBuckets, files = files,
+          totalRows = files.map(_.rowCount).sum)
+        table.commit(next)
+        next
+      }
+    } finally pin.release()
+  }
+
+  /** Re-shuffle the change feed of `(from, to]` (per-batch winners incl.
+    * tombstones, envelope columns kept) into `newBuckets`-layout delta
+    * files. LWW resolve-on-read makes the result exact next to the new
+    * base whatever interleaving produced the increments. */
+  private def rebucketCatchup(spark: SparkSession, table: LakeTable,
+      from: Long, to: Long, newBuckets: Int, dirName: String): Vector[DataFile] = {
+    val version = table.snapshot(to).schemaVersion
+    val out = table.readIncrement(spark, from, Some(to))
+      .repartition(newBuckets, col("url"))
+      .withColumn("bucket", LakeTable.bucketOf(col("url"), newBuckets))
+      .sortWithinPartitions(col("url"))
+    table.writeDataFilesTo(out, dirName, version)
+      .map(_.copy(tier = DataFile.TierDelta))
   }
 
   /** Double the bucket count whenever the average compacted bucket exceeds

@@ -174,18 +174,25 @@ object Merge {
     // traded the spike for +20% sustained wall via per-call overhead);
     // `-Dgraft.compact.maxBucketsPerBatch` bounds p99 when needed.
     val byBucket = next.files.groupBy(_.bucket)
+    def deltaDue(fs: Seq[DataFile]): Boolean = {
+      val ds = fs.filter(_.tier == DataFile.TierDelta)
+      ds.size > MaxFilesPerBucket ||
+        (MaxDeltaBytesPerBucket > 0 && ds.map(_.bytes).sum > MaxDeltaBytesPerBucket)
+    }
+    def midsFull(fs: Seq[DataFile]): Boolean = {
+      val ms = fs.filter(_.tier == DataFile.TierMid)
+      ms.size >= MidFilesPerBucket ||
+        (MaxMidBytesPerBucket > 0 && ms.map(_.bytes).sum > MaxMidBytesPerBucket)
+    }
     val fullFold = byBucket.filter { case (_, fs) =>
-      val d = fs.count(_.tier == DataFile.TierDelta)
-      val m = fs.count(_.tier == DataFile.TierMid)
       // legacy (pre-tier) manifests parse every file as tier 0, so >1 base
       // file identifies them precisely — a TIERED bucket whose deltas piled
       // up while deferred by the batch cap must NOT escalate to the full
       // fold (only the cheap delta fold is due until its mids fill up)
-      (d > MaxFilesPerBucket && m >= MidFilesPerBucket) ||
-        fs.count(_.tier == DataFile.TierBase) > 1
+      (deltaDue(fs) && midsFull(fs)) || fs.count(_.tier == DataFile.TierBase) > 1
     }.keySet
     val deltaFold = byBucket.filter { case (b, fs) =>
-      !fullFold(b) && fs.count(_.tier == DataFile.TierDelta) > MaxFilesPerBucket
+      !fullFold(b) && deltaDue(fs)
     }.keySet
     // ONE cap across both kinds: the knob bounds total compaction work in a
     // batch, so the delta folds only get the budget the full folds left
@@ -201,6 +208,16 @@ object Merge {
 
   /** Mid files per bucket before the full fold runs (the tiering fan-out). */
   @volatile var MidFilesPerBucket = 4
+
+  /** SIZE-based fold triggers, complementing the count triggers: a SKEWED
+    * hot bucket can accumulate few-but-huge delta files (count trigger
+    * never fires while read cost balloons), so the delta fold also fires
+    * once a bucket's delta BYTES cross this; the full fold likewise fires
+    * once its mid bytes cross `MaxMidBytesPerBucket` even below the mid
+    * count quota. Defaults are sized to stay inert at test scale and to
+    * bound a bucket's unfolded tail at cluster scale; `0` disables. */
+  @volatile var MaxDeltaBytesPerBucket: Long = 512L * 1024 * 1024
+  @volatile var MaxMidBytesPerBucket: Long = 2048L * 1024 * 1024
 
   /** Fold ONLY the delta-tier files of the given buckets into one MID file
     * per bucket (tombstones retained, envelopes kept — LWW-sound next to

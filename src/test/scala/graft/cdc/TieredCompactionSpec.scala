@@ -106,4 +106,40 @@ class TieredCompactionSpec extends SparkSpec {
     assert(got.size == oracle.size)
     oracle.foreach { case (url, (ts, _, _, _)) => assert(got(url) == ts) }
   }
+
+  test("size-based triggers: delta BYTES fold a skewed bucket long before the count trigger") {
+    val p = GenProfile.uniformSmall().copy(partitions = 2, eventsPerPartition = 2000)
+    val binlog = tmpDir("sz-binlog")
+    ChangeEventGen.writeSegments(p, binlog, segmentEvents = 1000, chunkThreshold = 64 * 1024)
+    val tblDir = tmpDir("sz-tbl").resolve("t")
+    // 1-byte threshold: every appended delta immediately exceeds it, so the
+    // delta tier folds each batch — delta counts never approach the count
+    // trigger (MaxFilesPerBucket=8) between folds
+    val (savedD, savedM) = (Merge.MaxDeltaBytesPerBucket, Merge.MaxMidBytesPerBucket)
+    Merge.MaxDeltaBytesPerBucket = 1L
+    val table =
+      try Ingest.replayBatch(spark, binlog.toString, tblDir,
+        eventsPerBatch = 200, nBuckets = 4, mode = Mor)
+      finally { Merge.MaxDeltaBytesPerBucket = savedD; Merge.MaxMidBytesPerBucket = savedM }
+
+    val snaps = table.snapshotIds.map(table.snapshot)
+    // folds fired on bytes: no snapshot ever holds more than ONE delta file
+    // per bucket beyond the just-appended batch (count trigger alone would
+    // let 8 accumulate)
+    snaps.foreach { s =>
+      s.files.groupBy(_.bucket).foreach { case (b, fs) =>
+        assert(fs.count(_.tier == DataFile.TierDelta) <= 1,
+          s"snapshot ${s.snapshotId} bucket $b kept ${fs.count(_.tier == DataFile.TierDelta)} deltas despite the byte trigger")
+      }
+    }
+    assert(snaps.exists(_.files.exists(_.tier == DataFile.TierMid)),
+      "byte-triggered delta folds never produced a mid")
+    // state still equals the oracle
+    val oracle = Oracle.finalState(p)
+    val got = table.read(spark).collect().map { r =>
+      r.getAs[String]("url") -> Oracle.micros(r.getAs[java.sql.Timestamp]("warc_ts"))
+    }.toMap
+    assert(got.size == oracle.size)
+    oracle.foreach { case (url, (ts, _, _, _)) => assert(got(url) == ts) }
+  }
 }

@@ -225,17 +225,20 @@ object Merge {
     * winners), so a plain shuffle fold is proportionate; the co-located
     * machinery stays reserved for the base-rewriting full fold. */
   def compactDeltaTier(spark: SparkSession, table: LakeTable, buckets: Set[Int]): Snapshot = {
-    val snap = table.currentSnapshot
-    val nBuckets = snap.nBuckets
-    val sel = snap.files.filter(f => buckets.contains(f.bucket) && f.tier == DataFile.TierDelta)
-    if (sel.isEmpty) return snap
-    val dataCols = TableSchemas.forVersion(snap.schemaVersion)
-      .fieldNames.toSeq.filterNot(TableSchemas.internalNames.contains)
-    val resolved = graft.lake.Resolve.lww(
-        table.readFiles(spark, snap, sel).repartition(nBuckets, col("url")), dataCols)
-      .withColumn("bucket", LakeTable.bucketOf(col("url"), nBuckets))
-      .sortWithinPartitions(col("url"))
-    replaceResolved(spark, table, snap, sel, resolved, "d", DataFile.TierMid)
+    // pin: a concurrent aggressive expiry must not GC our inputs mid-fold
+    val (snap, pinLease) = table.pinCurrent()
+    try {
+      val nBuckets = snap.nBuckets
+      val sel = snap.files.filter(f => buckets.contains(f.bucket) && f.tier == DataFile.TierDelta)
+      if (sel.isEmpty) return snap
+      val dataCols = TableSchemas.forVersion(snap.schemaVersion)
+        .fieldNames.toSeq.filterNot(TableSchemas.internalNames.contains)
+      val resolved = graft.lake.Resolve.lww(
+          table.readFiles(spark, snap, sel).repartition(nBuckets, col("url")), dataCols)
+        .withColumn("bucket", LakeTable.bucketOf(col("url"), nBuckets))
+        .sortWithinPartitions(col("url"))
+      replaceResolved(spark, table, snap, sel, resolved, "d", DataFile.TierMid)
+    } finally pinLease.release()
   }
 
   /** Shared tail of the fold paths: write the resolved rows to a unique
@@ -260,25 +263,28 @@ object Merge {
     * so it uses the CO-LOCATED per-bucket resolve — no shuffle; shuffle
     * fallback only for pre-evolution tables. */
   def compactBuckets(spark: SparkSession, table: LakeTable, buckets: Set[Int]): Snapshot = {
-    val snap = table.currentSnapshot
-    val nBuckets = snap.nBuckets
-    val (sel, keep) = snap.files.partition(f => buckets.contains(f.bucket))
-    if (sel.isEmpty) return snap
-    val logical = TableSchemas.forVersion(snap.schemaVersion)
-    val dataCols = logical.fieldNames.toSeq.filterNot(TableSchemas.internalNames.contains)
-    val resolvedRaw =
-      if (snap.schemaVersion == TableSchemas.current)
-        graft.sql.GraftRead.rawResolved(spark, table, Some(snap.snapshotId), Some(buckets))
-      else graft.lake.Resolve.lww(
-        table.readFiles(spark, snap, sel).repartition(nBuckets, col("url")), dataCols)
-    val resolved = resolvedRaw
-      .withColumn("bucket", LakeTable.bucketOf(col("url"), nBuckets))
-      .sortWithinPartitions(col("url"))
-    // unique output dir + replacement-rebase commit: compaction may run
-    // CONCURRENTLY with an ingest stream — concurrent ADDs survive the
-    // rebase; if a competing maintenance already replaced our inputs, the
-    // output is deleted and this is a no-op (LakeTable.commitReplace)
-    replaceResolved(spark, table, snap, sel, resolved, "c", DataFile.TierBase)
+    // pin: a concurrent aggressive expiry must not GC our inputs mid-fold
+    val (snap, pinLease) = table.pinCurrent()
+    try {
+      val nBuckets = snap.nBuckets
+      val (sel, keep) = snap.files.partition(f => buckets.contains(f.bucket))
+      if (sel.isEmpty) return snap
+      val logical = TableSchemas.forVersion(snap.schemaVersion)
+      val dataCols = logical.fieldNames.toSeq.filterNot(TableSchemas.internalNames.contains)
+      val resolvedRaw =
+        if (snap.schemaVersion == TableSchemas.current)
+          graft.sql.GraftRead.rawResolved(spark, table, Some(snap.snapshotId), Some(buckets))
+        else graft.lake.Resolve.lww(
+          table.readFiles(spark, snap, sel).repartition(nBuckets, col("url")), dataCols)
+      val resolved = resolvedRaw
+        .withColumn("bucket", LakeTable.bucketOf(col("url"), nBuckets))
+        .sortWithinPartitions(col("url"))
+      // unique output dir + replacement-rebase commit: compaction may run
+      // CONCURRENTLY with an ingest stream — concurrent ADDs survive the
+      // rebase; if a competing maintenance already replaced our inputs, the
+      // output is deleted and this is a no-op (LakeTable.commitReplace)
+      replaceResolved(spark, table, snap, sel, resolved, "c", DataFile.TierBase)
+    } finally pinLease.release()
   }
 
   /** COPY-ON-WRITE apply: see object doc — union of pruned target files and

@@ -81,6 +81,18 @@ final class LakeTable(val root: Path) {
     new SnapshotPin(snapshotId, f)
   }
 
+  /** Atomically resolve the current snapshot AND pin it: taken under the
+    * commit lock, so a concurrent [[Maintain.expireSnapshots]] (which holds
+    * the same lock, and always retains the current snapshot) can never GC
+    * the returned snapshot before the lease exists. Every maintenance job
+    * that reads table files for the duration of a Spark job (compaction,
+    * tier folds, rebucket) MUST hold a pin — otherwise an aggressive
+    * concurrent expiry can delete its input files mid-read. */
+  def pinCurrent(): (Snapshot, SnapshotPin) = LakeTable.commitLock(root).synchronized {
+    val s = currentSnapshot
+    (s, pin(s.snapshotId))
+  }
+
   /** Snapshot ids currently pinned (optionally ignoring leases older than
     * `ignoreOlderThanMs` — crashed holders). */
   def pinnedSnapshotIds(ignoreOlderThanMs: Long = Long.MaxValue): Set[Long] = {
@@ -138,34 +150,33 @@ final class LakeTable(val root: Path) {
     * [[BucketLayoutChanged]] (after deleting its orphaned files) and the
     * caller recomputes the batch under the new layout. */
   def commitAppend(added: Seq[DataFile], marker: Option[BatchMarker],
-      maxAttempts: Int = 5, expectedBuckets: Option[Int] = None): Snapshot = {
-    var attempt = 0
-    while (true) {
+      expectedBuckets: Option[Int] = None): Snapshot =
+    LakeTable.commitLock(root).synchronized {
+      // the rebase reads the head under the SAME lock commit() uses, so an
+      // in-JVM conflict is structurally impossible (no optimistic retry to
+      // exhaust under contention); the lock window adds only the snapshot
+      // construction — the expensive work (file writes) happened before
       val cur = currentSnapshot
       if (marker.exists(m => cur.committedBatchIds.contains(m.batchId))) {
         // exactly-once: a concurrent path already landed this batch — our
         // just-written files are referenced by no snapshot; delete them
         // (expireSnapshots only GCs files referenced by EXPIRED snapshots)
         added.foreach(f => Files.deleteIfExists(root.resolve(f.path)))
-        return cur
-      }
-      if (expectedBuckets.exists(_ != cur.nBuckets)) {
+        cur
+      } else if (expectedBuckets.exists(_ != cur.nBuckets)) {
         added.foreach(f => Files.deleteIfExists(root.resolve(f.path)))
         throw new BucketLayoutChanged(
           s"table rebucketed to ${cur.nBuckets} buckets while this batch was " +
             s"shuffled under ${expectedBuckets.get} — recompute under the new layout")
-      }
-      val next = cur.copy(snapshotId = cur.snapshotId + 1, parentId = cur.snapshotId,
-        files = cur.files ++ added,
-        batches = marker.fold(cur.batches)(cur.batches :+ _),
-        totalRows = cur.totalRows + added.map(_.rowCount).sum)
-      try { commit(next); return next }
-      catch {
-        case _: CommitConflict if attempt < maxAttempts => attempt += 1
+      } else {
+        val next = cur.copy(snapshotId = cur.snapshotId + 1, parentId = cur.snapshotId,
+          files = cur.files ++ added,
+          batches = marker.fold(cur.batches)(cur.batches :+ _),
+          totalRows = cur.totalRows + added.map(_.rowCount).sum)
+        commit(next)
+        next
       }
     }
-    sys.error("unreachable")
-  }
 
   /** REPLACEMENT commit with rebase (maintenance: compaction): replace
     * `replaced` with `added`, rebasing over concurrent ADD commits — files
@@ -175,28 +186,24 @@ final class LakeTable(val root: Path) {
     * concurrent maintenance already rewrote it), our output would duplicate
     * its rows next to the competitor's — so delete `added`'s files and
     * return the head unchanged (graceful no-op). */
-  def commitReplace(replaced: Seq[DataFile], added: Seq[DataFile],
-      maxAttempts: Int = 5): Snapshot = {
-    val replacedPaths = replaced.map(_.path).toSet
-    var attempt = 0
-    while (true) {
+  def commitReplace(replaced: Seq[DataFile], added: Seq[DataFile]): Snapshot =
+    LakeTable.commitLock(root).synchronized {
+      // read-under-lock rebase, as in [[commitAppend]] — conflict-free
+      val replacedPaths = replaced.map(_.path).toSet
       val cur = currentSnapshot
       val curPaths = cur.files.map(_.path).toSet // set lookups: replaced may be the WHOLE table
       if (!replacedPaths.forall(curPaths.contains)) {
         added.foreach(f => Files.deleteIfExists(root.resolve(f.path)))
-        return cur
-      }
-      val keep = cur.files.filterNot(f => replacedPaths.contains(f.path))
-      val next = cur.copy(snapshotId = cur.snapshotId + 1, parentId = cur.snapshotId,
-        files = keep ++ added,
-        totalRows = keep.map(_.rowCount).sum + added.map(_.rowCount).sum)
-      try { commit(next); return next }
-      catch {
-        case _: CommitConflict if attempt < maxAttempts => attempt += 1
+        cur
+      } else {
+        val keep = cur.files.filterNot(f => replacedPaths.contains(f.path))
+        val next = cur.copy(snapshotId = cur.snapshotId + 1, parentId = cur.snapshotId,
+          files = keep ++ added,
+          totalRows = keep.map(_.rowCount).sum + added.map(_.rowCount).sum)
+        commit(next)
+        next
       }
     }
-    sys.error("unreachable")
-  }
 
   /** Evolve the table's logical schema (add column / widen type): a pure
     * metadata commit — no data files touched. Old files keep their physical
@@ -320,7 +327,13 @@ final class LakeTable(val root: Path) {
     * `url` within each file (deterministic content for replay-idempotence —
     * SURVEY.md §7.4.3). Manifest entries carry exact per-file row counts and
     * url bounds, both read from the parquet footers (metadata-only, parallel)
-    * — no extra stats pass over the data. */
+    * — no extra stats pass over the data.
+    *
+    * WRITER INVARIANT: every caller must hand in AT MOST ONE version per
+    * url (per-batch dedup, LWW-resolved compaction/rebucket output, resolved
+    * catch-up increments). The k-way resolve-on-read paths tolerate
+    * violations, but the single-file fast paths (read without resolve,
+    * BucketFilesRDD pass-through) stream files as unique-url sets. */
   def writeDataFiles(df: DataFrame, newSnapshotId: Long, schemaVersion: Int): Vector[DataFile] =
     writeDataFilesTo(df, s"s$newSnapshotId", schemaVersion)
 

@@ -31,7 +31,10 @@ object Maintain {
   def compact(spark: SparkSession, table: LakeTable,
       dropTombstonesOlderThanMicros: Long = Long.MinValue,
       withBlooms: Boolean = false): Snapshot = {
-    val snap = table.currentSnapshot
+    // pin the read snapshot: a concurrent aggressive expiry must not GC our
+    // input files mid-job (see LakeTable.pinCurrent)
+    val (snap, pin) = table.pinCurrent()
+    try {
     if (snap.files.isEmpty) return snap
     val nBuckets = snap.nBuckets
     // resolve first: under merge-on-read a url may have several versions
@@ -69,6 +72,7 @@ object Maintain {
     // optionally keep point-lookup blooms current through maintenance
     if (withBlooms) Bloom.inherit(spark, table, next, newFiles): Unit
     next
+    } finally pin.release()
   }
 
   /** Rewrite the table under a NEW bucket count (≙ rewriting under a new
@@ -89,7 +93,8 @@ object Maintain {
     * raises [[CommitConflict]] and this rewrite is discarded; pause the
     * stream, or use [[rebucketLive]] to cut over WITHOUT pausing. */
   def rebucket(spark: SparkSession, table: LakeTable, newBuckets: Int): Snapshot = {
-    val snap = table.currentSnapshot
+    val (snap, pin) = table.pinCurrent()
+    try {
     require(newBuckets >= 1)
     if (newBuckets == snap.nBuckets || snap.files.isEmpty) return snap
     val dataCols = TableSchemas.forVersion(snap.schemaVersion)
@@ -113,6 +118,7 @@ object Maintain {
       totalRows = newFiles.map(_.rowCount).sum)
     table.commit(next)
     next
+    } finally pin.release()
   }
 
   /** LIVE bucket-count change: rebucket WITHOUT pausing ingest — the
@@ -154,11 +160,10 @@ object Maintain {
     * swap is a complete state) but waste the loser's rewrite. */
   def rebucketLive(spark: SparkSession, table: LakeTable, newBuckets: Int,
       maxCatchupRounds: Int = 8): Snapshot = {
-    val s0 = table.currentSnapshot
-    require(newBuckets >= 1)
-    if (newBuckets == s0.nBuckets || s0.files.isEmpty) return s0
-    val pin = table.pin(s0.snapshotId)
+    val (s0, pin) = table.pinCurrent()
     try {
+      require(newBuckets >= 1)
+      if (newBuckets == s0.nBuckets || s0.files.isEmpty) return s0
       val tag = s"rb${java.util.UUID.randomUUID().toString.take(8)}"
       // step 2: resolve as of s0 under the old layout, one shuffle into the
       // new function (same formulation as the offline rebucket)
@@ -205,13 +210,22 @@ object Maintain {
 
   /** Re-shuffle the change feed of `(from, to]` (per-batch winners incl.
     * tombstones, envelope columns kept) into `newBuckets`-layout delta
-    * files. LWW resolve-on-read makes the result exact next to the new
-    * base whatever interleaving produced the increments. */
+    * files. The multi-batch increment is LWW-RESOLVED before writing: a
+    * url that changed in several chased batches must not write several
+    * versions into ONE delta file — every data file keeps the one-version-
+    * per-url invariant the single-file fast paths assume (resolving within
+    * the increment is exact: any dropped row is beaten by a kept row of
+    * the same url, so the global LWW winner next to the new base is
+    * unchanged; tombstone winners are kept). The groupBy(url) rides the
+    * repartition's hash partitioning — no extra exchange. */
   private def rebucketCatchup(spark: SparkSession, table: LakeTable,
       from: Long, to: Long, newBuckets: Int, dirName: String): Vector[DataFile] = {
     val version = table.snapshot(to).schemaVersion
-    val out = table.readIncrement(spark, from, Some(to))
-      .repartition(newBuckets, col("url"))
+    val dataCols = TableSchemas.forVersion(version)
+      .fieldNames.toSeq.filterNot(TableSchemas.internalNames.contains)
+    val out = Resolve.lww(
+        table.readIncrement(spark, from, Some(to)).repartition(newBuckets, col("url")),
+        dataCols)
       .withColumn("bucket", LakeTable.bucketOf(col("url"), newBuckets))
       .sortWithinPartitions(col("url"))
     table.writeDataFilesTo(out, dirName, version)

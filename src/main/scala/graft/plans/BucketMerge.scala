@@ -179,17 +179,19 @@ private final class BucketFilesRDD(
 
 /** Streaming k-way LWW fold over url-sorted row iterators: emits the
   * `(warc_ts, _seq_offset, _seq_part)`-max row per url, in url order,
-  * including tombstone winners. Zero copies: each head row comes from a
-  * DISTINCT file reader (its buffer is stable until that file advances),
-  * and advancing the emitted url's files is DEFERRED to the next call, so
-  * the returned row honors the standard valid-until-next-next() contract. */
+  * including tombstone winners. The winner is snapshotted (ONE row copy per
+  * emitted url — reader rows reuse buffers) so every in-group file can be
+  * drained PAST its whole url run before emission: a file may hold several
+  * versions of one url (a multi-batch increment), and a deferred advance
+  * would emit the group winner before those run rows could out-resolve it.
+  * This fold only runs for multi-file buckets (MOR deltas / carry-overs);
+  * the single-file steady-state path streams untouched, copy-free. */
 private final class KWayLwwIterator(
     its: Array[Iterator[InternalRow]],
     urlIdx: Int, tsIdx: Int, offIdx: Int, partIdx: Int)
   extends Iterator[InternalRow] {
 
   private val heads: Array[InternalRow] = its.map(it => if (it.hasNext) it.next() else null)
-  private val pending = new Array[Boolean](its.length)
   private var nextRow: InternalRow = _
   private var computed = false
 
@@ -203,16 +205,8 @@ private final class KWayLwwIterator(
   }
 
   private def compute(): Unit = {
-    var i = 0
-    while (i < its.length) {
-      if (pending(i)) {
-        heads(i) = if (its(i).hasNext) its(i).next() else null
-        pending(i) = false
-      }
-      i += 1
-    }
     var minI = -1
-    i = 0
+    var i = 0
     while (i < heads.length) {
       if (heads(i) != null &&
         (minI < 0 || heads(i).getUTF8String(urlIdx).compareTo(heads(minI).getUTF8String(urlIdx)) < 0))
@@ -222,17 +216,37 @@ private final class KWayLwwIterator(
     if (minI < 0) { nextRow = null; computed = true; return }
     // `u` is a view into heads(minI)'s buffer — safe: nothing advances here
     val u = heads(minI).getUTF8String(urlIdx)
+    val inGroup = new Array[Boolean](heads.length)
+    inGroup(minI) = true
     var winner = heads(minI)
-    pending(minI) = true
     var j = minI + 1
     while (j < heads.length) {
       if (heads(j) != null && heads(j).getUTF8String(urlIdx).compareTo(u) == 0) {
-        pending(j) = true
+        inGroup(j) = true
         if (wins(heads(j), winner)) winner = heads(j)
       }
       j += 1
     }
-    nextRow = winner
+    // snapshot the winner, then drain each in-group file past its url run,
+    // folding any further same-url rows (the copy also makes the emitted
+    // row stable regardless of later advances — no deferred bookkeeping)
+    var safe = winner.copy()
+    var safeUrl = safe.getUTF8String(urlIdx)
+    var k = 0
+    while (k < heads.length) {
+      if (inGroup(k)) {
+        heads(k) = if (its(k).hasNext) its(k).next() else null
+        while (heads(k) != null && heads(k).getUTF8String(urlIdx).compareTo(safeUrl) == 0) {
+          if (wins(heads(k), safe)) {
+            safe = heads(k).copy()
+            safeUrl = safe.getUTF8String(urlIdx)
+          }
+          heads(k) = if (its(k).hasNext) its(k).next() else null
+        }
+      }
+      k += 1
+    }
+    nextRow = safe
     computed = true
   }
 

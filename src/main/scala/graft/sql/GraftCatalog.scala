@@ -403,6 +403,10 @@ final class GraftBucketReader(
   }
 
   private var current: InternalRow = _
+  // position of url within the OUTPUT row (present in both raw and user
+  // layouts): the run-drain below compares source heads against the
+  // projected output's url, whose buffer no head advance can touch
+  private val outUrlPos = outIdxs.indexOf(urlIdx)
 
   override def next(): Boolean = {
     while (true) {
@@ -430,15 +434,39 @@ final class GraftBucketReader(
         }
         j += 1
       }
-      val deleted = !p.raw && winner.getBoolean(delIdx)
-      if (!deleted) current = outProj(winner)
-      // advance every file positioned on this url (AFTER materializing out)
+      // materialize BEFORE any advance; from here the fold state is the
+      // projected row plus primitives, so head buffers are free to move
+      current = outProj(winner)
+      var bTs = winner.getLong(tsIdx)
+      var bOff = winner.getLong(offIdx)
+      var bPart = winner.getInt(partIdx)
+      var deleted = winner.getBoolean(delIdx)
+      var curUrl = current.getUTF8String(outUrlPos)
+      // advance every in-group file PAST its url run, folding run rows: a
+      // file may hold several versions of one url (a multi-batch increment
+      // written without per-url dedup), and correctness must not depend on
+      // the one-version-per-file writer invariant — a missed run row here
+      // leaks a shadowed live row past its tombstone (user mode) or writes
+      // duplicate versions into compaction output (raw mode)
       var k = 0
       while (k < heads.length) {
-        if (inGroup(k)) heads(k) = if (its(k).hasNext) its(k).next() else null
+        if (inGroup(k)) {
+          heads(k) = if (its(k).hasNext) its(k).next() else null
+          while (heads(k) != null && heads(k).getUTF8String(urlIdx).compareTo(curUrl) == 0) {
+            val h = heads(k)
+            val ts = h.getLong(tsIdx); val off = h.getLong(offIdx); val pt = h.getInt(partIdx)
+            if (ts > bTs || (ts == bTs && (off > bOff || (off == bOff && pt > bPart)))) {
+              current = outProj(h)
+              bTs = ts; bOff = off; bPart = pt
+              deleted = h.getBoolean(delIdx)
+              curUrl = current.getUTF8String(outUrlPos)
+            }
+            heads(k) = if (its(k).hasNext) its(k).next() else null
+          }
+        }
         k += 1
       }
-      if (!deleted) return true
+      if (p.raw || !deleted) return true
     }
     false
   }

@@ -1,37 +1,66 @@
 package graft.app
 
-/** Single-parallelism timed CDC ingest, repeated N times (fresh table each
-  * rep, same cached binlog), reporting best-of-N — run once per cluster size
-  * in its own JVM by scripts/scaling_bench.sh to produce the two-cluster-size
-  * scaling evidence (BASELINE.md "Sandbox scaling-evidence protocol").
-  * Best-of-N in separate JVMs controls for host noise and cross-session GC.
+/** Two-cluster-size CDC ingest scaling evidence, drift-resistant protocol:
+  * the two parallelism levels run as ADJACENT PAIRS (small, big, small, big,
+  * …), each pair seconds apart, so slow host-load drift — the dominant noise
+  * on a shared sandbox — hits both sides of each ratio and cancels in
+  * E = eps_big / (4 · eps_small). The reported efficiency is the MEDIAN of
+  * the per-round ratios (robust to one noisy round); the reported absolute
+  * throughputs are the best rep per level. A fixed one-JVM-per-level
+  * protocol (the old shape) measures the levels minutes apart and was
+  * observed to swing E by ±0.1 purely with host load.
   *
-  * Usage: runMain graft.app.ScalingBench <totalEvents> <cores> [reps]
+  * Sessions alternate inside ONE JVM (stop → rebuild with the other
+  * master): JIT warmth is shared by both levels, and the warmup round
+  * (not scored) absorbs first-compilation of the whole pipeline.
+  *
+  * Usage: runMain graft.app.ScalingBench <totalEvents> <coresSmall> [rounds]
+  *   — the big level is always 4 × coresSmall (the north rule's N → 4N).
+  * Emits one JSON line consumed by scripts/scaling_bench.sh.
   */
 object ScalingBench {
   def main(args: Array[String]): Unit = {
     val total = args(0).toLong
-    val cores = args(1).toInt
-    val reps = args.lift(2).map(_.toInt).getOrElse(3)
+    val small = args(1).toInt
+    val rounds = args.lift(2).map(_.toInt).getOrElse(3)
+    val big = small * 4
     val profile = BenchUtil.skewedProfile(total)
     val binlog = BenchUtil.ensureBinlog(profile)
     val maxBatch = math.max(250000L, total / 4)
     val nBuckets = 64
 
-    val spark = BenchUtil.newSession(cores, shufflePartitions = cores)
-    // warmup: small ingest to JIT the whole pipeline
-    val warmDir = BenchUtil.ensureBinlog(BenchUtil.skewedProfile(40000L))
-    BenchUtil.timedIngest(spark, warmDir, 20000L, 16)
-
-    val runs = (1 to reps).map { i =>
-      val (ev, sec, eps) = BenchUtil.timedIngest(spark, binlog, maxBatch, nBuckets)
-      System.err.println(f"[scaling] local[$cores] rep $i: $ev events in $sec%.1f s = $eps%.0f ev/s")
-      (ev, sec, eps)
+    def run(cores: Int, events: Long, dir: java.nio.file.Path): (Long, Double, Double) = {
+      val spark = BenchUtil.newSession(cores, shufflePartitions = cores)
+      try BenchUtil.timedIngest(spark, dir, math.max(250000L, events / 4), nBuckets)
+      finally spark.stop()
     }
-    val best = runs.maxBy(_._3)
+
+    // warmup round at BOTH levels (JIT the full pipeline incl. 1M-row buffer
+    // sizes; vectorized parquet writer and shuffle paths need volume)
+    val warmDir = BenchUtil.ensureBinlog(BenchUtil.skewedProfile(400000L))
+    run(small, 400000L, warmDir)
+    run(big, 400000L, warmDir)
+
+    val pairs = (1 to rounds).map { i =>
+      val (_, sSec, sEps) = run(small, total, binlog)
+      System.err.println(f"[scaling] round $i local[$small]: $total events in $sSec%.1f s = $sEps%.0f ev/s")
+      val (_, bSec, bEps) = run(big, total, binlog)
+      System.err.println(f"[scaling] round $i local[$big]:  $total events in $bSec%.1f s = $bEps%.0f ev/s")
+      val e = bEps / (4.0 * sEps)
+      System.err.println(f"[scaling] round $i E($small->$big) = $e%.3f")
+      (sSec, sEps, bSec, bEps, e)
+    }
+    val es = pairs.map(_._5).sorted
+    val medianE = es(es.size / 2)
+    val bestSmall = pairs.maxBy(_._2)
+    val bestBig = pairs.maxBy(_._4)
+    val roundsJson = pairs.map { case (sSec, sEps, bSec, bEps, e) =>
+      f"""{"sec_small":$sSec%.2f,"eps_small":$sEps%.0f,"sec_big":$bSec%.2f,"eps_big":$bEps%.0f,"e":$e%.3f}"""
+    }.mkString("[", ",", "]")
     println(
-      s"""{"metric":"ingest_eps","cores":$cores,"events":${best._1},"best_sec":${f"${best._2}%.2f"},""" +
-        s""""best_eps":${f"${best._3}%.0f"},"reps":$reps,"max_batch":$maxBatch,"n_buckets":$nBuckets}""")
-    spark.stop()
+      f"""{"metric":"scaling_efficiency","median_e":$medianE%.3f,"cores_small":$small,"cores_big":$big,""" +
+        f""""events":$total,"best_eps_small":${bestSmall._2}%.0f,"best_sec_small":${bestSmall._1}%.2f,""" +
+        f""""best_eps_big":${bestBig._4}%.0f,"best_sec_big":${bestBig._3}%.2f,""" +
+        f""""rounds":$roundsJson,"max_batch":$maxBatch,"n_buckets":$nBuckets}""")
   }
 }

@@ -122,6 +122,13 @@ object Merge {
       batchId: Long, lineage: Seq[PartLineage]): Snapshot = {
     val snap = table.currentSnapshot
     if (snap.committedBatchIds.contains(batchId)) return snap
+    val timing = sys.env.contains("GRAFT_TIMING")
+    var tMark = System.nanoTime()
+    def mark(what: String): Unit = if (timing) {
+      val now = System.nanoTime()
+      System.err.println(f"[timing]   mor/$what ${(now - tMark) / 1e9}%.2f s")
+      tMark = now
+    }
 
     val nBuckets = snap.nBuckets
     val logical = TableSchemas.forVersion(snap.schemaVersion)
@@ -148,8 +155,10 @@ object Merge {
         sum(when(col("_deleted"), 1L).otherwise(0L)).as("dels"))
 
     if (explainNext) { explainNext = false; explain(merged) }
+    mark("plan")
     val nextId = snap.snapshotId + 1
     val newFiles = table.writeDataFiles(merged, nextId, snap.schemaVersion)
+    mark("write-job")
     val row = obs.get
     val dels = row("dels").asInstanceOf[Long]
     val n = row("n").asInstanceOf[Long]
@@ -161,6 +170,7 @@ object Merge {
     val next = table.commitAppend(newFiles.map(_.copy(tier = DataFile.TierDelta)),
       Some(BatchMarker(batchId, lineage, n - dels, dels)),
       expectedBuckets = Some(nBuckets))
+    mark("commit")
 
     // TIERED incremental compaction (LSM-style size tiering): when a
     // bucket's DELTA count crosses MaxFilesPerBucket, fold just the deltas

@@ -345,7 +345,15 @@ final class LakeTable(val root: Path) {
   def writeDataFilesTo(df: DataFrame, dirName: String, schemaVersion: Int): Vector[DataFile] = {
     val relDir = s"data/$dirName"
     val outDir = root.resolve(relDir)
+    val timing = sys.env.contains("GRAFT_TIMING")
+    var tMark = System.nanoTime()
+    def mark(what: String): Unit = if (timing) {
+      val now = System.nanoTime()
+      System.err.println(f"[timing]     write/$what ${(now - tMark) / 1e9}%.2f s")
+      tMark = now
+    }
     df.write.mode("overwrite").partitionBy("bucket").parquet(outDir.toString)
+    mark("spark-job")
     // enumerate written files
     val found = Vector.newBuilder[(Path, Int)]
     if (Files.isDirectory(outDir)) {
@@ -361,11 +369,13 @@ final class LakeTable(val root: Path) {
         }
       } finally ds.close()
     }
-    found.result().par.map { case (p, b) =>
+    val out = found.result().par.map { case (p, b) =>
       val (rows, uMin, uMax) = LakeTable.parquetStats(p, "url")
       DataFile(root.relativize(p).toString, b, rows, uMin, uMax, schemaVersion,
         Files.size(p))
     }.toVector.seq.sortBy(f => (f.bucket, f.path))
+    mark("footer-stats")
+    out
   }
 }
 

@@ -59,6 +59,12 @@ object BenchUtil {
       .config("spark.shuffle.spill.compress", sys.env.getOrElse("GRAFT_SHUFFLE_COMPRESS", "true"))
       .config("spark.memory.offHeap.enabled", sys.env.getOrElse("GRAFT_OFFHEAP", "false"))
       .config("spark.memory.offHeap.size", "16g")
+      // parquet writer A/B knobs (html/url/text are unique-ish — dictionary
+      // encoding is mostly overhead on this table; snappy is the default)
+      .config("spark.sql.parquet.compression.codec",
+        sys.env.getOrElse("GRAFT_PARQUET_CODEC", "snappy"))
+      .config("spark.hadoop.parquet.enable.dictionary",
+        sys.env.getOrElse("GRAFT_PARQUET_DICT", "true"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -352,7 +352,22 @@ final class LakeTable(val root: Path) {
       System.err.println(f"[timing]     write/$what ${(now - tMark) / 1e9}%.2f s")
       tMark = now
     }
-    df.write.mode("overwrite").partitionBy("bucket").parquet(outDir.toString)
+    // Dictionary encoding is pure overhead on the unique-heavy columns
+    // (url/html/text never repeat within a file: per-url LWW winners), and
+    // building + overflowing the dictionaries costs ~12% of ingest wall
+    // (A/B via IngestBench: 151k -> 170k ev/s at local[8]). Keep it for the
+    // low-cardinality columns (lang, op) where RLE-dict genuinely shrinks
+    // pages. Options land in the write job's hadoop conf (scoped to THIS
+    // write, not the session); `-Dgraft.parquet.dictionary=true` (or env
+    // GRAFT_PARQUET_DICTIONARY=true) restores the parquet default everywhere.
+    val w = df.write.mode("overwrite").partitionBy("bucket")
+    val dictDefault = sys.env.get("GRAFT_PARQUET_DICTIONARY")
+      .orElse(sys.props.get("graft.parquet.dictionary")).contains("true")
+    val dictOff =
+      if (dictDefault) w
+      else Seq("url", "html", "text").foldLeft(w)(
+        (b, c) => b.option(s"parquet.enable.dictionary#$c", "false"))
+    dictOff.parquet(outDir.toString)
     mark("spark-job")
     // enumerate written files
     val found = Vector.newBuilder[(Path, Int)]

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{DedupOps, Multimodal, Similarity, TextOps}
+import graft.ops.{DedupOps, LshIndex, Multimodal, Similarity, TextOps}
 
 /** Driver contract: one `queries` entry per implemented operator
   * (SURVEY.md §2 inventory + the training-data pipeline ops), with
@@ -424,6 +424,19 @@ object SparkEntry {
       DedupOps.minhashNearDups(t(s, dir, "documents"), "text", "doc_id",
         n = 3, bands = 4, rowsPerBand = 2, threshold = 0.6)),
 
+    // INCREMENTAL near-dup via the persisted LSH band index: index 80% of
+    // the corpus (doc_id % 5 != 0), then probe the remaining 20% as a new
+    // batch — partition-pruned index read, broadcast probes, signature-
+    // similarity verify (see graft.ops.LshIndex)
+    "doc_minhash_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxDir = Files.createTempDirectory("graft-lshidx")
+      LshIndex.create(idxDir, LshIndex.Params(n = 3, bands = 4, rowsPerBand = 2, shards = 16))
+      LshIndex.append(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "text", "doc_id", idxDir)
+      LshIndex.nearDupsOf(s, docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        "text", "doc_id", idxDir, minMatchFrac = 0.5)
+    }),
+
     // SimHash near-dup pairs (Hamming ≤ 3 via 16-bit block banding);
     // md5 hash domain so the DuckDB oracle grades the whole pipeline
     // bit-for-bit (the XXH64 domain stays the scale default in DedupOps)
@@ -746,6 +759,51 @@ object SparkEntry {
         |JOIN sz sx ON c.id1 = sx.doc_id JOIN sz sy ON c.id2 = sy.doc_id
         |WHERE round(CAST(coalesce(i.i, 0) AS DOUBLE) /
         |      CAST(sx.n + sy.n - coalesce(i.i, 0) AS DOUBLE), 4) >= 0.6""".stripMargin,
+
+    // mirrors LshIndex.nearDupsOf exactly: signatures over the WHOLE corpus,
+    // band-bucket candidates restricted to (new = doc_id%5=0) × (indexed =
+    // doc_id%5<>0), verified by signature-match fraction over the 8 minhash
+    // positions (the index embeds signatures; no exact-jaccard pass)
+    "doc_minhash_incremental" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(trim(text), '[^ \t\n\r]+') ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+        |         i -> array_to_string(ws[i:i+2], ' ')))) s
+        |       FROM w WHERE len(ws) >= 3),
+        |sig AS (SELECT doc_id,
+        |         min(md5('0|' || s)) mh0, min(md5('1|' || s)) mh1,
+        |         min(md5('2|' || s)) mh2, min(md5('3|' || s)) mh3,
+        |         min(md5('4|' || s)) mh4, min(md5('5|' || s)) mh5,
+        |         min(md5('6|' || s)) mh6, min(md5('7|' || s)) mh7
+        |        FROM sh GROUP BY 1),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) bucket FROM sig
+        |  UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
+        |  UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
+        |  UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig),
+        |cand AS (SELECT DISTINCT n.doc_id new_id, o.doc_id old_id
+        |         FROM bands n JOIN bands o
+        |         ON n.band = o.band AND n.bucket = o.bucket
+        |         WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0)
+        |SELECT c.new_id, c.old_id,
+        |  round(((CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END) +
+        |         (CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END) +
+        |         (CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END) +
+        |         (CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END) +
+        |         (CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END) +
+        |         (CASE WHEN a.mh5 = b.mh5 THEN 1 ELSE 0 END) +
+        |         (CASE WHEN a.mh6 = b.mh6 THEN 1 ELSE 0 END) +
+        |         (CASE WHEN a.mh7 = b.mh7 THEN 1 ELSE 0 END)) / 8.0, 4) AS match_frac
+        |FROM cand c
+        |JOIN sig a ON a.doc_id = c.new_id
+        |JOIN sig b ON b.doc_id = c.old_id
+        |WHERE round(((CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END) +
+        |         (CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END) +
+        |         (CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END) +
+        |         (CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END) +
+        |         (CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END) +
+        |         (CASE WHEN a.mh5 = b.mh5 THEN 1 ELSE 0 END) +
+        |         (CASE WHEN a.mh6 = b.mh6 THEN 1 ELSE 0 END) +
+        |         (CASE WHEN a.mh7 = b.mh7 THEN 1 ELSE 0 END)) / 8.0, 4) >= 0.5""".stripMargin,
 
     // md5-domain simhash: token hash = md5 low 64 bits; per-bit ±1 votes;
     // 4×16-bit block banding; Hamming ≤ 3 — all-integer pipeline, so the

@@ -1,0 +1,176 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED MinHash-LSH band index for INCREMENTAL near-duplicate
+  * detection — the shape a web-scale training-data pipeline actually runs:
+  * the corpus is indexed ONCE (and appended to as batches land), and each
+  * new document batch is checked against the index in one pass, instead of
+  * recomputing LSH over the whole corpus per increment.
+  *
+  * Index layout (`<dir>/`):
+  * {{{
+  *   params.json                  — (n, bands, rowsPerBand, shards), fixed at create
+  *   bands/pb=<shard>/part-….parquet — (id, sig, band, bucket): one row per
+  *                                  (doc, band); `sig` is the doc's full
+  *                                  k-minhash signature, embedded so probe
+  *                                  verification never re-reads the corpus
+  * }}}
+  *
+  * Scale design:
+  *  - `pb = pmod(hash(bucket), shards)` is a PHYSICAL partition key: a probe
+  *    batch touches only the shards its (band, bucket) keys hash into, so a
+  *    small increment reads a partition-pruned slice of the index, never the
+  *    whole corpus (same pattern as the IVF embedding index's pruned probes,
+  *    [[Similarity]]). Size `shards` so one shard ≈ a few GB at the target
+  *    corpus (shards ≫ probe-batch distinct buckets keeps reads O(delta)).
+  *  - the probe side (one increment) is BROADCAST against the pruned index
+  *    slice — the index is never shuffled by a query.
+  *  - candidate verification uses the EMBEDDED signatures (estimated
+  *    jaccard = fraction of equal minhash positions) — O(k) per candidate,
+  *    no corpus join. Exact-jaccard re-verification can be layered on top
+  *    via [[DedupOps.verifyJaccard]] when the text table is at hand.
+  *  - appends are plain parquet appends under the same sharding — no
+  *    rewrite; the md5 hash domain keeps every row reproducible in
+  *    portable SQL (the DuckDB oracle grades the whole pipeline).
+  *  - storage: k hex md5 strings ≈ 32k bytes per (doc, band) row; a
+  *    production deployment would store 8-byte truncated hashes (×32
+  *    smaller), which this format permits without changing the probe plan.
+  *
+  * Reference analog: none (the reference has no dedup role) — this extends
+  * the engine's LLM-pipeline operator family (SURVEY.md §6) with the
+  * incremental variant of [[DedupOps.minhashNearDups]].
+  */
+object LshIndex {
+
+  /** Index shape, fixed at [[create]]: `n`-gram shingles, `bands` ×
+    * `rowsPerBand` minhashes, `shards` physical probe partitions. */
+  final case class Params(n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
+      shards: Int = 64) {
+    def k: Int = bands * rowsPerBand
+  }
+
+  private def paramsFile(dir: Path) = dir.resolve("params.json")
+  private def bandsDir(dir: Path) = dir.resolve("bands")
+
+  def create(dir: Path, params: Params): Unit = {
+    require(params.n >= 1 && params.bands >= 1 && params.rowsPerBand >= 1 && params.shards >= 1)
+    Files.createDirectories(dir)
+    require(!Files.exists(paramsFile(dir)), s"index already exists at $dir")
+    val json = s"""{"n":${params.n},"bands":${params.bands},""" +
+      s""""rowsPerBand":${params.rowsPerBand},"shards":${params.shards}}"""
+    Files.write(paramsFile(dir), json.getBytes(StandardCharsets.UTF_8)): Unit
+  }
+
+  def load(dir: Path): Params = {
+    val j = new String(Files.readAllBytes(paramsFile(dir)), StandardCharsets.UTF_8)
+    def field(name: String): Int =
+      s""""$name":(\\d+)""".r.findFirstMatchIn(j)
+        .getOrElse(throw new IllegalStateException(s"bad params.json at $dir"))
+        .group(1).toInt
+    Params(field("n"), field("bands"), field("rowsPerBand"), field("shards"))
+  }
+
+  /** (id, sig, band, bucket) rows for `docs` — the index's logical row.
+    * Docs with fewer than `n` tokens have no signature and are skipped
+    * (they cannot be near-duplicates under an n-gram metric). */
+  private def bandRows(docs: DataFrame, textCol: String, idCol: String,
+      p: Params): DataFrame = {
+    val sigs = docs
+      .select(col(idCol).as("id"),
+        graft.functions.NativeFns.minhashSig(col(textCol), p.n, p.k).as("sig"))
+      .filter(col("sig").isNotNull)
+    sigs.select(
+      col("id"), col("sig"),
+      explode(array((0 until p.bands).map { b =>
+        struct(lit(b).as("band"),
+          md5(to_binary(concat_ws("|", (0 until p.rowsPerBand).map(r =>
+            element_at(col("sig"), b * p.rowsPerBand + r + 1)): _*), lit("utf-8"))).as("bucket"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+  }
+
+  /** Append a document batch to the index (call AFTER probing it, so a batch
+    * is never matched against itself). Plain sharded parquet append. */
+  def append(docs: DataFrame, textCol: String, idCol: String, dir: Path): Unit = {
+    val p = load(dir)
+    bandRows(docs, textCol, idCol, p)
+      .withColumn("pb", pmod(hash(col("bucket")), lit(p.shards)))
+      .write.mode("append").partitionBy("pb").parquet(bandsDir(dir).toString): Unit
+  }
+
+  /** Near-duplicates of `newDocs` against the INDEXED corpus: one row per
+    * (new_id, old_id) candidate pair sharing ≥1 band bucket, verified by
+    * signature similarity `match_frac` = fraction of equal minhash
+    * positions (an unbiased jaccard estimate), kept when ≥ `minMatchFrac`.
+    *
+    * Plan shape (assert via `.explain`): the index scan is PARTITION-PRUNED
+    * to the probe batch's `pb` shards, the probe side is broadcast, and the
+    * verification is a codegen'd k-term comparison on columns already in the
+    * joined row — no second pass, no index shuffle.
+    *
+    * `maxBucketSize` (> 0) drops PRUNED-SLICE buckets holding more members
+    * (viral boilerplate would fan a probe out by the bucket's full
+    * membership); the count runs on the pruned slice only. */
+  def nearDupsOf(spark: SparkSession, newDocs: DataFrame, textCol: String,
+      idCol: String, dir: Path, minMatchFrac: Double = 0.5,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val p = load(dir)
+    val probes = bandRows(newDocs, textCol, idCol, p)
+      .withColumn("pb", pmod(hash(col("bucket")), lit(p.shards)))
+    if (!Files.isDirectory(bandsDir(dir)))
+      return spark.emptyDataFrame
+        .withColumn("new_id", lit(null).cast("long"))
+        .withColumn("old_id", lit(null).cast("long"))
+        .withColumn("match_frac", lit(null).cast("double"))
+    // probe batches are increments — small relative to the corpus; their
+    // distinct shard list prunes the index read (driver list ≤ shards)
+    val pbs = probes.select(col("pb")).distinct().collect().map(_.getInt(0)).toSeq
+    val idx0 = spark.read.parquet(bandsDir(dir).toString)
+      .filter(col("pb").isInCollection(pbs))
+    val idx = capBucketsPruned(idx0, maxBucketSize)
+    val joined = idx.alias("o").join(
+      broadcast(probes.select(col("id"), col("sig"), col("band"), col("bucket")).alias("nw")),
+      col("o.band") === col("nw.band") && col("o.bucket") === col("nw.bucket"))
+    val matches = (0 until p.k).map(i =>
+      when(element_at(col("nw.sig"), i + 1) === element_at(col("o.sig"), i + 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    joined
+      .select(col("nw.id").as("new_id"), col("o.id").as("old_id"),
+        round(matches.cast("double") / lit(p.k.toDouble), 4).as("match_frac"))
+      .distinct() // a pair matching in several bands is one candidate
+      .filter(col("match_frac") >= minMatchFrac)
+  }
+
+  private def capBucketsPruned(idx: DataFrame, maxBucketSize: Int): DataFrame =
+    if (maxBucketSize <= 0) idx
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("bucket"))
+      idx.withColumn("_bsz", count(lit(1)).over(w))
+        .filter(col("_bsz") <= maxBucketSize)
+        .drop("_bsz")
+    }
+
+  /** Convenience: probe-then-append in the canonical ingest order — returns
+    * the batch's near-dups against everything indexed BEFORE it.
+    *
+    * The probe result is `localCheckpoint`ed (eager), not merely cached,
+    * BEFORE the append: writing to a path invalidates-and-RECOMPUTES any
+    * cached plan reading that path (`CacheManager.recacheByPath`), so a
+    * persisted probe result would silently refresh to include the batch's
+    * own rows — matching the batch against itself. The checkpoint truncates
+    * the lineage away from the index files entirely. */
+  def probeAndAppend(spark: SparkSession, batch: DataFrame, textCol: String,
+      idCol: String, dir: Path, minMatchFrac: Double = 0.5,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val out = nearDupsOf(spark, batch, textCol, idCol, dir, minMatchFrac, maxBucketSize)
+      .localCheckpoint(true)
+    append(batch, textCol, idCol, dir)
+    out
+  }
+}

@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The persisted incremental MinHash-LSH index: batch-at-a-time
+  * probe-then-append must find exactly the pairs the one-shot band pipeline
+  * finds across the same split, the probe plan must partition-prune the
+  * index read and broadcast the probes, and the hot-bucket cap must bound
+  * probe fan-out. */
+class LshIndexSpec extends SparkSpec {
+  private val dir = sfDir("0.01")
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+  private val P = LshIndex.Params(n = 3, bands = 4, rowsPerBand = 2, shards = 16)
+
+  test("incremental probe-then-append over 4 batches == one-shot cross pairs") {
+    val idx = tmpDir("lshidx")
+    LshIndex.create(idx, P)
+    // 4 batches by doc_id % 4; probe each against everything appended before
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+    (0 until 4).foreach { b =>
+      val batch = docs.filter(pmod(col("doc_id"), lit(4)) === b)
+      val hits = LshIndex.probeAndAppend(spark, batch, "text", "doc_id", idx)
+      hits.collect().foreach(r => got += ((r.getLong(0), r.getLong(1), r.getDouble(2))))
+    }
+    // reference: ALL-pairs signature-match via the one-shot pipeline, each
+    // unordered pair counted once — the union of per-batch cross hits must
+    // equal all pairs whose members landed in DIFFERENT batches, plus none
+    // within one batch (a batch is never probed against itself)
+    val sigs = DedupOps.withMinhashes(
+      docs.select(col("doc_id").as("id"), col("text").as("txt")), "txt", P.n, P.k)
+      .filter(col("mh0").isNotNull)
+    val bandCol = (a: String) => (0 until P.bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(to_binary(concat_ws("|", (0 until P.rowsPerBand).map(r =>
+          col(s"$a.mh${b * P.rowsPerBand + r}")): _*), lit("utf-8"))).as("bucket"))
+    }
+    val bands = sigs.select(col("id"), explode(array((0 until P.bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(to_binary(concat_ws("|", (0 until P.rowsPerBand).map(r =>
+          col(s"mh${b * P.rowsPerBand + r}")): _*), lit("utf-8"))).as("bucket"))
+    }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val matchFrac = {
+      val eq = (0 until P.k).map(i =>
+        when(col(s"x.mh$i") === col(s"y.mh$i"), 1).otherwise(0)).reduce(_ + _)
+      round(eq.cast("double") / lit(P.k.toDouble), 4)
+    }
+    val allPairs = bands.alias("a").join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("i1"), col("b.id").as("i2")).distinct()
+      .join(sigs.alias("x"), col("i1") === col("x.id"))
+      .join(sigs.alias("y"), col("i2") === col("y.id"))
+      .select(col("i1"), col("i2"), matchFrac.as("frac"))
+      .filter(col("frac") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val crossExpected = allPairs.filter { case (i1, i2, _) =>
+      (i1 % 4) != (i2 % 4) && (i1 % 4) > (i2 % 4) // probe batch b sees earlier batches
+    }.map { case (i1, i2, f) => (i1, i2, f) }.toSet
+    assert(got.nonEmpty, "testdata should contain cross-batch near-dups")
+    assert(got.toSet == crossExpected,
+      s"incremental hits must equal one-shot cross pairs (got ${got.size}, want ${crossExpected.size})")
+  }
+
+  test("probe plan: index read is partition-pruned and probes are broadcast") {
+    val idx = tmpDir("lshplan")
+    LshIndex.create(idx, P)
+    LshIndex.append(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "text", "doc_id", idx)
+    // a tiny probe batch touches few shards
+    val probe = docs.filter(col("doc_id") < 25)
+    val out = LshIndex.nearDupsOf(spark, probe, "text", "doc_id", idx, minMatchFrac = 0.0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("pb#"),
+      s"index scan must carry a pb partition filter:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"probe side must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the index must not be shuffled by a probe:\n$plan")
+    out.collect(): Unit
+  }
+
+  test("params survive reload; append validates against stored shape") {
+    val idx = tmpDir("lshparams")
+    LshIndex.create(idx, LshIndex.Params(n = 2, bands = 3, rowsPerBand = 4, shards = 8))
+    val p = LshIndex.load(idx)
+    assert(p == LshIndex.Params(2, 3, 4, 8) && p.k == 12)
+    intercept[IllegalArgumentException] {
+      LshIndex.create(idx, P) // double create refused
+    }
+  }
+
+  test("hot-bucket cap bounds probe fan-out on the pruned slice") {
+    import spark.implicits._
+    val idx = tmpDir("lshhot")
+    LshIndex.create(idx, P)
+    // 200 identical boilerplate docs + 2 genuinely similar rare docs
+    val boiler = (0L until 200L).map(i => (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val rare = Seq(
+      (1000L, "rare unique text body alpha beta gamma delta epsilon zeta"),
+      (1001L, "rare unique text body alpha beta gamma delta epsilon eta"))
+    LshIndex.append((boiler ++ rare).toDF("doc_id", "text"), "text", "doc_id", idx)
+    val probeBoiler = Seq((5000L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val probeRare = Seq((5001L, "rare unique text body alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    // capped: the viral bucket is dropped, so the boilerplate probe fans out to 0
+    val cappedHits = LshIndex.nearDupsOf(spark, probeBoiler, "text", "doc_id", idx,
+      minMatchFrac = 0.5, maxBucketSize = 50).count()
+    assert(cappedHits == 0, s"viral bucket must be dropped under the cap (got $cappedHits)")
+    // the rare probe still matches through its (small) buckets
+    val rareHits = LshIndex.nearDupsOf(spark, probeRare, "text", "doc_id", idx,
+      minMatchFrac = 0.5, maxBucketSize = 50).count()
+    assert(rareHits >= 1, "rare-bucket matches must survive the cap")
+    // uncapped: the boilerplate probe matches all 200
+    val uncapped = LshIndex.nearDupsOf(spark, probeBoiler, "text", "doc_id", idx,
+      minMatchFrac = 0.5, maxBucketSize = 0).count()
+    assert(uncapped == 200L)
+  }
+}

@@ -474,6 +474,20 @@ object SparkEntry {
       Similarity.ivfTopK(t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L, 3L, 4L),
         k = 3, nLists = 16, nprobe = 4, md5Seeding = true)),
 
+    // INCREMENTAL ANN: train the coarse codebook on half the corpus, persist
+    // the inverted file, append the other half with the FROZEN codebook
+    // (FAISS discipline), then probe external query vectors — partition-
+    // pruned index read, broadcast queries (see Similarity.appendToIvfIndex)
+    "emb_ivf_incremental" -> ((s, dir) => {
+      val embsT = t(s, dir, "embeddings")
+      val idx = Files.createTempDirectory("graft-ivfinc").resolve("index").toString
+      Similarity.writeIvfIndex(embsT.filter(col("vec_id") % 2 === 0), idx,
+        nLists = 16, md5Seeding = true)
+      Similarity.appendToIvfIndex(embsT.filter(col("vec_id") % 2 === 1), idx)
+      Similarity.ivfTopKForVectors(s, idx,
+        embsT.filter(col("vec_id").isin(1L, 3L, 5L)), k = 3, nprobe = 4)
+    }),
+
     // multimodal: binary payload + metadata → partition-batched features
     "mm_features" -> ((s, dir) => {
       val media = Multimodal.synthMedia(t(s, dir, "documents"))
@@ -899,6 +913,48 @@ object SparkEntry {
         |probes AS (SELECT vec_id query_id, list FROM (
         |  SELECT vec_id, list, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, list DESC) rn
         |  FROM dots1 WHERE vec_id IN (0,1,2,3,4)) WHERE rn <= 4),
+        |cand AS (SELECT p.query_id, a.vec_id neighbor_id
+        |         FROM probes p JOIN assign1 a ON a.list = p.list AND a.vec_id <> p.query_id),
+        |cosv AS (SELECT c.query_id, c.neighbor_id,
+        |  round(list_dot_product(vq.embedding, vn.embedding) /
+        |    (sqrt(list_dot_product(vq.embedding, vq.embedding)) *
+        |     sqrt(list_dot_product(vn.embedding, vn.embedding))), 4) cos
+        |  FROM cand c JOIN v vq ON vq.vec_id = c.query_id JOIN v vn ON vn.vec_id = c.neighbor_id)
+        |SELECT query_id, neighbor_id, cos, CAST(rnk AS INTEGER) rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rnk
+        |  FROM cosv) WHERE rnk <= 3""".stripMargin,
+
+    // mirrors emb_ivf_incremental: codebook (md5 seeds + one Lloyd pass)
+    // trained ONLY on the even half, frozen-codebook assignment over ALL
+    // vectors (the appended odd half included), probes for external query
+    // vectors 1,3,5
+    "emb_ivf_incremental" ->
+      """WITH v AS (SELECT vec_id, embedding FROM embeddings),
+        |tv AS (SELECT vec_id, embedding FROM v WHERE vec_id % 2 = 0),
+        |rk AS (SELECT vec_id, md5('s|' || vec_id) r FROM tv),
+        |seeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY r, vec_id) - 1 AS INTEGER) list
+        |          FROM rk QUALIFY row_number() OVER (ORDER BY r, vec_id) <= 16),
+        |cents0 AS (SELECT s.list, tv.embedding::DOUBLE[] c FROM seeds s JOIN tv USING (vec_id)),
+        |dots0 AS (SELECT tv.vec_id, c0.list, list_dot_product(tv.embedding::DOUBLE[], c0.c) d
+        |          FROM tv CROSS JOIN cents0 c0),
+        |assign0 AS (SELECT vec_id, list FROM (
+        |  SELECT vec_id, list, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, list DESC) rn
+        |  FROM dots0) WHERE rn = 1),
+        |pos AS (SELECT CAST(unnest(range(1, 65)) AS INTEGER) p),
+        |sums AS (SELECT a.list, p.p, sum(tv.embedding[p.p]::DOUBLE) s, count(*) c
+        |         FROM assign0 a JOIN tv USING (vec_id) CROSS JOIN pos p GROUP BY 1, 2),
+        |refined AS (SELECT c0.list, list(coalesce(s.s / s.c, c0.c[p.p]) ORDER BY p.p) c
+        |            FROM cents0 c0 CROSS JOIN pos p
+        |            LEFT JOIN sums s ON s.list = c0.list AND s.p = p.p
+        |            GROUP BY c0.list),
+        |dots1 AS (SELECT v.vec_id, r.list, list_dot_product(v.embedding::DOUBLE[], r.c) d
+        |          FROM v CROSS JOIN refined r),
+        |assign1 AS (SELECT vec_id, list FROM (
+        |  SELECT vec_id, list, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, list DESC) rn
+        |  FROM dots1) WHERE rn = 1),
+        |probes AS (SELECT vec_id query_id, list FROM (
+        |  SELECT vec_id, list, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, list DESC) rn
+        |  FROM dots1 WHERE vec_id IN (1,3,5)) WHERE rn <= 4),
         |cand AS (SELECT p.query_id, a.vec_id neighbor_id
         |         FROM probes p JOIN assign1 a ON a.list = p.list AND a.vec_id <> p.query_id),
         |cosv AS (SELECT c.query_id, c.neighbor_id,

@@ -158,14 +158,55 @@ object Similarity {
     * read (`list IN (…)` never touches other lists' files). Returns the
     * centroids. */
   def writeIvfIndex(vecs: DataFrame, dir: String, nLists: Int, seed: Long = 42L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Array[(Int, Array[Double])] = {
-    val (assigned, cents) = ivfAssign(vecs, nLists, seed, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      md5Seeding: Boolean = false): Array[(Int, Array[Double])] = {
+    val (assigned, cents) = ivfAssign(vecs, nLists, seed, idCol, vecCol, md5Seeding)
     assigned.write.mode("overwrite").partitionBy("list").parquet(dir)
     val json = cents.sortBy(_._1).map(_._2.mkString("[", ",", "]"))
       .mkString("[", ",", "]")
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_centroids.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     cents
+  }
+
+  /** INCREMENTAL index maintenance: assign a new vector batch with the
+    * index's FROZEN codebook (the FAISS discipline — the coarse quantizer is
+    * trained once; drift is handled by periodic retrain, not per-batch) and
+    * append under the same `list` partitioning. O(batch) work: assignment is
+    * map-only against the centroid literal, the append touches only the
+    * lists the batch lands in. */
+  def appendToIvfIndex(vecs: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val cents = readIvfCentroids(dir)
+    assignToCentroids(vecs.select(col(idCol), col(vecCol)), cents, idCol, vecCol)
+      .write.mode("append").partitionBy("list").parquet(dir): Unit
+  }
+
+  /** IVF top-k for EXTERNAL query vectors (a new batch not yet in the index)
+    * against a persisted index: probes are partition-pruned, the query batch
+    * is broadcast — the incremental-ANN twin of [[graft.ops.LshIndex]]'s
+    * probe. Pair with [[appendToIvfIndex]] for probe-then-append flows; if
+    * the result must survive the append, `localCheckpoint` it first (an
+    * append to the probed path RECOMPUTES cached plans reading it). */
+  def ivfTopKForVectors(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queryVecs: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = readIvfCentroids(dir)
+    val queries = queryVecs
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("probe",
+        explode(VecFns.probeLists(col("qv"), centsLit(cents), cents.length, nprobe)))
+      .select(col("query_id"), col("qv"), col("probe"))
+    val probeSet = queries.select(col("probe")).distinct().collect().map(_.getInt(0)).toSeq
+    val cands = spark.read.parquet(dir)
+      .filter(col("list").isin(probeSet: _*)) // partition-pruned
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"), col("list"))
+    val joined = cands.join(broadcast(queries),
+        col("list") === col("probe") && col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("nv")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
   /** Load the centroid matrix written by [[writeIvfIndex]]. */

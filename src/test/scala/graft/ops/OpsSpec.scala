@@ -103,6 +103,42 @@ class OpsSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") && scan.contains("list"), scan.take(500))
   }
 
+  test("incremental IVF: frozen-codebook append == in-memory assignment; external-query probe pruned") {
+    val dir = tmpDir("ivf-inc").resolve("index").toString
+    val half1 = embs.filter(col("vec_id") % 2 === 0)
+    val half2 = embs.filter(col("vec_id") % 2 === 1)
+    Similarity.writeIvfIndex(half1, dir, nLists = 16)
+    Similarity.appendToIvfIndex(half2, dir)
+
+    // external-query probe (the new batch BEFORE it was appended would be
+    // the production flow; querying it afterwards exercises the same path)
+    val queries = embs.filter(col("vec_id").isin(1L, 3L, 5L))
+    val viaIndex = Similarity.ivfTopKForVectors(spark, dir, queries, k = 3, nprobe = 4)
+
+    // in-memory reference with the SAME frozen codebook over ALL vectors
+    val cents = Similarity.readIvfCentroids(dir)
+    val assignedAll = Similarity.assignToCentroids(embs, cents, "vec_id", "embedding")
+    val qs = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .withColumn("probe", explode(graft.functions.VecFns.probeLists(
+        col("qv"), typedLit(cents.sortBy(_._1).flatMap(_._2).toSeq), cents.length, 4)))
+    val ref = assignedAll
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"), col("list"))
+      .join(broadcast(qs), col("list") === col("probe") && col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", round(Similarity.cosine(col("qv"), col("nv")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    val refTop = ref.withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+    assert(viaIndex.collect().map(_.toString).sorted
+      .sameElements(refTop.collect().map(_.toString).sorted))
+
+    // the probe scan stays partition-pruned after appends
+    val plan = Similarity.ivfTopKForVectors(spark, dir, queries, 3, 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list#"), plan.take(800))
+  }
+
   test("viral-boilerplate bucket cap bounds candidate generation (hot-bucket defense)") {
     import spark.implicits._
     // 400 identical boilerplate docs + the real corpus: uncapped, the

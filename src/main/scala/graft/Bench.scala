@@ -28,7 +28,8 @@ object Bench {
     "q1_pricing", "q3_shipping", "q_semi_join",
     "w_topn_per_group", "doc_exact_dedup", "doc_minhash_neardup",
     "doc_ngram_neardup", "doc_simhash_neardup", "doc_quality", "doc_langid",
-    "emb_cosine_topk", "emb_lsh_pairs", "emb_ivf_topk", "mm_features")
+    "doc_minhash_incremental", "emb_cosine_topk", "emb_lsh_pairs",
+    "emb_ivf_topk", "emb_ivf_incremental", "mm_features")
 
   // merge queries build + merge a table per run: GC/page-cache sensitive, so
   // they get the same best-of-2 treatment as the ingest headline

@@ -88,6 +88,66 @@ object Merge {
     * shuffle formulation instead of the co-located [[graft.plans.BucketMergeExec]]. */
   @volatile var useColocatedCow: Boolean = true
 
+  /** LATE MATERIALIZATION for the dedup shuffle (network-cluster mode,
+    * default off): resolve LWW winners over the batch's META projection
+    * (html elided — at web scale the payload dominates event bytes and a
+    * url's losing duplicates never need theirs), then fetch ONLY the winning
+    * payloads with a second pass over the same batch plan, admitted by a
+    * broadcast semi-join on the winners' exact (partition, offset) envelope,
+    * and shuffled once to the same url-hash partitioning (co-partitioned
+    * sort-merge attach — no extra Exchange). Total shuffle becomes
+    * `meta(all) + payload(winners)` instead of `payload(all)`: the win grows
+    * with the duplicate factor and the payload size (hot-key CDC over
+    * Common-Crawl-size html), at the cost of re-reading the batch's binlog
+    * range (sequential, partition-aligned — object-store bandwidth, not
+    * network shuffle). Off by default because local[32] shuffles through
+    * tmpfs at memory speed, where re-decode ≈ the bytes saved (A/B:
+    * `graft.app.LateMatAB`, BENCH_LOCAL.md); on a real cluster shuffle
+    * crosses the network and the trade is decisive. The broadcast is
+    * bounded by batch admission control (maxEventsPerBatch × 16 B keys); a
+    * mega-batch deployment would swap it for a per-partition offset-bitmap
+    * broadcast (winner offsets are dense within the batch's planned
+    * ranges). Enable via `-Dgraft.merge.lateMaterialize=true` or this var. */
+  @volatile var lateMaterialize: Boolean =
+    sys.props.get("graft.merge.lateMaterialize").contains("true")
+
+  /** Resolve winners late-materialized (see [[lateMaterialize]]). */
+  private def lateResolved(batch: DataFrame, srcAligned: DataFrame,
+      nBuckets: Int, dataCols: Seq[String]): DataFrame = {
+    val metaCols = dataCols.filterNot(_ == "html")
+    // phase A: winners over the meta projection — projection collapse drops
+    // html BEFORE the exchange, so the dedup shuffle never carries payloads.
+    // NOT persisted: the two consumers below are the SAME subtree, so the
+    // meta exchange is written once and reused (ReusedExchange); a persist
+    // would wrap the plan in an InMemoryRelation whose AQE-finalized
+    // partitioning is opaque to the outer planner, forcing the attach join
+    // to re-shuffle BOTH sides (measured: worse than the full-payload path).
+    val wMeta = graft.lake.Resolve.lww(
+      srcAligned.drop("html").repartition(nBuckets, col("url")), metaCols)
+    // phase B: second pass over the SAME batch plan; only rows whose exact
+    // (partition, offset) won phase A survive the broadcast semi-join, so
+    // the payload shuffle is O(winners). Tombstone winners fetch nothing.
+    val keys = wMeta.where(!col("_deleted"))
+      .select(col("_seq_part").as("partition"), col("_seq_offset").as("offset"))
+    val payload = batch
+      .join(broadcast(keys), Seq("partition", "offset"), "left_semi")
+      .select(col("url").as("_pl_url"), col("html").as("_pl_html"))
+      .repartition(nBuckets, col("_pl_url"))
+    // attach on url ALONE — exact by construction: wMeta is grouped by url,
+    // and the semi-join admits exactly one (partition, offset) envelope per
+    // winner url, so both sides are url-unique. Joining on the envelope too
+    // would be redundant AND ruinous: EnsureRequirements then clusters both
+    // sides on (url, part, offset), discarding the existing url partitioning
+    // and re-shuffling the payload (measured: worse than the full path).
+    // With url-only keys both sides are already HashPartitioning(url,
+    // nBuckets) — a co-partitioned sort-merge attach, zero new Exchange.
+    wMeta.join(payload, wMeta("url") === col("_pl_url"), "left")
+      .select((dataCols ++ graft.lake.TableSchemas.internalNames).map {
+        case "html" => col("_pl_html").as("html")
+        case c => wMeta(c)
+      }: _*)
+  }
+
   /** Apply one RAW batch of change events (columns: partition, offset, op,
     * url, warc_ts, html, lang — duplicates allowed). Returns the committed
     * snapshot. */
@@ -143,7 +203,11 @@ object Merge {
       .withColumn("_deleted", col("op") === "delete")
       .select((dataCols ++ TableSchemas.internalNames).map(c => col(c).cast(typeOf(c)).as(c)): _*)
 
-    val winners = graft.lake.Resolve.lww(srcAligned.repartition(nBuckets, col("url")), dataCols)
+    val winners =
+      if (lateMaterialize && batch.columns.contains("offset"))
+        lateResolved(batch, srcAligned, nBuckets, dataCols)
+      else
+        graft.lake.Resolve.lww(srcAligned.repartition(nBuckets, col("url")), dataCols)
     val obs = org.apache.spark.sql.Observation()
     val merged = winners
       .withColumn("text", when(!col("_deleted"), NativeFns.extractText(col("html"))).otherwise(lit(null)))
@@ -381,8 +445,18 @@ object Merge {
         val bucketFiles = touched.groupBy(_.bucket).map { case (b, fs) =>
           b -> fs.map(f => (table.root.resolve(f.path).toString, f.bytes))
         }
+        // LATE MATERIALIZATION (see lateResolved): pre-resolve batch winners
+        // meta-first and feed THOSE to the exec — its required
+        // HashPartitioning(url, nBuckets) is already satisfied (no extra
+        // exchange), LWW over pre-LWW'd input is idempotent, and the
+        // payload shuffle shrinks to O(winners)
+        val batchSide =
+          if (lateMaterialize && batch.columns.contains("offset"))
+            aligned(lateResolved(withBucket, srcAligned, nBuckets, dataCols)
+              .withColumn("_xt", lit(true)))
+          else aligned(srcAligned)
         graft.plans.BucketMergeStrategy.mergedRows(
-          spark, aligned(srcAligned), bucketFiles, nBuckets, logical)
+          spark, batchSide, bucketFiles, nBuckets, logical)
       } else {
         val target = table.readFiles(spark, snap, touched).withColumn("_xt", lit(false))
         val unioned = aligned(target).unionByName(aligned(srcAligned))

@@ -122,11 +122,11 @@ object LshIndex {
     val p = load(dir)
     val probes = bandRows(newDocs, textCol, idCol, p)
       .withColumn("pb", pmod(hash(col("bucket")), lit(p.shards)))
+    // empty corpus: no candidates — schema derived from the probe's id type
+    // (callers key by url strings or numeric ids alike)
     if (!Files.isDirectory(bandsDir(dir)))
-      return spark.emptyDataFrame
-        .withColumn("new_id", lit(null).cast("long"))
-        .withColumn("old_id", lit(null).cast("long"))
-        .withColumn("match_frac", lit(null).cast("double"))
+      return probes.select(col("id").as("new_id"), col("id").as("old_id"),
+        lit(null).cast("double").as("match_frac")).limit(0)
     // probe batches are increments — small relative to the corpus; their
     // distinct shard list prunes the index read (driver list ≤ shards)
     val pbs = probes.select(col("pb")).distinct().collect().map(_.getInt(0)).toSeq

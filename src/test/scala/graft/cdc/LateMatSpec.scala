@@ -1,0 +1,93 @@
+package graft.cdc
+
+import java.nio.file.Path
+
+import graft.{Oracle, SparkSpec}
+import graft.binlog.{ChangeEventGen, GenProfile}
+import graft.lake.LakeTable
+
+/** Late-materialization merge (`Merge.lateMaterialize`): the dedup shuffle
+  * carries the html-free meta projection, winning payloads are fetched by a
+  * broadcast-semi-join second pass and attached co-partitioned. The final
+  * table state must be IDENTICAL to the default path's — same winners, same
+  * payloads, same tombstones — and the mode must actually shrink shuffle
+  * bytes on a duplicate-heavy stream (the property that matters when the
+  * shuffle crosses a network instead of tmpfs). */
+class LateMatSpec extends SparkSpec {
+
+  private def withLateMat[A](f: => A): A = {
+    val prev = Merge.lateMaterialize
+    Merge.lateMaterialize = true
+    try f finally Merge.lateMaterialize = prev
+  }
+
+  /** User-facing state, html content-addressed (byte arrays break Row
+    * equality), sorted for comparison. */
+  private def state(table: LakeTable): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    table.read(spark)
+      .select(concat_ws("|", col("url"),
+        date_format(col("warc_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        coalesce(md5(col("html")), lit("null")), coalesce(col("text"), lit("null")),
+        coalesce(col("content_len").cast("string"), lit("null")),
+        coalesce(col("lang"), lit("null"))))
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  private def gen(p: GenProfile, tag: String): Path = {
+    val dir = tmpDir(tag)
+    ChangeEventGen.writeSegments(p, dir, segmentEvents = 1000)
+    dir
+  }
+
+  private def replay(binlog: Path, tag: String, mode: MergeMode,
+      eventsPerBatch: Long): LakeTable =
+    Ingest.replayBatch(spark, binlog.toString, tmpDir(tag),
+      eventsPerBatch = eventsPerBatch, nBuckets = 4, mode = mode)
+
+  for (mode <- Seq(Cow, Mor)) {
+    test(s"late-materialized $mode replay equals the default path and the oracle") {
+      val p = GenProfile.uniformSmall() // dups, deletes, ties, late events
+      val binlog = gen(p, "latemat")
+      val default = state(replay(binlog, "lmdef", mode, eventsPerBatch = 700))
+      val late = withLateMat(state(replay(binlog, "lmlate", mode, eventsPerBatch = 700)))
+      assert(late == default, s"$mode late-materialized state diverged from default")
+      // and both match the independent fold oracle (equal-but-both-wrong guard)
+      val want = Oracle.finalState(p)
+      assert(late.size == want.size)
+      val gotTexts = late.map { s => val f = s.split('|'); f(0) -> f(3) }.toMap
+      want.foreach { case (u, (_, text, _, _)) =>
+        assert(gotTexts(u) == text, s"text mismatch at $u")
+      }
+    }
+  }
+
+  test("late materialization shrinks shuffle bytes on a duplicate-heavy stream") {
+    // dup factor 10, fat-ish payload: the regime the mode exists for
+    val p = GenProfile("late-dup", seed = 7L, partitions = 2,
+      eventsPerPartition = 10000, urlPoolPerPartition = 1000, htmlMeanBytes = 4000)
+    val binlog = gen(p, "latedup")
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def measured(f: => LakeTable): (Seq[String], Long) = {
+        bytes.set(0L)
+        val s = state(f)
+        Thread.sleep(500) // drain async listener-bus task-end events
+        (s, bytes.get())
+      }
+      // single COW batch on a fresh table: the only shuffle is the dedup
+      val (defState, defBytes) = measured(replay(binlog, "lmshdef", Cow, 10000))
+      val (lateState, lateBytes) = measured(withLateMat(replay(binlog, "lmshlate", Cow, 10000)))
+      assert(lateState == defState)
+      assert(lateBytes < defBytes * 6 / 10,
+        s"expected <0.6x shuffle bytes, got late=$lateBytes default=$defBytes")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+}

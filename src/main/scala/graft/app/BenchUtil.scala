@@ -30,7 +30,7 @@ object BenchUtil {
   /** Generate (or reuse cached) binlog segments for a profile. */
   def ensureBinlog(p: GenProfile, baseDir: String = scratch): Path = {
     val dir = Paths.get(baseDir,
-      s"binlog-${p.name}-p${p.partitions}-n${p.eventsPerPartition}-s${p.seed}")
+      s"binlog-${p.name}-p${p.partitions}-n${p.eventsPerPartition}-s${p.seed}-h${p.htmlMeanBytes}-u${p.urlPoolPerPartition}")
     val marker = dir.resolve("_COMPLETE")
     if (Files.exists(marker)) return dir
     if (Files.exists(dir)) { // partial from a crashed run — rebuild

@@ -79,6 +79,15 @@ object SparkEntry {
     // resolve-on-read + incremental compaction) — identical oracle
     "cdc_merge_final_state_mor" -> ((s, dir) => cdcMergeFinalState(s, dir, graft.cdc.Mor)),
 
+    // same pipeline with LATE-MATERIALIZED dedup (meta-only shuffle +
+    // broadcast-admitted winner payload fetch) — identical oracle proves
+    // the mode changes shuffle bytes, never results
+    "cdc_merge_latemat" -> ((s, dir) => {
+      val prev = graft.cdc.Merge.lateMaterialize
+      graft.cdc.Merge.lateMaterialize = true
+      try cdcMergeFinalState(s, dir) finally graft.cdc.Merge.lateMaterialize = prev
+    }),
+
     // the SQL surface end-to-end: CREATE TABLE … USING graft, MERGE INTO
     // driving the engine's Merge operator, SELECT via the catalog's
     // co-located resolve-on-read scan — identical oracle to the library path
@@ -509,6 +518,15 @@ object SparkEntry {
         |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
 
     "cdc_merge_final_state_mor" ->
+      """WITH ranked AS (
+        |  SELECT user_id, ts, event_id, event_type, props,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT 'u' || CAST(user_id AS VARCHAR) AS url, epoch_us(ts) AS warc_us,
+        |       props AS text, CAST(strlen(props) AS BIGINT) AS content_len
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    "cdc_merge_latemat" ->
       """WITH ranked AS (
         |  SELECT user_id, ts, event_id, event_type, props,
         |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn

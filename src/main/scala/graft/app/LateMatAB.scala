@@ -55,7 +55,8 @@ object LateMatAB {
           nBuckets = 64, mode = mode)
         val n = table.currentSnapshot.batches.flatMap(_.lineage).map(_.count).sum
         val sec = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(500) // drain async listener-bus task-end events
+        // drain async listener-bus task-end events deterministically
+        org.apache.spark.sql.GraftBridge.waitListenerBusEmpty(spark)
         graft.lake.SinkIO.rmDir(work)
         val sb = shuffleBytes.get()
         System.err.println(f"[latemat-ab] $tag late=$late $sec%.1f s  ${n / sec}%.0f ev/s  shuffle=${sb / 1e6}%.0f MB")

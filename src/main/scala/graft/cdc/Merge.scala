@@ -129,13 +129,23 @@ object Merge {
     // the payload shuffle is O(winners). Tombstone winners fetch nothing.
     val keys = wMeta.where(!col("_deleted"))
       .select(col("_seq_part").as("partition"), col("_seq_offset").as("offset"))
+    // the per-url aggregate AFTER the repartition collapses exact-duplicate
+    // redeliveries of the winning envelope (at-least-once delivery may carry
+    // the same (partition, offset) row twice; the semi-join admits every
+    // copy) — without it the url-only attach join would fan out and emit
+    // duplicate winner rows. The required clustering is already satisfied by
+    // the repartition, so the aggregate adds NO new Exchange and the output
+    // keeps HashPartitioning(_pl_url, nBuckets) for the co-partitioned attach.
     val payload = batch
       .join(broadcast(keys), Seq("partition", "offset"), "left_semi")
       .select(col("url").as("_pl_url"), col("html").as("_pl_html"))
       .repartition(nBuckets, col("_pl_url"))
+      .groupBy(col("_pl_url"))
+      .agg(max(col("_pl_html")).as("_pl_html"))
     // attach on url ALONE — exact by construction: wMeta is grouped by url,
-    // and the semi-join admits exactly one (partition, offset) envelope per
-    // winner url, so both sides are url-unique. Joining on the envelope too
+    // and the payload aggregate above leaves one row per winner url (the
+    // semi-join admits one envelope per url, possibly redelivered copies of
+    // it), so both sides are url-unique. Joining on the envelope too
     // would be redundant AND ruinous: EnsureRequirements then clusters both
     // sides on (url, part, offset), discarding the existing url partitioning
     // and re-shuffling the payload (measured: worse than the full path).
@@ -204,7 +214,7 @@ object Merge {
       .select((dataCols ++ TableSchemas.internalNames).map(c => col(c).cast(typeOf(c)).as(c)): _*)
 
     val winners =
-      if (lateMaterialize && batch.columns.contains("offset"))
+      if (lateMaterialize && batch.columns.contains("offset") && batch.columns.contains("partition"))
         lateResolved(batch, srcAligned, nBuckets, dataCols)
       else
         graft.lake.Resolve.lww(srcAligned.repartition(nBuckets, col("url")), dataCols)
@@ -451,7 +461,7 @@ object Merge {
         // exchange), LWW over pre-LWW'd input is idempotent, and the
         // payload shuffle shrinks to O(winners)
         val batchSide =
-          if (lateMaterialize && batch.columns.contains("offset"))
+          if (lateMaterialize && batch.columns.contains("offset") && batch.columns.contains("partition"))
             aligned(lateResolved(withBucket, srcAligned, nBuckets, dataCols)
               .withColumn("_xt", lit(true)))
           else aligned(srcAligned)

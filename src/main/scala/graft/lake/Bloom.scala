@@ -136,15 +136,22 @@ object Bloom {
     else build(spark, keep.map(f => (table.root.resolve(f.path), f.rowCount)))
   }
 
-  // tiny driver-side cache: point lookups hit the same few sidecars
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+  /** Driver-side sidecar cache, bounded LRU (access-ordered): point lookups
+    * hit the same few sidecars, so evict only the coldest entry at capacity —
+    * a clear-all would re-read every hot sidecar right after crossing the
+    * bound (a periodic latency cliff under lookup-heavy workloads). */
+  private val CacheEntries = 4096
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Array[Byte]](CacheEntries, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, Array[Byte]]): Boolean =
+        size() > CacheEntries
+    })
 
   /** Might ANY of the urls be in this data file? True when no sidecar
     * exists (bloom absent → cannot skip). */
   def mightContainAny(dataFile: Path, urls: Seq[String]): Boolean = {
     val sc = sidecar(dataFile)
     if (!Files.exists(sc)) return true
-    if (cache.size() > 4096) cache.clear()
     val bits = cache.computeIfAbsent(sc.toString, _ => Files.readAllBytes(sc))
     if (bits.isEmpty) return true
     urls.exists(u => get(bits, hashOf(u)))

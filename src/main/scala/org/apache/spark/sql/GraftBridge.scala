@@ -16,4 +16,12 @@ object GraftBridge {
     * (e.g. a new graft warehouse) takes effect on next reference. */
   def resetCatalogs(spark: SparkSession): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.catalogManager.reset()
+
+  /** Block until the async listener bus has delivered all queued events (or
+    * the timeout passes) — deterministic metric collection for specs/benches
+    * that read `SparkListener` task metrics after an action (a fixed sleep
+    * can under- or over-wait on a loaded host). */
+  def waitListenerBusEmpty(spark: SparkSession, timeoutMs: Long = 30000L): Unit =
+    spark.asInstanceOf[classic.SparkSession].sparkContext.listenerBus
+      .waitUntilEmpty(timeoutMs)
 }

@@ -62,6 +62,46 @@ class LateMatSpec extends SparkSpec {
     }
   }
 
+  for (mode <- Seq(Cow, Mor)) {
+    test(s"late-materialized $mode is immune to exact-duplicate redelivery") {
+      // at-least-once delivery: the same (partition, offset) row may appear
+      // TWICE in one batch. The broadcast semi-join admits every copy, so
+      // without the per-url payload aggregate the attach join fans out and
+      // emits duplicate winner rows (breaking the one-winner-per-url delta
+      // invariant under MOR and inflating marker counts).
+      val p = GenProfile.uniformSmall()
+      val binlog = gen(p, "lmdup")
+      // localCheckpoint: a unioned binlog scan would double plan-derived
+      // lineage counts; the opaque leaf forces the data-pass lineage (distinct
+      // offsets → true contiguous runs), the path a redelivering caller hits
+      val events = graft.binlog.BinlogRead.all(spark, binlog.toString)
+      val doubled = events.unionAll(events).localCheckpoint(true)
+      val table = LakeTable.create(tmpDir(s"lmdup-$mode"), nBuckets = 4)
+      withLateMat(Ingest.applyBatch(spark, table, mode = mode)(doubled, 0L))
+      val clean = replay(binlog, s"lmdupref-$mode", mode, eventsPerBatch = Long.MaxValue)
+      assert(state(table) == state(clean), s"$mode duplicated-batch state diverged")
+      // MOR markers carry post-dedup winner counts: copies must not inflate
+      // them (COW markers record RAW event counts by design, so a doubled
+      // batch legitimately doubles those)
+      if (mode == Mor) {
+        val (m, mc) = (table.currentSnapshot.batches.head, clean.currentSnapshot.batches.head)
+        assert((m.upserts, m.deletes) == (mc.upserts, mc.deletes),
+          s"marker inflated: got (${m.upserts},${m.deletes}), want (${mc.upserts},${mc.deletes})")
+      }
+      // MOR delta invariant: at most one winner row per url in the delta tier
+      if (mode == Mor) {
+        import org.apache.spark.sql.functions._
+        val snap = table.currentSnapshot
+        val deltas = snap.files.filter(_.tier == graft.lake.DataFile.TierDelta)
+        if (deltas.nonEmpty) {
+          val dupUrls = table.readFiles(spark, snap, deltas)
+            .groupBy(col("url")).count().filter(col("count") > 1).count()
+          assert(dupUrls == 0L, s"$dupUrls urls have duplicate delta rows")
+        }
+      }
+    }
+  }
+
   test("late materialization shrinks shuffle bytes on a duplicate-heavy stream") {
     // dup factor 10, fat-ish payload: the regime the mode exists for
     val p = GenProfile("late-dup", seed = 7L, partitions = 2,
@@ -79,7 +119,9 @@ class LateMatSpec extends SparkSpec {
       def measured(f: => LakeTable): (Seq[String], Long) = {
         bytes.set(0L)
         val s = state(f)
-        Thread.sleep(500) // drain async listener-bus task-end events
+        // drain async listener-bus task-end events deterministically (a fixed
+        // sleep can under-wait on a loaded host or bleed into the next run)
+        org.apache.spark.sql.GraftBridge.waitListenerBusEmpty(spark)
         (s, bytes.get())
       }
       // single COW batch on a fresh table: the only shuffle is the dedup

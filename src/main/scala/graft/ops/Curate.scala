@@ -50,15 +50,24 @@ object Curate {
   /** Run one increment end to end: score the span's winners, keep docs
     * passing the quality/length gate, probe-then-append the LSH index.
     * `nearDups` columns: (new_id = url, old_id = previously indexed url,
-    * match_frac). */
+    * match_frac).
+    *
+    * EXACTLY-ONCE REPLAY: the index append is keyed by the resolved span
+    * `(fromSnapshotId, to]`, so re-running the same increment after a crash
+    * (between the index append and the caller's own downstream commit)
+    * OVERWRITES the span's rows instead of duplicating them — duplicate
+    * index rows would inflate the bucket-cap counts and silently drop a
+    * genuinely-hot bucket from candidate generation. The open-ended `to` is
+    * pinned to the CURRENT head here so the replayed span is identical. */
   def curateIncrement(spark: SparkSession, table: LakeTable, lshDir: Path,
       fromSnapshotId: Long, toSnapshotId: Option[Long] = None,
       minQuality: Double = 0.0, minTokens: Int = 3,
       minMatchFrac: Double = 0.5): Increment = {
-    val scored = scoredIncrement(spark, table, fromSnapshotId, toSnapshotId)
+    val to = toSnapshotId.getOrElse(table.currentSnapshotId)
+    val scored = scoredIncrement(spark, table, fromSnapshotId, Some(to))
     val kept = scored.filter(col("quality") >= minQuality && col("tokens") >= minTokens)
     val dups = LshIndex.probeAndAppend(spark, kept, "text", "url", lshDir,
-      minMatchFrac = minMatchFrac)
+      minMatchFrac = minMatchFrac, span = Some(s"$fromSnapshotId-$to"))
     Increment(kept, dups)
   }
 }

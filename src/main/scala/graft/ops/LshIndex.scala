@@ -15,10 +15,13 @@ import org.apache.spark.sql.functions._
   * Index layout (`<dir>/`):
   * {{{
   *   params.json                  — (n, bands, rowsPerBand, shards), fixed at create
-  *   bands/pb=<shard>/part-….parquet — (id, sig, band, bucket): one row per
+  *   bands/span=<tag>/pb=<shard>/part-….parquet
+  *                                — (id, sig, band, bucket): one row per
   *                                  (doc, band); `sig` is the doc's full
   *                                  k-minhash signature, embedded so probe
-  *                                  verification never re-reads the corpus
+  *                                  verification never re-reads the corpus.
+  *                                  One span dir per append increment —
+  *                                  replaying a span OVERWRITES its own rows
   * }}}
   *
   * Scale design:
@@ -34,8 +37,9 @@ import org.apache.spark.sql.functions._
   *    jaccard = fraction of equal minhash positions) — O(k) per candidate,
   *    no corpus join. Exact-jaccard re-verification can be layered on top
   *    via [[DedupOps.verifyJaccard]] when the text table is at hand.
-  *  - appends are plain parquet appends under the same sharding — no
-  *    rewrite; the md5 hash domain keeps every row reproducible in
+  *  - appends write one span directory each under the same sharding — no
+  *    rewrite of earlier spans, and a span-keyed append is replay-idempotent
+  *    (see [[append]]); the md5 hash domain keeps every row reproducible in
   *    portable SQL (the DuckDB oracle grades the whole pipeline).
   *  - storage: k hex md5 strings ≈ 32k bytes per (doc, band) row; a
   *    production deployment would store 8-byte truncated hashes (×32
@@ -56,6 +60,29 @@ object LshIndex {
 
   private def paramsFile(dir: Path) = dir.resolve("params.json")
   private def bandsDir(dir: Path) = dir.resolve("bands")
+
+  /** One subdirectory per append span (`bands/span=<tag>/pb=<shard>/…`):
+    * `span` is a discovered partition column, so probes read across all
+    * spans unchanged while a REPLAYED span overwrites exactly its own rows. */
+  private def spanDir(dir: Path, tag: String) =
+    bandsDir(dir).resolve(s"span=${sanitizeTag(tag)}")
+
+  private def sanitizeTag(tag: String): String = {
+    val s = tag.map(c => if (c.isLetterOrDigit || c == '.' || c == '_' || c == '-') c else '_')
+    if (s.isEmpty) "_" else s
+  }
+
+  /** Does the index hold any data file yet? (A freshly created index — or one
+    * whose only appended spans were empty batches — has no parquet leaves;
+    * reading it would fail schema inference.) Driver-side walk with
+    * short-circuit: O(first match), worst case O(files) on a truly empty
+    * index. */
+  private def hasData(dir: Path): Boolean = {
+    if (!Files.isDirectory(bandsDir(dir))) return false
+    val walk = Files.walk(bandsDir(dir))
+    try walk.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
+    finally walk.close()
+  }
 
   def create(dir: Path, params: Params): Unit = {
     require(params.n >= 1 && params.bands >= 1 && params.rowsPerBand >= 1 && params.shards >= 1)
@@ -95,12 +122,26 @@ object LshIndex {
   }
 
   /** Append a document batch to the index (call AFTER probing it, so a batch
-    * is never matched against itself). Plain sharded parquet append. */
-  def append(docs: DataFrame, textCol: String, idCol: String, dir: Path): Unit = {
+    * is never matched against itself).
+    *
+    * `span` keys the write for REPLAY IDEMPOTENCE: each span tag owns one
+    * subdirectory (`bands/span=<tag>/pb=<shard>/…`) written with OVERWRITE
+    * semantics, so re-running an increment after a crash between this append
+    * and the caller's own downstream commit rewrites the same rows instead
+    * of duplicating them (the lake table's marker-gated discipline, applied
+    * to the index). Ad-hoc appends (`span = None`) accumulate under one
+    * shared tag and are NOT replay-idempotent — callers with replay
+    * semantics (the curation loop) must pass their span. */
+  def append(docs: DataFrame, textCol: String, idCol: String, dir: Path,
+      span: Option[String] = None): Unit = {
     val p = load(dir)
-    bandRows(docs, textCol, idCol, p)
+    val rows = bandRows(docs, textCol, idCol, p)
       .withColumn("pb", pmod(hash(col("bucket")), lit(p.shards)))
-      .write.mode("append").partitionBy("pb").parquet(bandsDir(dir).toString): Unit
+    val (mode, out) = span match {
+      case Some(tag) => ("overwrite", spanDir(dir, tag))
+      case None => ("append", spanDir(dir, "adhoc"))
+    }
+    rows.write.mode(mode).partitionBy("pb").parquet(out.toString): Unit
   }
 
   /** Near-duplicates of `newDocs` against the INDEXED corpus: one row per
@@ -124,7 +165,7 @@ object LshIndex {
       .withColumn("pb", pmod(hash(col("bucket")), lit(p.shards)))
     // empty corpus: no candidates — schema derived from the probe's id type
     // (callers key by url strings or numeric ids alike)
-    if (!Files.isDirectory(bandsDir(dir)))
+    if (!hasData(dir))
       return probes.select(col("id").as("new_id"), col("id").as("old_id"),
         lit(null).cast("double").as("match_frac")).limit(0)
     // probe batches are increments — small relative to the corpus; their
@@ -146,14 +187,21 @@ object LshIndex {
       .filter(col("match_frac") >= minMatchFrac)
   }
 
+  /** Cap by DISTINCT ids per (band, bucket): replay artifacts (ad-hoc
+    * double-appends) and multi-span re-index rows of the same doc must not
+    * push a genuinely-hot bucket over the cap — a dropped bucket is a silent
+    * near-dup false negative. Left-semi keeps member rows untouched (no
+    * arbitrary pick among a doc's versions). */
   private def capBucketsPruned(idx: DataFrame, maxBucketSize: Int): DataFrame =
     if (maxBucketSize <= 0) idx
     else {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band"), col("bucket"))
-      idx.withColumn("_bsz", count(lit(1)).over(w))
+      val sizes = idx.groupBy(col("band"), col("bucket"))
+        .agg(count_distinct(col("id")).as("_bsz"))
         .filter(col("_bsz") <= maxBucketSize)
-        .drop("_bsz")
+        .select(col("band").as("_cb_band"), col("bucket").as("_cb_bucket"))
+      idx.join(sizes,
+        idx("band") === col("_cb_band") && idx("bucket") === col("_cb_bucket"),
+        "left_semi")
     }
 
   /** Convenience: probe-then-append in the canonical ingest order — returns
@@ -167,10 +215,10 @@ object LshIndex {
     * the lineage away from the index files entirely. */
   def probeAndAppend(spark: SparkSession, batch: DataFrame, textCol: String,
       idCol: String, dir: Path, minMatchFrac: Double = 0.5,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000, span: Option[String] = None): DataFrame = {
     val out = nearDupsOf(spark, batch, textCol, idCol, dir, minMatchFrac, maxBucketSize)
       .localCheckpoint(true)
-    append(batch, textCol, idCol, dir)
+    append(batch, textCol, idCol, dir, span)
     out
   }
 }

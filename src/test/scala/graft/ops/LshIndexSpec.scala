@@ -91,6 +91,38 @@ class LshIndexSpec extends SparkSpec {
     }
   }
 
+  test("span-keyed appends are replay-idempotent; caps count DISTINCT ids") {
+    import spark.implicits._
+    val boiler = (0L until 50L)
+      .map(i => (i, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val probe = Seq((9000L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    // span-keyed: replaying the SAME span overwrites instead of duplicating
+    val idx = tmpDir("lshspan")
+    LshIndex.create(idx, P)
+    LshIndex.append(boiler, "text", "doc_id", idx, span = Some("0-1"))
+    val bands = idx.resolve("bands").toString
+    val n1 = spark.read.parquet(bands).count()
+    LshIndex.append(boiler, "text", "doc_id", idx, span = Some("0-1")) // crash-replay
+    val n2 = spark.read.parquet(bands).count()
+    assert(n2 == n1, s"replayed span must overwrite its rows (got $n2, want $n1)")
+    // the bucket holds exactly cap-many distinct ids — must NOT be dropped
+    val hits = LshIndex.nearDupsOf(spark, probe, "text", "doc_id", idx,
+      minMatchFrac = 0.5, maxBucketSize = 50).count()
+    assert(hits == 50L, s"near-cap bucket dropped after replay (got $hits)")
+    // ad-hoc (non-keyed) double-append DOES duplicate rows — the DISTINCT-id
+    // cap still keeps the bucket where a row-count cap would silently drop it
+    val idx2 = tmpDir("lshadhoc")
+    LshIndex.create(idx2, P)
+    LshIndex.append(boiler, "text", "doc_id", idx2)
+    LshIndex.append(boiler, "text", "doc_id", idx2)
+    assert(spark.read.parquet(idx2.resolve("bands").toString).count() == 2 * n1)
+    val got2 = LshIndex.nearDupsOf(spark, probe, "text", "doc_id", idx2,
+      minMatchFrac = 0.5, maxBucketSize = 50).count()
+    assert(got2 == 50L, s"replay-inflated bucket must survive the distinct-id cap (got $got2)")
+  }
+
   test("hot-bucket cap bounds probe fan-out on the pruned slice") {
     import spark.implicits._
     val idx = tmpDir("lshhot")

@@ -795,7 +795,9 @@ object SparkEntry {
     // mirrors LshIndex.nearDupsOf exactly: signatures over the WHOLE corpus,
     // band-bucket candidates restricted to (new = doc_id%5=0) × (indexed =
     // doc_id%5<>0), verified by signature-match fraction over the 8 minhash
-    // positions (the index embeds signatures; no exact-jaccard pass)
+    // positions (the index embeds signatures; no exact-jaccard pass). The
+    // index stores LOW-64 TRUNCATED signatures (array<long>), so position
+    // equality is compared in the same domain here: substr(md5, 17, 16)
     "doc_minhash_incremental" ->
       """WITH w AS (SELECT doc_id, regexp_extract_all(trim(text), '[^ \t\n\r]+') ws FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
@@ -817,25 +819,25 @@ object SparkEntry {
         |         ON n.band = o.band AND n.bucket = o.bucket
         |         WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0)
         |SELECT c.new_id, c.old_id,
-        |  round(((CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END) +
-        |         (CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END) +
-        |         (CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END) +
-        |         (CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END) +
-        |         (CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END) +
-        |         (CASE WHEN a.mh5 = b.mh5 THEN 1 ELSE 0 END) +
-        |         (CASE WHEN a.mh6 = b.mh6 THEN 1 ELSE 0 END) +
-        |         (CASE WHEN a.mh7 = b.mh7 THEN 1 ELSE 0 END)) / 8.0, 4) AS match_frac
+        |  round(((CASE WHEN substr(a.mh0,17,16) = substr(b.mh0,17,16) THEN 1 ELSE 0 END) +
+        |         (CASE WHEN substr(a.mh1,17,16) = substr(b.mh1,17,16) THEN 1 ELSE 0 END) +
+        |         (CASE WHEN substr(a.mh2,17,16) = substr(b.mh2,17,16) THEN 1 ELSE 0 END) +
+        |         (CASE WHEN substr(a.mh3,17,16) = substr(b.mh3,17,16) THEN 1 ELSE 0 END) +
+        |         (CASE WHEN substr(a.mh4,17,16) = substr(b.mh4,17,16) THEN 1 ELSE 0 END) +
+        |         (CASE WHEN substr(a.mh5,17,16) = substr(b.mh5,17,16) THEN 1 ELSE 0 END) +
+        |         (CASE WHEN substr(a.mh6,17,16) = substr(b.mh6,17,16) THEN 1 ELSE 0 END) +
+        |         (CASE WHEN substr(a.mh7,17,16) = substr(b.mh7,17,16) THEN 1 ELSE 0 END)) / 8.0, 4) AS match_frac
         |FROM cand c
         |JOIN sig a ON a.doc_id = c.new_id
         |JOIN sig b ON b.doc_id = c.old_id
-        |WHERE round(((CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END) +
-        |         (CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END) +
-        |         (CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END) +
-        |         (CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END) +
-        |         (CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END) +
-        |         (CASE WHEN a.mh5 = b.mh5 THEN 1 ELSE 0 END) +
-        |         (CASE WHEN a.mh6 = b.mh6 THEN 1 ELSE 0 END) +
-        |         (CASE WHEN a.mh7 = b.mh7 THEN 1 ELSE 0 END)) / 8.0, 4) >= 0.5""".stripMargin,
+        |WHERE round(((CASE WHEN substr(a.mh0,17,16) = substr(b.mh0,17,16) THEN 1 ELSE 0 END) +
+        |         (CASE WHEN substr(a.mh1,17,16) = substr(b.mh1,17,16) THEN 1 ELSE 0 END) +
+        |         (CASE WHEN substr(a.mh2,17,16) = substr(b.mh2,17,16) THEN 1 ELSE 0 END) +
+        |         (CASE WHEN substr(a.mh3,17,16) = substr(b.mh3,17,16) THEN 1 ELSE 0 END) +
+        |         (CASE WHEN substr(a.mh4,17,16) = substr(b.mh4,17,16) THEN 1 ELSE 0 END) +
+        |         (CASE WHEN substr(a.mh5,17,16) = substr(b.mh5,17,16) THEN 1 ELSE 0 END) +
+        |         (CASE WHEN substr(a.mh6,17,16) = substr(b.mh6,17,16) THEN 1 ELSE 0 END) +
+        |         (CASE WHEN substr(a.mh7,17,16) = substr(b.mh7,17,16) THEN 1 ELSE 0 END)) / 8.0, 4) >= 0.5""".stripMargin,
 
     // md5-domain simhash: token hash = md5 low 64 bits; per-bit ±1 votes;
     // 4×16-bit block banding; Hamming ≤ 3 — all-integer pipeline, so the

@@ -60,6 +60,22 @@ object NativeFns {
       propagateNull = true,
       returnNullable = true))
 
+  /** hex-md5 signature array → array of its LOW-64-BIT truncations (hex
+    * chars 17..32 as an unsigned-wrapped long) — the storage form of the
+    * persisted LSH index: 8 bytes per minhash instead of a 32-char hex
+    * string, with equality preserved (equal md5 ⇒ equal low-64; a false
+    * equality needs a 2⁻⁶⁴ collision between DIFFERENT md5s). DuckDB
+    * reproduces the same domain as `substr(md5hex, 17, 16)` equality. */
+  def sigLow64(sig: Column): Column = column(
+    StaticInvoke(
+      NativeKernels.getClass,
+      ArrayType(LongType, containsNull = false),
+      "sigLow64UTF8",
+      Seq(expression(sig)),
+      inputTypes = Seq(ArrayType(StringType)),
+      propagateNull = true,
+      returnNullable = true))
+
   /** text → 64-bit SimHash in ONE tokenize+hash pass (replaces the round-1
     * 64-separate-interpreted-HOF formulation — same semantics: per-bit
     * weighted majority of `xxhash64(token)`, identical token split and
@@ -226,6 +242,22 @@ object NativeKernels {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       mins.map(m => UTF8String.fromString(m): Any))
+  }
+
+  /** Low-64 truncation of each hex-md5 element; see [[NativeFns.sigLow64]]. */
+  def sigLow64UTF8(sig: org.apache.spark.sql.catalyst.util.ArrayData): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val k = sig.numElements()
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val hex = sig.getUTF8String(i)
+      var h = 0L
+      var j = 16
+      while (j < 32) { h = (h << 4) | Character.digit(hex.getByte(j).toChar, 16).toLong; j += 1 }
+      out(i) = h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   /** Rabin-Karp rolling hash over whitespace tokens; term hash = first 4

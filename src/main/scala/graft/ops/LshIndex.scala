@@ -41,9 +41,12 @@ import org.apache.spark.sql.functions._
   *    rewrite of earlier spans, and a span-keyed append is replay-idempotent
   *    (see [[append]]); the md5 hash domain keeps every row reproducible in
   *    portable SQL (the DuckDB oracle grades the whole pipeline).
-  *  - storage: k hex md5 strings ≈ 32k bytes per (doc, band) row; a
-  *    production deployment would store 8-byte truncated hashes (×32
-  *    smaller), which this format permits without changing the probe plan.
+  *  - storage: `sig` is `array<long>` of md5-LOW-64 truncations — 8 bytes
+  *    per minhash instead of a 32-char hex string (≈8k vs ≈32k+ bytes per
+  *    (doc, band) row uncompressed; see the LshBytesAB A/B in
+  *    BENCH_LOCAL.md). Position equality — hence `match_frac` — is
+  *    preserved: equal md5 ⇒ equal low-64, and a spurious equality needs a
+  *    2⁻⁶⁴ cross-md5 collision. Buckets stay full-hex-md5-derived.
   *
   * Reference analog: none (the reference has no dedup role) — this extends
   * the engine's LLM-pipeline operator family (SURVEY.md §6) with the
@@ -104,19 +107,27 @@ object LshIndex {
 
   /** (id, sig, band, bucket) rows for `docs` — the index's logical row.
     * Docs with fewer than `n` tokens have no signature and are skipped
-    * (they cannot be near-duplicates under an n-gram metric). */
+    * (they cannot be near-duplicates under an n-gram metric).
+    *
+    * `sig` is stored TRUNCATED — `array<long>` of each minhash's md5 low 64
+    * bits (8 bytes/element vs a 32-char hex string): equality of positions
+    * is preserved (equal md5 ⇒ equal low-64; a spurious equality needs a
+    * 2⁻⁶⁴ collision between different md5s), so `match_frac` is unchanged,
+    * and the DuckDB oracle reproduces the domain as `substr(md5, 17, 16)`
+    * comparisons. Band BUCKETS stay derived from the full hex md5 chain —
+    * identical bucketing to [[DedupOps.minhashNearDups]]. */
   private def bandRows(docs: DataFrame, textCol: String, idCol: String,
       p: Params): DataFrame = {
     val sigs = docs
       .select(col(idCol).as("id"),
-        graft.functions.NativeFns.minhashSig(col(textCol), p.n, p.k).as("sig"))
-      .filter(col("sig").isNotNull)
+        graft.functions.NativeFns.minhashSig(col(textCol), p.n, p.k).as("sigHex"))
+      .filter(col("sigHex").isNotNull)
     sigs.select(
-      col("id"), col("sig"),
+      col("id"), graft.functions.NativeFns.sigLow64(col("sigHex")).as("sig"),
       explode(array((0 until p.bands).map { b =>
         struct(lit(b).as("band"),
           md5(to_binary(concat_ws("|", (0 until p.rowsPerBand).map(r =>
-            element_at(col("sig"), b * p.rowsPerBand + r + 1)): _*), lit("utf-8"))).as("bucket"))
+            element_at(col("sigHex"), b * p.rowsPerBand + r + 1)): _*), lit("utf-8"))).as("bucket"))
       }: _*)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
   }

@@ -141,6 +141,69 @@ object SparkEntry {
               |FROM graft.sqlins""".stripMargin)
     }),
 
+    // row-level SQL DELETE: build the merged table, DELETE a url slice,
+    // read the final state — deletes plan onto the tombstone MERGE path
+    // (stored envelope bumped by one offset), so the oracle is the merged
+    // final state minus the deleted slice
+    "cdc_sql_delete" -> ((s, dir) => {
+      val wh = Files.createTempDirectory("graft-sql-wh")
+      graft.sql.GraftSql.enable(s, wh.toString)
+      t(s, dir, "events").createOrReplaceTempView("graft_ev_src3")
+      s.sql("DROP TABLE IF EXISTS graft.sqldel")
+      s.sql("""CREATE TABLE graft.sqldel (url STRING, warc_ts TIMESTAMP,
+              |  html BINARY, text STRING, content_len BIGINT, lang STRING)
+              |USING graft TBLPROPERTIES('buckets'='8')""".stripMargin)
+      s.sql("""MERGE INTO graft.sqldel t USING (
+              |  SELECT concat('u', CAST(user_id AS STRING)) AS url,
+              |    CAST(ts AS TIMESTAMP) AS warc_ts,
+              |    CASE WHEN event_type = 'error' THEN CAST(NULL AS BINARY)
+              |         ELSE to_binary(props, 'utf-8') END AS html,
+              |    CAST(NULL AS STRING) AS text, CAST(NULL AS BIGINT) AS content_len,
+              |    'en' AS lang,
+              |    CAST(pmod(user_id, 4) AS INT) AS partition, event_id AS offset,
+              |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+              |  FROM graft_ev_src3) s
+              |ON t.url = s.url
+              |WHEN MATCHED AND s.op = 'delete' THEN DELETE
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql("DELETE FROM graft.sqldel WHERE url LIKE 'u1%' OR content_len < 9")
+      s.sql("""SELECT url, unix_micros(warc_ts) AS warc_us, text, content_len
+              |FROM graft.sqldel""".stripMargin)
+    }),
+
+    // row-level SQL UPDATE: assigned changelog columns (html, lang) replace
+    // the stored ones via an upsert MERGE batch; text/content_len are then
+    // re-derived from the new html by the merge itself
+    "cdc_sql_update" -> ((s, dir) => {
+      val wh = Files.createTempDirectory("graft-sql-wh")
+      graft.sql.GraftSql.enable(s, wh.toString)
+      t(s, dir, "events").createOrReplaceTempView("graft_ev_src4")
+      s.sql("DROP TABLE IF EXISTS graft.sqlupd")
+      s.sql("""CREATE TABLE graft.sqlupd (url STRING, warc_ts TIMESTAMP,
+              |  html BINARY, text STRING, content_len BIGINT, lang STRING)
+              |USING graft TBLPROPERTIES('buckets'='8')""".stripMargin)
+      s.sql("""MERGE INTO graft.sqlupd t USING (
+              |  SELECT concat('u', CAST(user_id AS STRING)) AS url,
+              |    CAST(ts AS TIMESTAMP) AS warc_ts,
+              |    CASE WHEN event_type = 'error' THEN CAST(NULL AS BINARY)
+              |         ELSE to_binary(props, 'utf-8') END AS html,
+              |    CAST(NULL AS STRING) AS text, CAST(NULL AS BIGINT) AS content_len,
+              |    'en' AS lang,
+              |    CAST(pmod(user_id, 4) AS INT) AS partition, event_id AS offset,
+              |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+              |  FROM graft_ev_src4) s
+              |ON t.url = s.url
+              |WHEN MATCHED AND s.op = 'delete' THEN DELETE
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql("""UPDATE graft.sqlupd
+              |SET html = to_binary('redacted body', 'utf-8'), lang = 'xx'
+              |WHERE content_len >= 9""".stripMargin)
+      s.sql("""SELECT url, unix_micros(warc_ts) AS warc_us, text, content_len, lang
+              |FROM graft.sqlupd""".stripMargin)
+    }),
+
     // point lookups through the catalog scan's pushdown (one hash bucket +
     // bounds-admitted files read; results graded against the oracle)
     "cdc_sql_point_lookup" -> ((s, dir) => {
@@ -545,6 +608,27 @@ object SparkEntry {
         |       CASE WHEN event_type = 'error' THEN NULL
         |            ELSE CAST(strlen(props) AS BIGINT) END AS content_len
         |FROM ranked WHERE rn = 1""".stripMargin,
+
+    "cdc_sql_delete" ->
+      """WITH ranked AS (
+        |  SELECT user_id, ts, event_id, event_type, props,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT 'u' || CAST(user_id AS VARCHAR) AS url, epoch_us(ts) AS warc_us,
+        |       props AS text, CAST(strlen(props) AS BIGINT) AS content_len
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        |  AND NOT ('u' || CAST(user_id AS VARCHAR) LIKE 'u1%' OR strlen(props) < 9)""".stripMargin,
+
+    "cdc_sql_update" ->
+      """WITH ranked AS (
+        |  SELECT user_id, ts, event_id, event_type, props,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT 'u' || CAST(user_id AS VARCHAR) AS url, epoch_us(ts) AS warc_us,
+        |       CASE WHEN strlen(props) >= 9 THEN 'redacted body' ELSE props END AS text,
+        |       CAST(CASE WHEN strlen(props) >= 9 THEN 13 ELSE strlen(props) END AS BIGINT) AS content_len,
+        |       CASE WHEN strlen(props) >= 9 THEN 'xx' ELSE 'en' END AS lang
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
 
     "cdc_sql_point_lookup" ->
       """WITH ranked AS (

@@ -59,7 +59,14 @@ final case class BucketMergeLogical(
     tableSchema: StructType) // physical schema of the table files (no _xt)
   extends UnaryNode {
   override def child: LogicalPlan = batch
-  override def output: Seq[Attribute] = batch.output
+  /** Batch layout, with nullability WIDENED by the table schema: the merge
+    * emits TABLE rows too (e.g. a stored tombstone's null html winning over
+    * a stale batch whose html expression is non-null), so a column is
+    * nullable when EITHER side can produce null — inheriting the batch's
+    * non-null verbatim lets downstream projections skip null checks and NPE
+    * on the first table-side null. */
+  override def output: Seq[Attribute] =
+    BucketMergeStrategy.widenNullability(batch.output, tableSchema)
   /** Every child column is load-bearing (the merge layout must equal the
     * table schema + _xt positionally) — declaring full references stops
     * ColumnPruning from dropping columns the plan ABOVE doesn't read
@@ -79,6 +86,16 @@ object BucketMergeStrategy extends SparkStrategy {
       val scan = BucketTableScanExec(scanOutput, bm.bucketFiles, bm.nBuckets, bm.tableSchema)
       BucketMergeExec(scan, planLater(bm.batch), bm.nBuckets) :: Nil
     case _ => Nil
+  }
+
+  /** A column of the merged output is nullable when either side can emit
+    * null there: batch nullability ∨ table-schema nullability (batch-only
+    * columns, i.e. `_xt`, keep the batch's). Same exprIds — only the
+    * nullability flag widens. */
+  def widenNullability(batchOut: Seq[Attribute], tableSchema: StructType): Seq[Attribute] = {
+    val tbl = tableSchema.fields.map(f => f.name -> f.nullable).toMap
+    batchOut.map(a =>
+      if (!a.nullable && tbl.getOrElse(a.name, false)) a.withNullability(true) else a)
   }
 
   /** Idempotently register the strategy on a session. */
@@ -271,7 +288,13 @@ final case class BucketMergeExec(tableScan: SparkPlan, batch: SparkPlan, nBucket
 
   override def left: SparkPlan = tableScan
   override def right: SparkPlan = batch
-  override def output: Seq[Attribute] = batch.output
+  /** See [[BucketMergeLogical.output]]: table-side rows can carry nulls the
+    * batch side's expressions never produce — widen per the scan's schema. */
+  override def output: Seq[Attribute] = {
+    val tbl = tableScan.output.map(a => a.name -> a.nullable).toMap
+    batch.output.map(a =>
+      if (!a.nullable && tbl.getOrElse(a.name, false)) a.withNullability(true) else a)
+  }
 
   private def urlOf(p: SparkPlan): Attribute = p.output.find(_.name == "url").get
   private def battr(n: String): Attribute = batch.output.find(_.name == n).getOrElse(

@@ -1,15 +1,16 @@
 package graft.sql
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{AnalysisException, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{AnalysisException, Column, DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeIntoTable, UpdateAction}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, UpdateAction, UpdateTable}
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions._
 
 import graft.cdc.{Merge, MergeMode}
+import graft.lake.{Resolve, TableSchemas}
 
 /** Plans `MERGE INTO graft.<table> … ` onto the engine's Merge operator.
   *
@@ -36,22 +37,56 @@ object GraftSqlStrategy extends SparkStrategy {
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case m: MergeIntoTable =>
-      // before optimization the target is a DataSourceV2Relation; after,
-      // V2ScanRelationPushDown may have turned it into a ScanRelation
-      val target = m.targetTable.collectFirst {
-        case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSqlTable] =>
-          r.table.asInstanceOf[GraftSqlTable]
-        case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
-            if s.relation.table.isInstanceOf[GraftSqlTable] =>
-          s.relation.table.asInstanceOf[GraftSqlTable]
-      }
-      target match {
+      graftTarget(m.targetTable) match {
         case Some(t) =>
           GraftMergeExec(t, m.sourceTable, validateShape(m, t)) :: Nil
         case None => Nil
       }
+    // DELETE FROM graft.<t> WHERE … — planned as a tombstone MERGE batch:
+    // matched live rows become delete events whose envelope is the stored
+    // row's bumped by one offset, so the tombstone strictly wins the LWW
+    // order against the row it deletes while any LATER CDC event (greater
+    // warc_ts) still beats the tombstone — SQL deletes and the change
+    // stream compose under one conflict rule.
+    case d: DeleteFromTable =>
+      graftTarget(d.table) match {
+        case Some(t) =>
+          rejectSubquery(d.condition, "DELETE")
+          GraftDeleteExec(t, d.condition) :: Nil
+        case None => Nil
+      }
+    // UPDATE graft.<t> SET … WHERE … — an upsert MERGE batch from the
+    // matched rows with the assigned columns replaced (same bumped-envelope
+    // rule). Assignable columns are the CHANGELOG-carried ones (warc_ts,
+    // html, lang): url is the merge key, text/content_len are derived from
+    // html by the merge itself.
+    case u: UpdateTable =>
+      graftTarget(u.table) match {
+        case Some(t) =>
+          u.condition.foreach(rejectSubquery(_, "UPDATE"))
+          GraftUpdateExec(t, u.assignments, u.condition) :: Nil
+        case None => Nil
+      }
     case _ => Nil
   }
+
+  /** Find the graft table under a (possibly pushed-down) target plan:
+    * before optimization a DataSourceV2Relation; after, a ScanRelation. */
+  private def graftTarget(plan: LogicalPlan): Option[GraftSqlTable] =
+    plan.collectFirst {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSqlTable] =>
+        r.table.asInstanceOf[GraftSqlTable]
+      case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+          if s.relation.table.isInstanceOf[GraftSqlTable] =>
+        s.relation.table.asInstanceOf[GraftSqlTable]
+    }
+
+  private def rejectSubquery(e: Expression, what: String): Unit =
+    if (e.exists(_.isInstanceOf[SubqueryExpression]))
+      throw new AnalysisException(
+        errorClass = "USER_RAISED_EXCEPTION",
+        messageParameters = Map("errorMessage" ->
+          s"graft $what: subqueries in the WHERE clause are not supported"))
 
   /** The engine executes exactly ONE merge semantics — the canonical CDC
     * upsert in the object doc. Anything else (no NOT MATCHED clause,
@@ -173,6 +208,142 @@ final case class GraftMergeExec(
     done
     sparkContext.emptyRDD
   }
+}
+
+/** Shared machinery for the row-level SQL commands (DELETE/UPDATE). */
+private[sql] object GraftRowLevel {
+
+  /** Re-anchor an analyzed condition onto a fresh DataFrame: attribute
+    * references carry the ORIGINAL relation's exprIds, which cannot resolve
+    * against the re-read table — rewrite them to name-based lookups and let
+    * analysis re-resolve (user columns only; conditions never see internal
+    * columns). */
+  def byName(e: Expression): Column =
+    org.apache.spark.sql.GraftBridge.column(e.transform {
+      case a: Attribute =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
+    })
+
+  /** The table's LWW-resolved rows WITH internal envelope columns
+    * (`_seq_part`, `_seq_offset`, `_deleted`): the co-located raw scan at
+    * the current schema version, shuffle resolve for pre-evolution
+    * snapshots (the compactBuckets fallback). */
+  def resolvedWithEnvelope(spark: SparkSession, lake: graft.lake.LakeTable): DataFrame = {
+    val snap = lake.currentSnapshot
+    if (snap.schemaVersion == TableSchemas.current)
+      GraftRead.rawResolved(spark, lake)
+    else {
+      val dataCols = TableSchemas.forVersion(snap.schemaVersion)
+        .fieldNames.toSeq.filterNot(TableSchemas.internalNames.contains)
+      Resolve.lww(lake.readRaw(spark).repartition(snap.nBuckets, col("url")), dataCols)
+    }
+  }
+
+  /** Commit a changelog derived from the matched rows as one exactly-once
+    * merge batch (the GraftMergeExec tail). */
+  def commitChangelog(spark: SparkSession, lake: graft.lake.LakeTable,
+      changelog: DataFrame): Unit = {
+    val batchId = lake.currentSnapshot.batches.map(_.batchId).maxOption.getOrElse(-1L) + 1L
+    Merge(spark, lake, changelog, batchId, lineage = Nil, mode = GraftSql.sqlMergeMode): Unit
+  }
+}
+
+/** `DELETE FROM graft.<t> WHERE <cond>`: matched live rows → tombstone
+  * events at the stored envelope bumped by one offset (strictly later in
+  * the `(warc_ts, offset, partition)` order than the row deleted; earlier
+  * than any later-timestamped CDC event — T7's durable-tombstone rule
+  * applies unchanged). The table read pins one snapshot for both the
+  * stats pass and the merge, and the commit is marker-gated exactly-once
+  * like every other merge batch. */
+final case class GraftDeleteExec(
+    @transient table: GraftSqlTable,
+    @transient cond: Expression)
+  extends LeafExecNode {
+
+  override def output: Seq[Attribute] = Nil
+
+  private lazy val done: Unit = {
+    val spark = SparkSession.active
+    val lake = table.lake
+    val rows = GraftRowLevel.resolvedWithEnvelope(spark, lake)
+    val matched = rows.filter(!col("_deleted")).filter(GraftRowLevel.byName(cond))
+    val hasLang = matched.columns.contains("lang")
+    val changelog = matched.select(
+      col("_seq_part").cast("int").as("partition"),
+      (col("_seq_offset") + lit(1L)).cast("long").as("offset"),
+      lit("delete").as("op"),
+      col("url"),
+      col("warc_ts").cast("timestamp").as("warc_ts"),
+      lit(null).cast("binary").as("html"),
+      (if (hasLang) col("lang") else lit(null)).cast("string").as("lang"))
+    GraftRowLevel.commitChangelog(spark, lake, changelog)
+  }
+
+  override def executeCollect(): Array[InternalRow] = { done; Array.empty }
+  override protected def doExecute(): RDD[InternalRow] = { done; sparkContext.emptyRDD }
+}
+
+/** `UPDATE graft.<t> SET … WHERE <cond>`: matched live rows → upsert events
+  * with the assigned columns replaced, at the stored envelope bumped by one
+  * offset. Assignable columns: `warc_ts`, `html`, `lang` (the changelog-
+  * carried ones) — `url` is the merge key and `text`/`content_len` are
+  * DERIVED from html by the merge (assigning them is rejected, not silently
+  * recomputed over). Assigning warc_ts BACKWARD makes the update lose LWW
+  * to the stored row (documented: the engine is last-writer-wins). */
+final case class GraftUpdateExec(
+    @transient table: GraftSqlTable,
+    @transient assignments: Seq[Assignment],
+    @transient cond: Option[Expression])
+  extends LeafExecNode {
+
+  override def output: Seq[Attribute] = Nil
+
+  private def fail(what: String): Nothing = throw new AnalysisException(
+    errorClass = "USER_RAISED_EXCEPTION",
+    messageParameters = Map("errorMessage" ->
+      (s"graft UPDATE: $what. Assignable columns: warc_ts, html, lang " +
+        "(url is the merge key; text/content_len are derived from html)")))
+
+  private lazy val done: Unit = {
+    val spark = SparkSession.active
+    val lake = table.lake
+    // assignment map by target-column name; identity carry-overs the
+    // analyzer may add (t.col = t.col) are "unchanged", not overrides
+    val overrides: Map[String, Column] = assignments.flatMap { a =>
+      val key = a.key match {
+        case at: Attribute => at.name.toLowerCase
+        case other => fail(s"cannot resolve assignment target ${other.sql}")
+      }
+      val identity = a.value match {
+        case at: Attribute => at.name.equalsIgnoreCase(key)
+        case _ => false
+      }
+      if (identity) None
+      else key match {
+        case "warc_ts" | "html" | "lang" => Some(key -> GraftRowLevel.byName(a.value))
+        case "url" => fail("url (the merge key) cannot be assigned")
+        case "text" | "content_len" => fail(s"$key is derived from html and cannot be assigned")
+        case other => fail(s"column `$other` is not changelog-carried and cannot be assigned")
+      }
+    }.toMap
+    val rows = GraftRowLevel.resolvedWithEnvelope(spark, lake)
+    val live = rows.filter(!col("_deleted"))
+    val matched = cond.map(c => live.filter(GraftRowLevel.byName(c))).getOrElse(live)
+    def valueOf(name: String, default: Column): Column = overrides.getOrElse(name, default)
+    val hasLang = matched.columns.contains("lang")
+    val changelog = matched.select(
+      col("_seq_part").cast("int").as("partition"),
+      (col("_seq_offset") + lit(1L)).cast("long").as("offset"),
+      lit("upsert").as("op"),
+      col("url"),
+      valueOf("warc_ts", col("warc_ts")).cast("timestamp").as("warc_ts"),
+      valueOf("html", col("html")).cast("binary").as("html"),
+      valueOf("lang", if (hasLang) col("lang") else lit(null)).cast("string").as("lang"))
+    GraftRowLevel.commitChangelog(spark, lake, changelog)
+  }
+
+  override def executeCollect(): Array[InternalRow] = { done; Array.empty }
+  override protected def doExecute(): RDD[InternalRow] = { done; sparkContext.emptyRDD }
 }
 
 /** Runtime enablement: everything here is registerable on an EXISTING

@@ -278,6 +278,80 @@ class GraftSqlSpec extends SparkSpec {
       spark.sql("SELECT * FROM graft.tt2 VERSION AS OF 99999").collect())
   }
 
+  test("DELETE FROM plans onto the tombstone merge: durable, exactly-once, LWW-composed") {
+    enable()
+    spark.sql("CREATE TABLE graft.del (url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, content_len BIGINT, lang STRING) USING graft TBLPROPERTIES('buckets'='4')")
+    spark.range(20).createOrReplaceTempView("dseed")
+    def merge(tsBase: Long, where: String = "TRUE"): Unit = spark.sql(
+      s"""MERGE INTO graft.del t USING (
+         |  SELECT concat('u', id) AS url, timestamp_micros($tsBase + id) AS warc_ts,
+         |    cast(concat('<p>v$tsBase ', id, '</p>') AS BINARY) AS html,
+         |    CAST(NULL AS STRING) AS text, CAST(NULL AS BIGINT) AS content_len,
+         |    'en' AS lang, CAST(id AS LONG) AS offset, CAST(0 AS INT) AS partition,
+         |    'upsert' AS op
+         |  FROM dseed WHERE $where) s
+         |ON t.url = s.url
+         |WHEN MATCHED AND s.op = 'delete' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin): Unit
+    merge(2000000000000000L)
+    assert(spark.sql("SELECT * FROM graft.del").count() == 20)
+
+    spark.sql("DELETE FROM graft.del WHERE url IN ('u3', 'u7') OR url = 'u11'")
+    val after = spark.sql("SELECT url FROM graft.del").collect().map(_.getString(0)).toSet
+    assert(after.size == 17 && !after("u3") && !after("u7") && !after("u11"))
+
+    // a LATER CDC event (greater warc_ts) beats the tombstone — u3 returns
+    merge(3000000000000000L, where = "id = 3")
+    assert(spark.sql("SELECT url FROM graft.del WHERE url = 'u3'").count() == 1)
+    // an EARLIER (stale/replayed) event does NOT resurrect u7 (T7)
+    merge(1000000000000000L, where = "id = 7")
+    assert(spark.sql("SELECT url FROM graft.del WHERE url = 'u7'").count() == 0)
+
+    // DELETE with no matches is a clean no-op
+    spark.sql("DELETE FROM graft.del WHERE url = 'u999'")
+    assert(spark.sql("SELECT * FROM graft.del").count() == 18)
+    // subqueries are rejected loudly, not mis-planned
+    intercept[Exception](spark.sql(
+      "DELETE FROM graft.del WHERE url IN (SELECT concat('u', id) FROM dseed)"))
+  }
+
+  test("UPDATE assigns changelog columns; derived columns re-derive; bad SETs rejected") {
+    enable()
+    spark.sql("CREATE TABLE graft.upd (url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, content_len BIGINT, lang STRING) USING graft TBLPROPERTIES('buckets'='4')")
+    spark.range(10).createOrReplaceTempView("useed")
+    spark.sql(
+      """MERGE INTO graft.upd t USING (
+        |  SELECT concat('u', id) AS url, timestamp_micros(2000000000000000 + id) AS warc_ts,
+        |    cast(concat('<p>orig ', id, '</p>') AS BINARY) AS html,
+        |    CAST(NULL AS STRING) AS text, CAST(NULL AS BIGINT) AS content_len,
+        |    'en' AS lang, CAST(id AS LONG) AS offset, CAST(0 AS INT) AS partition,
+        |    'upsert' AS op
+        |  FROM useed) s
+        |ON t.url = s.url
+        |WHEN MATCHED AND s.op = 'delete' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+
+    spark.sql("""UPDATE graft.upd SET html = cast('<p>patched</p>' AS BINARY), lang = 'de'
+                |WHERE url IN ('u2', 'u5')""".stripMargin)
+    val rows = spark.sql("SELECT url, text, content_len, lang, unix_micros(warc_ts) FROM graft.upd")
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getString(3), r.getLong(4)))).toMap
+    assert(rows("u2")._1 == "patched" && rows("u2")._3 == "de", s"got ${rows("u2")}")
+    assert(rows("u2")._2 == "<p>patched</p>".length.toLong)
+    assert(rows("u2")._4 == 2000000000000002L, "warc_ts must be preserved when not assigned")
+    assert(rows("u5")._1 == "patched" && rows("u7")._1 == "orig 7" && rows("u7")._3 == "en")
+
+    // UPDATE with no WHERE touches every live row
+    spark.sql("UPDATE graft.upd SET lang = 'fr'")
+    assert(spark.sql("SELECT * FROM graft.upd WHERE lang = 'fr'").count() == 10)
+
+    // key / derived-column assignments are rejected, not silently wrong
+    intercept[Exception](spark.sql("UPDATE graft.upd SET url = 'u99' WHERE url = 'u1'"))
+    intercept[Exception](spark.sql("UPDATE graft.upd SET text = 'x' WHERE url = 'u1'"))
+    intercept[Exception](spark.sql("UPDATE graft.upd SET content_len = 5 WHERE url = 'u1'"))
+  }
+
   test("INSERT INTO appends as an upsert MERGE batch (LWW against stored rows)") {
     enable()
     spark.sql("CREATE TABLE graft.ins (url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, content_len BIGINT, lang STRING) USING graft TBLPROPERTIES('buckets'='4')")

@@ -59,7 +59,7 @@ object LateMatAB {
         org.apache.spark.sql.GraftBridge.waitListenerBusEmpty(spark)
         graft.lake.SinkIO.rmDir(work)
         val sb = shuffleBytes.get()
-        System.err.println(f"[latemat-ab] $tag late=$late $sec%.1f s  ${n / sec}%.0f ev/s  shuffle=${sb / 1e6}%.0f MB")
+        System.err.println(f"[latemat-ab] $tag late=$late $sec%.1f s  ${n / sec}%.0f ev/s  shuffle=${sb / 1e6}%.0f MB  admitBitmap=${graft.cdc.Merge.lastAdmitBitmapBytes} B")
         (n / sec, sb)
       }
       run(late = false) // warm (JIT + page cache) — discard

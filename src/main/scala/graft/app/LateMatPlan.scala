@@ -19,6 +19,8 @@ object LateMatPlan {
     graft.cdc.Ingest.replayBatch(spark, binlog.toString, work.resolve("table"),
       eventsPerBatch = 5000, nBuckets = 8, mode = graft.cdc.Mor)
     graft.cdc.Merge.lateMaterialize = false
+    // bitmap admission: events/8 bytes, never O(winners × 16 B)
+    println(s"[latemat-plan] admitBitmapBytes=${graft.cdc.Merge.lastAdmitBitmapBytes} (events=10000 -> ${10000 / 8} expected ceiling)")
     graft.lake.SinkIO.rmDir(work)
     spark.stop()
   }

@@ -103,17 +103,40 @@ object Merge {
     * network shuffle). Off by default because local[32] shuffles through
     * tmpfs at memory speed, where re-decode ≈ the bytes saved (A/B:
     * `graft.app.LateMatAB`, BENCH_LOCAL.md); on a real cluster shuffle
-    * crosses the network and the trade is decisive. The broadcast is
-    * bounded by batch admission control (maxEventsPerBatch × 16 B keys); a
-    * mega-batch deployment would swap it for a per-partition offset-bitmap
-    * broadcast (winner offsets are dense within the batch's planned
-    * ranges). Enable via `-Dgraft.merge.lateMaterialize=true` or this var. */
+    * crosses the network and the trade is decisive. Winner admission is a
+    * dense OFFSET BITMAP over the batch's planned lineage runs — events/8
+    * bytes regardless of winner count (12.5 MB at a 10⁸-event mega-batch,
+    * where an exact key set would be ~1.6 GB); callers without lineage
+    * fall back to an exact (partition, offset) key-set broadcast bounded
+    * by admission control (maxEventsPerBatch × 16 B keys). Enable via
+    * `-Dgraft.merge.lateMaterialize=true` or this var. */
   @volatile var lateMaterialize: Boolean =
     sys.props.get("graft.merge.lateMaterialize").contains("true")
 
-  /** Resolve winners late-materialized (see [[lateMaterialize]]). */
+  /** Bytes of the last late-mat admission bitmap (−1 = last merge used the
+    * key-set broadcast fallback) — surfaced for plan audits (LateMatPlan,
+    * LateMatAB). */
+  @volatile var lastAdmitBitmapBytes: Long = -1L
+
+  /** Resolve winners late-materialized (see [[lateMaterialize]]).
+    *
+    * Winner-payload ADMISSION has two forms:
+    *  - `lineage` present (the binlog ingest path): a dense PER-RUN OFFSET
+    *    BITMAP over the batch's planned offset runs — winner offsets are
+    *    positions inside those runs, so the whole admission state is
+    *    `events/8` BYTES regardless of winner count (a 10⁸-event mega-batch
+    *    broadcasts 12.5 MB where the exact-key set would be ~1.6 GB). Phase
+    *    A runs ONCE (localCheckpoint, which preserves the url-hash
+    *    partitioning declaration) and feeds both the bitmap build and the
+    *    attach join.
+    *  - `lineage` empty (ad-hoc callers, SQL merges): broadcast semi-join on
+    *    the winners' exact (partition, offset) keys — bounded by batch
+    *    admission control (maxEventsPerBatch × 16 B). */
   private def lateResolved(batch: DataFrame, srcAligned: DataFrame,
-      nBuckets: Int, dataCols: Seq[String]): DataFrame = {
+      nBuckets: Int, dataCols: Seq[String], lineage: Seq[PartLineage]): DataFrame = {
+    if (lineage.nonEmpty)
+      return lateResolvedBitmap(batch, srcAligned, nBuckets, dataCols, lineage)
+    lastAdmitBitmapBytes = -1L
     val metaCols = dataCols.filterNot(_ == "html")
     // phase A: winners over the meta projection — projection collapse drops
     // html BEFORE the exchange, so the dedup shuffle never carries payloads.
@@ -151,11 +174,95 @@ object Merge {
     // and re-shuffling the payload (measured: worse than the full path).
     // With url-only keys both sides are already HashPartitioning(url,
     // nBuckets) — a co-partitioned sort-merge attach, zero new Exchange.
+    attachPayload(wMeta, payload, dataCols)
+  }
+
+  /** Co-partitioned url-only attach of winner payloads to meta winners —
+    * both sides are url-unique and HashPartitioning(url, nBuckets), so this
+    * is a zero-Exchange sort-merge join (see the key-joining trap note in
+    * [[lateResolved]]). */
+  private def attachPayload(wMeta: DataFrame, payload: DataFrame,
+      dataCols: Seq[String]): DataFrame =
     wMeta.join(payload, wMeta("url") === col("_pl_url"), "left")
       .select((dataCols ++ graft.lake.TableSchemas.internalNames).map {
         case "html" => col("_pl_html").as("html")
         case c => wMeta(c)
       }: _*)
+
+  /** Bitmap-admitted late materialization (see [[lateResolved]]): the
+    * batch's planned lineage runs define a dense global coordinate space
+    * (run i covers positions [baseᵢ, baseᵢ+countᵢ)); non-deleted winners set
+    * their envelope's bit; phase B admits a payload row iff its bit is set.
+    * Admission state = events/8 bytes, independent of the winner count. A
+    * winner outside every run fails LOUDLY — lineage claims exactly the
+    * batch's offset coverage, and silently dropping a winner's payload
+    * would corrupt the table. */
+  private def lateResolvedBitmap(batch: DataFrame, srcAligned: DataFrame,
+      nBuckets: Int, dataCols: Seq[String], lineage: Seq[PartLineage]): DataFrame = {
+    val spark = batch.sparkSession
+    val metaCols = dataCols.filterNot(_ == "html")
+    val runs = lineage.sortBy(l => (l.partition, l.startOffset))
+    val bases = runs.scanLeft(0L)((acc, r) => acc + r.count)
+    val totalBits = bases.last
+    // part -> sorted (start, end, base); runs per partition are few (one per
+    // planned contiguous range), so executor-side lookup is a linear scan
+    val runTable: Map[Int, Array[(Long, Long, Long)]] =
+      runs.zip(bases).groupBy(_._1.partition).map { case (p, rs) =>
+        p -> rs.map { case (r, b) => (r.startOffset, r.startOffset + r.count, b) }
+          .sortBy(_._1).toArray
+      }
+    val runB = spark.sparkContext.broadcast(runTable)
+    def posOf(part: Int, off: Long): Long = {
+      val rs = runB.value.getOrElse(part, Array.empty[(Long, Long, Long)])
+      var i = 0
+      while (i < rs.length) {
+        val (s, e, b) = rs(i)
+        if (off >= s && off < e) return b + (off - s)
+        i += 1
+      }
+      -1L
+    }
+    // phase A exactly once: the checkpoint truncates lineage (the bitmap job
+    // and the attach join reuse the materialized winners instead of
+    // re-running the meta dedup) and DECLARES the HashPartitioning(url,
+    // nBuckets) the repartition guarantees — plain localCheckpoint loses it
+    // under AQE and the attach join would re-shuffle the winners.
+    val wMeta = org.apache.spark.sql.GraftBridge.localCheckpointHashPartitioned(
+      graft.lake.Resolve.lww(
+        srcAligned.drop("html").repartition(nBuckets, col("url")), metaCols),
+      Seq("url"), nBuckets)
+    val posU = udf((p: Int, o: Long) => {
+      val pos = posOf(p, o)
+      if (pos < 0) throw new IllegalStateException(
+        s"late-mat admission: winner envelope ($p, $o) outside the batch's planned lineage runs")
+      pos
+    })
+    // word-packed bit aggregation: ≤ events/64 (word, bits) rows reach the
+    // driver, map-side bit_or combines first
+    val words = wMeta.where(!col("_deleted"))
+      .select(posU(col("_seq_part"), col("_seq_offset")).as("pos"))
+      .select((col("pos") / 64).cast("long").as("w"),
+        expr("shiftleft(1L, cast(pos % 64 as int))").as("b"))
+      .groupBy(col("w")).agg(expr("bit_or(b)").as("bits"))
+      .collect()
+    val bitmap = new Array[Long](((totalBits + 63) / 64).toInt)
+    words.foreach(r => bitmap(r.getLong(0).toInt) |= r.getLong(1))
+    lastAdmitBitmapBytes = bitmap.length * 8L
+    val bmB = spark.sparkContext.broadcast(bitmap)
+    val admit = udf((p: Int, o: Long) => {
+      val pos = posOf(p, o)
+      pos >= 0 && (bmB.value((pos >> 6).toInt) & (1L << (pos & 63L).toInt)) != 0L
+    })
+    // phase B: re-read the batch, keep exactly the marked winner envelopes
+    // (duplicate redeliveries of a winner are all admitted and collapsed by
+    // the per-url aggregate, as in the fallback path)
+    val payload = batch
+      .where(admit(col("partition"), col("offset")))
+      .select(col("url").as("_pl_url"), col("html").as("_pl_html"))
+      .repartition(nBuckets, col("_pl_url"))
+      .groupBy(col("_pl_url"))
+      .agg(max(col("_pl_html")).as("_pl_html"))
+    attachPayload(wMeta, payload, dataCols)
   }
 
   /** Apply one RAW batch of change events (columns: partition, offset, op,
@@ -215,7 +322,7 @@ object Merge {
 
     val winners =
       if (lateMaterialize && batch.columns.contains("offset") && batch.columns.contains("partition"))
-        lateResolved(batch, srcAligned, nBuckets, dataCols)
+        lateResolved(batch, srcAligned, nBuckets, dataCols, lineage)
       else
         graft.lake.Resolve.lww(srcAligned.repartition(nBuckets, col("url")), dataCols)
     val obs = org.apache.spark.sql.Observation()
@@ -462,7 +569,7 @@ object Merge {
         // payload shuffle shrinks to O(winners)
         val batchSide =
           if (lateMaterialize && batch.columns.contains("offset") && batch.columns.contains("partition"))
-            aligned(lateResolved(withBucket, srcAligned, nBuckets, dataCols)
+            aligned(lateResolved(withBucket, srcAligned, nBuckets, dataCols, lineage)
               .withColumn("_xt", lit(true)))
           else aligned(srcAligned)
         graft.plans.BucketMergeStrategy.mergedRows(

@@ -50,8 +50,15 @@ class LateMatSpec extends SparkSpec {
       val p = GenProfile.uniformSmall() // dups, deletes, ties, late events
       val binlog = gen(p, "latemat")
       val default = state(replay(binlog, "lmdef", mode, eventsPerBatch = 700))
+      Merge.lastAdmitBitmapBytes = -1L
       val late = withLateMat(state(replay(binlog, "lmlate", mode, eventsPerBatch = 700)))
       assert(late == default, s"$mode late-materialized state diverged from default")
+      // binlog replays carry plan lineage → the OFFSET-BITMAP admission path
+      // must have engaged (events/8 bytes, not an O(winners) key broadcast)
+      assert(Merge.lastAdmitBitmapBytes > 0,
+        "bitmap admission should engage when lineage is present")
+      assert(Merge.lastAdmitBitmapBytes <= 700 * p.partitions / 8 + 8,
+        s"bitmap should be O(batch events / 8): ${Merge.lastAdmitBitmapBytes}")
       // and both match the independent fold oracle (equal-but-both-wrong guard)
       val want = Oracle.finalState(p)
       assert(late.size == want.size)
@@ -100,6 +107,20 @@ class LateMatSpec extends SparkSpec {
         }
       }
     }
+  }
+
+  test("late-mat without lineage falls back to the exact key-set broadcast") {
+    // SQL merges and other lineage-less callers: admission reverts to the
+    // broadcast semi-join on winners' (partition, offset) — same results
+    val p = GenProfile.uniformSmall()
+    val binlog = gen(p, "lmnolin")
+    val events = graft.binlog.BinlogRead.all(spark, binlog.toString).localCheckpoint(true)
+    val table = LakeTable.create(tmpDir("lmnolin-t"), nBuckets = 4)
+    Merge.lastAdmitBitmapBytes = 0L
+    withLateMat(Merge(spark, table, events, 0L, lineage = Nil, mode = Cow))
+    assert(Merge.lastAdmitBitmapBytes == -1L, "lineage-less merge must use the key-set fallback")
+    val ref = replay(binlog, "lmnolinref", Cow, eventsPerBatch = Long.MaxValue)
+    assert(state(table) == state(ref))
   }
 
   test("late materialization shrinks shuffle bytes on a duplicate-heavy stream") {

@@ -95,6 +95,57 @@ object Archive {
     written.toSeq.sortBy(s => (s.partition, s.startOffset))
   }
 
+  /** GRACED archive: file boundaries driven by the reference's FULL flush
+    * policy — event-time tumbling anchored at each file's first record (W1,
+    * `shouldFlushBefore`) PLUS the wall-clock grace close (W2,
+    * `S3SinkTask.shouldFlush`, `sink/.../S3SinkTask.java:277-298`) — so an
+    * OPEN segment of a partition that goes quiet still lands after
+    * `interval + grace` with ZERO new batches, exactly the reference's
+    * lagging-partition behavior (`S3SinkConnectorIT.java:235-312`). The
+    * plain micro-batch archiver cannot do this: it closes its files at
+    * batch boundaries and a stream with no batches never closes anything.
+    *
+    * Shape: [[graft.streaming.FlushWindows.gracedChunks]] carries the open
+    * chunk per partition ACROSS micro-batches (checkpointed state +
+    * processing-time timeouts, so Spark schedules empty batches while a
+    * grace deadline is armed); each CLOSED chunk decision re-reads exactly
+    * its offset range from the binlog (planning-time pruned range GET — the
+    * re-archiver) and writes it as one segment file named by (partition,
+    * startOffset). Chunk decisions are checkpointed, so a replayed
+    * foreachBatch rewrites the SAME files byte-identically (the reference's
+    * rewind-idempotence), and boundary decisions never depend on how the
+    * tail was split into batches. */
+  def startGracedArchive(spark: SparkSession, srcDir: String, destDir: Path,
+      checkpointDir: String, flushIntervalMs: Long, graceMs: Long,
+      segmentEvents: Long = 100000L, chunkThreshold: Long = 8L * 1024 * 1024,
+      maxEventsPerBatch: Long = 100000L, layout: Layout = Layout.Flat,
+      topic: String = "events", date: String = "1970-01-01",
+      codecSpec: CodecSpec = CodecSpec(), header: Array[Byte] = Array.empty,
+      trigger: Trigger = Trigger.ProcessingTime("500 milliseconds")): StreamingQuery = {
+    val chunks = graft.streaming.FlushWindows.gracedChunkStream(
+      spark, srcDir, flushIntervalMs, graceMs, maxEventsPerBatch)
+    chunks.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .trigger(trigger)
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[graft.streaming.FlushWindows.GracedChunk], batchId: Long) =>
+        // closed-chunk DECISIONS are few per batch (file-boundary events);
+        // each drives one pruned range read + one segment write
+        val closed = ds.collect().sortBy(c => (c.partition, c.startOffset))
+        closed.foreach { c =>
+          val range = spark.read.format("graft.binlog.BinlogSourceProvider")
+            .option("path", srcDir)
+            .option("partitions", c.partition.toString)
+            .option("fromOffset", c.startOffset)
+            .option("untilOffset", c.startOffset + c.numRecords)
+            .load()
+          archiveBatch(spark, destDir, segmentEvents, chunkThreshold, layout,
+            topic, date, codecSpec, header)(range, batchId): Unit
+        }
+      }
+      .start()
+  }
+
   /** Stream a binlog directory into an archive directory (source → sink
     * round trip; ≙ the reference's sink consuming what its source produced,
     * `S3SinkConnectorIT.java:614-675`). */

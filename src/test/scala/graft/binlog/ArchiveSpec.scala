@@ -55,6 +55,62 @@ class ArchiveSpec extends SparkSpec {
     assert(after == before, "rewind must regenerate byte-identical segment files")
   }
 
+  test("idle-partition wall-clock close: quiet tails land via grace with zero new batches (W2 in the sink)") {
+    import graft.streaming.FlushWindows
+    // all data arrives in the first batches, then the stream goes QUIET: the
+    // event-time policy closes interior chunks, but each partition's OPEN
+    // tail can only land via the wall-clock grace flush — the reference's
+    // lagging-partition IT shape (S3SinkConnectorIT.java:235-312)
+    val p = GenProfile.uniformSmall().copy(partitions = 2, eventsPerPartition = 1200)
+    val origin = tmpDir("archgr-src")
+    ChangeEventGen.writeSegments(p, origin, segmentEvents = 700, chunkThreshold = 64 * 1024)
+    val intervalMs = 200L * 1000 // event-time interval 200 s (≈200 events/file)
+    val graceMs = 1500L          // quiet tails close ~1.5 s after the last batch
+
+    def run(tag: String): java.nio.file.Path = {
+      val dest = tmpDir(s"archgr-dst-$tag")
+      val q = Archive.startGracedArchive(spark, origin.toString, dest,
+        tmpDir(s"archgr-ck-$tag").toString, flushIntervalMs = intervalMs,
+        graceMs = graceMs, segmentEvents = Long.MaxValue, chunkThreshold = 16 * 1024,
+        maxEventsPerBatch = 900,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+      try {
+        val total = p.partitions.toLong * p.eventsPerPartition
+        val deadline = System.currentTimeMillis() + 90000
+        def archived(): Long = Segment.listAll(dest).map(s => s.endOffset - s.startOffset).sum
+        while (archived() < total && System.currentTimeMillis() < deadline) Thread.sleep(200)
+        assert(archived() == total,
+          s"quiet tails never closed: archived ${archived()} of $total after grace")
+      } finally q.stop()
+      dest
+    }
+
+    val dest = run("a")
+    // boundaries == the graced oracle: event-time closed chunks + each
+    // partition's tail (closed by the wall predicate, nothing else pending)
+    (0 until p.partitions).foreach { part =>
+      val evts = ChangeEventGen.events(p, part).map { e =>
+        FlushWindows.EventLite(part, e.offset, graft.Oracle.micros(e.warc_ts),
+          if (e.html == null) 0L else e.html.length.toLong)
+      }
+      val (closed, open, _) = FlushWindows.foldEvents(evts, None, intervalMs * 1000)
+      val oracle = (closed.map(c => (c.startOffset, c.numRecords)) ++
+        open.map(o => (o.startOffset, o.numRecords))).toVector
+      val got = Segment.list(dest, part).sortBy(_.startOffset)
+        .map(s => (s.startOffset, s.endOffset - s.startOffset)).toVector
+      assert(got == oracle, s"p$part graced boundaries: got=$got oracle=$oracle")
+      // and the archive decodes identically to the origin
+      val a = Segment.readRange(origin, part, 0, Long.MaxValue).toVector
+      val b = Segment.readRange(dest, part, 0, Long.MaxValue).toVector
+      assert(a.map(_.copy(html = null)) == b.map(_.copy(html = null)))
+    }
+    // rewind-idempotence: an independent run (fresh checkpoint/dest) makes
+    // byte-identical files — boundary decisions are data-driven, the wall
+    // clock only decides WHEN the tail lands, never WHERE it splits
+    val dest2 = run("b")
+    assert(md5s(dest2) == md5s(dest), "graced archive must be byte-identical across runs")
+  }
+
   test("event-time flush policy drives ARCHIVE file boundaries (W1 in the sink)") {
     import graft.streaming.FlushWindows
     val p = GenProfile.uniformSmall().copy(partitions = 2, eventsPerPartition = 1500)

@@ -77,6 +77,30 @@ object VecFns {
       Seq(expression(vec), expression(cents), expression(lit(nLists)), expression(lit(nprobe))),
       inputTypes = Seq(ArrayType(FloatType), ArrayType(DoubleType), IntegerType, IntegerType),
       propagateNull = true, returnNullable = true))
+
+  /** SHARDED-codebook building block: best centroid of ONE shard as
+    * `[bestDot, globalId]` (id offset by the shard's base) — per-shard bests
+    * fold with a lexicographic max (ties → larger id, preserved because
+    * shards ascend and the combiner prefers the later shard on equality).
+    * Keeps assignment map-only when the codebook exceeds one literal's
+    * comfort zone ([[graft.ops.Similarity.MaxCentroidLiteralDoubles]]). */
+  def centroidBest(vec: Column, cents: Column, nLists: Int, idxOffset: Int): Column = column(
+    StaticInvoke(VecKernels.getClass, ArrayType(DoubleType, containsNull = false), "centroidBest",
+      Seq(expression(vec), expression(cents), expression(lit(nLists)), expression(lit(idxOffset))),
+      inputTypes = Seq(ArrayType(FloatType), ArrayType(DoubleType), IntegerType, IntegerType),
+      propagateNull = true, returnNullable = true))
+
+  /** Per-shard top-`nprobe` as `[[dot, globalId], …]` sorted (dot desc, id
+    * desc): the global top-nprobe is contained in the union of per-shard
+    * top-nprobes, so a concat + sort + slice over shards reproduces
+    * [[probeLists]] exactly. */
+  def probeScored(vec: Column, cents: Column, nLists: Int, nprobe: Int, idxOffset: Int): Column = column(
+    StaticInvoke(VecKernels.getClass,
+      ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false), "probeScored",
+      Seq(expression(vec), expression(cents), expression(lit(nLists)),
+        expression(lit(nprobe)), expression(lit(idxOffset))),
+      inputTypes = Seq(ArrayType(FloatType), ArrayType(DoubleType), IntegerType, IntegerType, IntegerType),
+      propagateNull = true, returnNullable = true))
 }
 
 /** Static kernels invoked from generated code — deterministic, allocation-
@@ -183,17 +207,24 @@ object VecKernels {
     bucket
   }
 
-  // The centroid literal is one ArrayData instance referenced by the
-  // generated code — decode it once per thread, not once per row. Falls
-  // back to a re-decode if the reference ever changes (still correct).
-  private val lastCents = new ThreadLocal[(ArrayData, Array[Double])]
+  // Centroid literals are per-plan ArrayData instances referenced by the
+  // generated code — decode each once per thread, not once per row. A small
+  // identity map (not a single slot) so a SHARDED codebook's several
+  // literals evaluated per row don't evict each other; bounded and cleared
+  // wholesale at the cap (plans hold few literals — the cap only guards a
+  // pathological stream of fresh plans on one thread).
+  private val centCache = new ThreadLocal[java.util.IdentityHashMap[ArrayData, Array[Double]]] {
+    override def initialValue() = new java.util.IdentityHashMap[ArrayData, Array[Double]]()
+  }
 
   private def decodeCents(cents: ArrayData): Array[Double] = {
-    val c = lastCents.get()
-    if (c != null && (c._1 eq cents)) c._2
+    val m = centCache.get()
+    val hit = m.get(cents)
+    if (hit != null) hit
     else {
+      if (m.size > 256) m.clear()
       val d = cents.toDoubleArray()
-      lastCents.set((cents, d))
+      m.put(cents, d)
       d
     }
   }
@@ -213,6 +244,46 @@ object VecKernels {
       l += 1
     }
     best
+  }
+
+  /** See [[VecFns.centroidBest]]: same loop as [[centroidArgmax]], returning
+    * `[bestDot, best + idxOffset]` for cross-shard combining. */
+  def centroidBest(v: ArrayData, cents: ArrayData, nLists: Int, idxOffset: Int): ArrayData = {
+    val m = decodeCents(cents)
+    val dim = m.length / nLists
+    var best = 0
+    var bestD = Double.NegativeInfinity
+    var l = 0
+    while (l < nLists) {
+      var d = 0.0
+      var i = 0
+      val off = l * dim
+      while (i < dim) { d += v.getFloat(i).toDouble * m(off + i); i += 1 }
+      if (d >= bestD) { bestD = d; best = l } // ties → larger id
+      l += 1
+    }
+    new GenericArrayData(Array(bestD, (best + idxOffset).toDouble))
+  }
+
+  /** See [[VecFns.probeScored]]. */
+  def probeScored(v: ArrayData, cents: ArrayData, nLists: Int, nprobe: Int,
+      idxOffset: Int): ArrayData = {
+    val m = decodeCents(cents)
+    val dim = m.length / nLists
+    val dots = new Array[Double](nLists)
+    var l = 0
+    while (l < nLists) {
+      var d = 0.0
+      var i = 0
+      val off = l * dim
+      while (i < dim) { d += v.getFloat(i).toDouble * m(off + i); i += 1 }
+      dots(l) = d
+      l += 1
+    }
+    val ids = Array.tabulate(nLists)(identity)
+    val sorted = ids.sortWith((x, y) => dots(x) > dots(y) || (dots(x) == dots(y) && x > y))
+    new GenericArrayData(sorted.take(math.min(nprobe, nLists)).map(i =>
+      new GenericArrayData(Array(dots(i), (i + idxOffset).toDouble)): Any))
   }
 
   def probeLists(v: ArrayData, cents: ArrayData, nLists: Int, nprobe: Int): ArrayData = {

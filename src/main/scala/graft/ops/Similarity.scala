@@ -98,6 +98,66 @@ object Similarity {
     typedLit(sorted.flatMap(_._2).toSeq)
   }
 
+  /** Ceiling on a single flattened centroid literal (doubles). One literal
+    * is one Catalyst node and one broadcast-with-the-plan payload: 4M
+    * doubles = 32 MB is comfortable; past it (65k lists × 768 dims ≈ 50M)
+    * the codebook is SPLIT into shards, each its own literal, and
+    * assignment/probing combine per-shard results — still map-only, no
+    * join, no shuffle. Lower it in tests to force the sharded path. */
+  @volatile var MaxCentroidLiteralDoubles: Int = 4 * 1024 * 1024
+
+  /** Shards of ≤ MaxCentroidLiteralDoubles/dim centroids: (globalIdOffset,
+    * contiguous centroid slice). */
+  private[ops] def centShards(cents: Array[(Int, Array[Double])]): Seq[(Int, Array[(Int, Array[Double])])] = {
+    val sorted = cents.sortBy(_._1)
+    require(sorted.zipWithIndex.forall { case ((i, _), j) => i == j }, "centroid ids must be 0..n-1")
+    val dim = sorted.head._2.length
+    val perShard = math.max(1, MaxCentroidLiteralDoubles / dim)
+    sorted.grouped(perShard).map(g => (g.head._1, g)).toSeq
+  }
+
+  private def shardLit(g: Array[(Int, Array[Double])]): Column =
+    typedLit(g.flatMap(_._2).toSeq)
+
+  /** Nearest-centroid column over a possibly-sharded codebook: single-shard
+    * = the one-literal argmax kernel; sharded = per-shard `[dot, id]` bests
+    * folded lexicographically (equal dots prefer the later shard — the
+    * global "ties → larger id" rule, since within-shard ties already keep
+    * the larger local id). */
+  private def nearestListCol(vecCol: Column, cents: Array[(Int, Array[Double])]): Column = {
+    val shards = centShards(cents)
+    if (shards.size == 1) VecFns.centroidArgmax(vecCol, centsLit(cents), cents.length)
+    else {
+      val bests = shards.map { case (off, g) =>
+        VecFns.centroidBest(vecCol, shardLit(g), g.length, off)
+      }
+      val best = bests.reduce((a, b) =>
+        when(element_at(b, 1) >= element_at(a, 1), b).otherwise(a))
+      element_at(best, 2).cast("int")
+    }
+  }
+
+  /** Top-`nprobe` list ids over a possibly-sharded codebook (order ==
+    * [[VecFns.probeLists]]: dot desc, id desc): the global top-nprobe is a
+    * subset of the union of per-shard top-nprobes, so concat + sort + slice
+    * is exact. */
+  private def probeListsCol(qv: Column, cents: Array[(Int, Array[Double])], nprobe: Int): Column = {
+    val shards = centShards(cents)
+    if (shards.size == 1) VecFns.probeLists(qv, centsLit(cents), cents.length, nprobe)
+    else {
+      val per = shards.map { case (off, g) =>
+        VecFns.probeScored(qv, shardLit(g), g.length, nprobe, off)
+      }
+      val sorted = array_sort(concat(per: _*), (l, r) =>
+        when(element_at(l, 1) > element_at(r, 1), -1)
+          .when(element_at(l, 1) < element_at(r, 1), 1)
+          .when(element_at(l, 2) > element_at(r, 2), -1)
+          .when(element_at(l, 2) < element_at(r, 2), 1)
+          .otherwise(0))
+      transform(slice(sorted, 1, nprobe), x => element_at(x, 2).cast("int"))
+    }
+  }
+
   /** IVF index: coarse centroids seeded from the vectors whose ids hash
     * lowest, then ONE Lloyd refinement pass (assign → per-list mean →
     * re-assign), then final assignment. Returns (assignments DF with `list`
@@ -149,8 +209,7 @@ object Similarity {
 
   def assignToCentroids(vecs: DataFrame, cents: Array[(Int, Array[Double])],
       idCol: String, vecCol: String): DataFrame =
-    vecs.withColumn("list",
-      VecFns.centroidArgmax(col(vecCol), centsLit(cents), cents.length))
+    vecs.withColumn("list", nearestListCol(col(vecCol), cents))
 
   /** Persist an IVF index: vectors written as parquet PARTITIONED BY their
     * coarse list (plus `_centroids.json` alongside) — the FAISS-style
@@ -182,6 +241,43 @@ object Similarity {
       .write.mode("append").partitionBy("list").parquet(dir): Unit
   }
 
+  /** REBUILD/RETRAIN an IVF index in place — the operational lever for
+    * codebook drift: frozen-codebook appends keep per-batch cost O(batch),
+    * but as the corpus drifts from the training distribution, probes of the
+    * stale lists lose recall. This re-trains the coarse codebook over the
+    * index's CURRENT contents (same seeded-sample + one-Lloyd-pass
+    * procedure as [[writeIvfIndex]] — a rebuild equals a from-scratch index
+    * over the same rows, bit for bit), re-assigns every vector, writes a
+    * complete fresh inverted file NEXT TO the live one, and swaps.
+    *
+    * Swap protocol: build under `<dir>.rebuild-<nonce>` (readers never see
+    * it), then `dir → <dir>.old-<nonce>` and `rebuild → dir` (two atomic
+    * renames), then delete the old tree. Probes re-list the directory per
+    * call, so the only hazard is the instant between the renames — a
+    * concurrent probe fails loudly on the missing dir (retry) and can never
+    * observe a half-written MIX of codebooks. Crash between the renames:
+    * restore by renaming the `.old-<nonce>` sibling back. Retrain cadence
+    * is the deployment's contract (e.g. when appended rows since last train
+    * exceed ~the trained corpus, or recall probes degrade). */
+  def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      nLists: Int, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      md5Seeding: Boolean = false): Array[(Int, Array[Double])] = {
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val vecs = spark.read.parquet(dir).select(col(idCol), col(vecCol))
+    // writeIvfIndex fully materializes (train collects + parquet write)
+    // BEFORE the swap, so every read of the live dir has completed
+    val cents = writeIvfIndex(vecs, s"$dir.rebuild-$nonce", nLists, seed,
+      idCol, vecCol, md5Seeding)
+    val live = java.nio.file.Paths.get(dir)
+    val old = java.nio.file.Paths.get(s"$dir.old-$nonce")
+    java.nio.file.Files.move(live, old, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    java.nio.file.Files.move(java.nio.file.Paths.get(s"$dir.rebuild-$nonce"), live,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    graft.lake.SinkIO.rmDir(old)
+    cents
+  }
+
   /** IVF top-k for EXTERNAL query vectors (a new batch not yet in the index)
     * against a persisted index: probes are partition-pruned, the query batch
     * is broadcast — the incremental-ANN twin of [[graft.ops.LshIndex]]'s
@@ -195,7 +291,7 @@ object Similarity {
     val queries = queryVecs
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("probe",
-        explode(VecFns.probeLists(col("qv"), centsLit(cents), cents.length, nprobe)))
+        explode(probeListsCol(col("qv"), cents, nprobe)))
       .select(col("query_id"), col("qv"), col("probe"))
     val probeSet = queries.select(col("probe")).distinct().collect().map(_.getInt(0)).toSeq
     val cands = spark.read.parquet(dir)
@@ -232,7 +328,7 @@ object Similarity {
     val queries = index.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("probe",
-        explode(VecFns.probeLists(col("qv"), centsLit(cents), cents.length, nprobe)))
+        explode(probeListsCol(col("qv"), cents, nprobe)))
       .select(col("query_id"), col("qv"), col("probe")).collect()
     val probeSet = queries.map(_.getInt(2)).distinct.toSeq
     val cands = index.filter(col("list").isin(probeSet: _*)) // partition-pruned
@@ -264,7 +360,7 @@ object Similarity {
     val queries = assigned.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("probe",
-        explode(VecFns.probeLists(col("qv"), centsLit(cents), cents.length, nprobe)))
+        explode(probeListsCol(col("qv"), cents, nprobe)))
       .select(col("query_id"), col("qv"), col("probe"))
     val cands = assigned.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"), col("list"))
       .join(broadcast(queries), col("list") === col("probe") && col("neighbor_id") =!= col("query_id"))

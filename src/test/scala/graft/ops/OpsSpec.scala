@@ -139,6 +139,83 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("list#"), plan.take(800))
   }
 
+  test("sharded centroid literal: assignment and probes equal the single-literal path") {
+    // force sharding: budget of 3 centroids' worth of doubles per literal →
+    // a 16-list codebook splits into 6 shards (none exceeding the budget)
+    val dim = embs.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    val single = Similarity.ivfTopK(embs, queryIds = Seq(0L, 1L, 2L, 3L, 4L),
+      k = 3, nLists = 16, nprobe = 4).collect().map(_.toString).sorted
+    val (assignedSingle, cents) = Similarity.ivfAssign(embs, nLists = 16)
+    val singleAssign = assignedSingle.select("vec_id", "list")
+      .collect().map(_.toString).sorted
+    val prev = Similarity.MaxCentroidLiteralDoubles
+    Similarity.MaxCentroidLiteralDoubles = 3 * dim
+    try {
+      val shards = Similarity.centShards(cents)
+      assert(shards.size == 6, s"expected 6 shards, got ${shards.size}")
+      assert(shards.forall(_._2.length * dim <= 3 * dim), "a shard exceeds the literal budget")
+      assert(shards.map(_._2.length).sum == 16)
+      val shardAssign = Similarity.assignToCentroids(embs, cents, "vec_id", "embedding")
+        .select("vec_id", "list").collect().map(_.toString).sorted
+      assert(shardAssign.sameElements(singleAssign), "sharded assignment diverged")
+      val sharded = Similarity.ivfTopK(embs, queryIds = Seq(0L, 1L, 2L, 3L, 4L),
+        k = 3, nLists = 16, nprobe = 4).collect().map(_.toString).sorted
+      assert(sharded.sameElements(single), "sharded probe top-k diverged")
+    } finally Similarity.MaxCentroidLiteralDoubles = prev
+  }
+
+  test("IVF rebuild retrains a drifted index: recall restored to the from-scratch value") {
+    import spark.implicits._
+    // 4-mode cluster A (axes 0..3) trains the codebook, so its centroids ≈
+    // the four modes. Drifted cluster B (axis 4 dominant, appended frozen)
+    // scatters across those lists by its SMALL mode-aligned components —
+    // while a pure-axis-4 QUERY's own assignment is decided by centroid
+    // noise, decoupled from where its true neighbors (all of B, whose
+    // mutual cosine ≈ 0.96 regardless of sub-mode) actually landed. An
+    // nprobe=1 probe therefore reads one list holding ~¼ of B.
+    def vA(i: Int): Array[Float] =
+      Array.tabulate(8)(d => (if (d == i % 4) 10f else 0f) + ((i * 31 + d * 7) % 5) * 0.1f)
+    def vB(i: Int): Array[Float] =
+      Array.tabulate(8)(d => (if (d == 4) 10f else 0f) +
+        (if (d == i % 4) 2f else 0f) + (if (d == 5) (i % 13) * 0.01f else 0f))
+    val a = (0L until 60L).map(i => (i, vA(i.toInt)))
+    val b = (100L until 160L).map(i => (i, vB(i.toInt)))
+    val toDF = (s: Seq[(Long, Array[Float])]) => s.toDF("vec_id", "embedding")
+    val dir = tmpDir("ivf-rebuild").resolve("index").toString
+    Similarity.writeIvfIndex(toDF(a), dir, nLists = 4)
+    Similarity.appendToIvfIndex(toDF(b), dir)
+
+    // external drifted queries; exact reference = exhaustive probe (nprobe
+    // == nLists reads every list — brute force over the same index rows)
+    val queries = toDF((900L until 905L).map(q =>
+      (q, Array.tabulate(8)(d => (if (d == 4) 10f else 0f) +
+        (if (d == 6) (q - 900L) * 0.01f else 0f)))))
+    def recallAt10(): Double = {
+      def top(nprobe: Int) = Similarity.ivfTopKForVectors(spark, dir, queries,
+        k = 10, nprobe = nprobe).select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val (got, want) = (top(1), top(4))
+      (got & want).size.toDouble / want.size
+    }
+    val before = recallAt10()
+    assert(before < 0.8, s"drift construction failed to scatter B (before=$before)")
+
+    Similarity.rebuildIvfIndex(spark, dir, nLists = 4)
+    val after = recallAt10()
+    assert(after > before, s"rebuild must improve drifted recall (before=$before after=$after)")
+
+    // rebuild == from-scratch over the same rows, bit for bit (same seeded
+    // train over the same ids), so results equal the from-scratch index's
+    val scratch = tmpDir("ivf-scratch").resolve("index").toString
+    Similarity.writeIvfIndex(toDF(a ++ b), scratch, nLists = 4)
+    val fromScratch = Similarity.ivfTopKForVectors(spark, scratch, queries, k = 10, nprobe = 1)
+      .collect().map(_.toString).sorted
+    val rebuilt = Similarity.ivfTopKForVectors(spark, dir, queries, k = 10, nprobe = 1)
+      .collect().map(_.toString).sorted
+    assert(rebuilt.sameElements(fromScratch), "rebuild must equal a from-scratch index")
+  }
+
   test("viral-boilerplate bucket cap bounds candidate generation (hot-bucket defense)") {
     import spark.implicits._
     // 400 identical boilerplate docs + the real corpus: uncapped, the

@@ -78,24 +78,30 @@ object Bench {
     // steady-state COW: 16 growing-table batches (per-batch cost must stay
     // O(batch), independent of table size — the co-located merge invariant)
     val steadyBatch = math.max(1L, cdcEvents / 8 / 16) // per-partition units
-    val (sev, ssec, seps) = steadyCow(spark, binlog, steadyBatch)
+    val (sev, ssec, seps) = steadyReplay(spark, binlog, steadyBatch, graft.cdc.Cow)
     results("cdc_steady_cow_16b") = ssec
+    // steady-state MOR: the DECLARED 10^10-scale path (O(batch) delta
+    // appends + tiered incremental folds) over the same 16 batches — the
+    // number that must stay flat as the table grows; regressions here are
+    // regressions in the path that matters at target scale
+    val (mev, msec, meps) = steadyReplay(spark, binlog, steadyBatch, graft.cdc.Mor)
+    results("cdc_steady_mor_16b") = msec
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"cdc_events":$ev,"cdc_eps":${f"$eps%.0f"},"steady_events":$sev,"steady_eps":${f"$seps%.0f"}}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"cdc_events":$ev,"cdc_eps":${f"$eps%.0f"},"steady_events":$sev,"steady_eps":${f"$seps%.0f"},"steady_mor_events":$mev,"steady_mor_eps":${f"$meps%.0f"}}""")
     spark.stop()
   }
 
-  /** 16-batch growing-table COW replay (the CowAB shape, single run). */
-  private def steadyCow(spark: SparkSession, binlog: java.nio.file.Path,
-      eventsPerBatch: Long): (Long, Double, Double) = {
+  /** 16-batch growing-table replay (the CowAB shape, single run). */
+  private def steadyReplay(spark: SparkSession, binlog: java.nio.file.Path,
+      eventsPerBatch: Long, mode: graft.cdc.MergeMode): (Long, Double, Double) = {
     val work = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(BenchUtil.scratch), "steady")
     val t0 = System.nanoTime()
     val table = graft.cdc.Ingest.replayBatch(spark, binlog.toString,
       work.resolve("table"), eventsPerBatch = eventsPerBatch, nBuckets = 64,
-      mode = graft.cdc.Cow)
+      mode = mode)
     val events = table.currentSnapshot.batches.flatMap(_.lineage).map(_.count).sum
     val sec = (System.nanoTime() - t0) / 1e9
     graft.lake.SinkIO.rmDir(work)

@@ -66,25 +66,34 @@ object Bench {
       results(name) = sec
     }
 
-    // CDC ingest throughput (the north-star metric, at this parallelism):
-    // best-of-2 fresh-table runs over the same cached binlog
+    // CDC ingest throughput (the north-star metric, at this parallelism).
+    // FULL-SIZE untimed warmup first: this host's cold window is measured in
+    // WHOLE 1M-event runs, not JIT time — back-to-back probes of identical
+    // code ran 186 s → 56 s → 23.4 s (round-4 diagnosis; the small warmup
+    // above tames JIT but not the first big run), so one full-profile run
+    // is burned before ANY large metric is timed, and the timed metrics are
+    // best-of-2.
     val profile = BenchUtil.skewedProfile(cdcEvents)
     val binlog = BenchUtil.ensureBinlog(profile)
     def ingestOnce(): (Long, Double, Double) = BenchUtil.timedIngest(spark, binlog,
       maxEventsPerBatch = math.max(250000L, cdcEvents / 8), nBuckets = 64)
+    ingestOnce(): Unit // full-size warmup — discarded
     val (ev, ingestSec, eps) = Seq(ingestOnce(), ingestOnce()).minBy(_._2)
     results("cdc_ingest_1m") = ingestSec
 
     // steady-state COW: 16 growing-table batches (per-batch cost must stay
     // O(batch), independent of table size — the co-located merge invariant)
     val steadyBatch = math.max(1L, cdcEvents / 8 / 16) // per-partition units
-    val (sev, ssec, seps) = steadyReplay(spark, binlog, steadyBatch, graft.cdc.Cow)
+    def steadyOnce(mode: graft.cdc.MergeMode) =
+      Seq(steadyReplay(spark, binlog, steadyBatch, mode),
+        steadyReplay(spark, binlog, steadyBatch, mode)).minBy(_._2)
+    val (sev, ssec, seps) = steadyOnce(graft.cdc.Cow)
     results("cdc_steady_cow_16b") = ssec
     // steady-state MOR: the DECLARED 10^10-scale path (O(batch) delta
     // appends + tiered incremental folds) over the same 16 batches — the
     // number that must stay flat as the table grows; regressions here are
     // regressions in the path that matters at target scale
-    val (mev, msec, meps) = steadyReplay(spark, binlog, steadyBatch, graft.cdc.Mor)
+    val (mev, msec, meps) = steadyOnce(graft.cdc.Mor)
     results("cdc_steady_mor_16b") = msec
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")

@@ -116,7 +116,8 @@ object Ingest {
       trigger: Trigger = Trigger.AvailableNow(), nBuckets: Int = 32,
       mode: MergeMode = Cow, expireEveryBatches: Long = 0L,
       keepSnapshots: Int = 10, bloomEveryBatches: Long = 0L,
-      growBucketsTargetBytes: Long = 0L): StreamingQuery = {
+      growBucketsTargetBytes: Long = 0L,
+      afterBatch: (LakeTable, Long) => Unit = (_, _) => ()): StreamingQuery = {
     val table =
       if (LakeTable.exists(tableRoot)) LakeTable.load(tableRoot)
       else LakeTable.create(tableRoot, nBuckets)
@@ -148,6 +149,11 @@ object Ingest {
           graft.lake.Maintain.buildBlooms(spark, table): Unit
         if (growBucketsTargetBytes > 0)
           graft.lake.Maintain.maybeGrowBuckets(spark, table, growBucketsTargetBytes): Unit
+        // post-commit hook (runs AFTER the batch is durable and after
+        // maintenance): derived-state consumers — the CDC→curation loop
+        // tails the table's change feed here, inside the exactly-once
+        // batch loop, so a crash replays the hook with the same head
+        afterBatch(table, id)
       }
       .start()
   }

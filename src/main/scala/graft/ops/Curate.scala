@@ -1,11 +1,14 @@
 package graft.ops
 
-import java.nio.file.Path
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.lake.LakeTable
+import graft.cdc.{Ingest, MergeMode, Mor}
+import graft.lake.{LakeTable, SnapshotPin}
 
 /** The CDC → curation loop: the composition a training-data pipeline runs
   * on top of this engine. As change batches MERGE into the url-keyed
@@ -69,5 +72,110 @@ object Curate {
     val dups = LshIndex.probeAndAppend(spark, kept, "text", "url", lshDir,
       minMatchFrac = minMatchFrac, span = Some(s"$fromSnapshotId-$to"))
     Increment(kept, dups)
+  }
+
+  /** An increment plus the snapshot span it covered — the replay key for
+    * downstream consumers (see [[curateToHead]]'s exactly-once contract). */
+  final case class SpanIncrement(fromSnapshotId: Long, toSnapshotId: Long,
+      increment: Increment)
+
+  /** The curation CURSOR: the highest table snapshot id whose changes are
+    * already in the index. Persisted inside the index directory (the cursor
+    * and the spans it tracks live or die together — copying the index copies
+    * its progress). */
+  def curatedHead(lshDir: Path): Option[Long] = {
+    val f = cursorFile(lshDir)
+    if (!Files.exists(f)) None
+    else {
+      val j = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      """"curatedSnapshotId"\s*:\s*(\d+)""".r.findFirstMatchIn(j).map(_.group(1).toLong)
+    }
+  }
+
+  private def cursorFile(lshDir: Path) = lshDir.resolve("_curated_head.json")
+
+  private def writeCursor(lshDir: Path, snapshotId: Long): Unit = {
+    val tmp = lshDir.resolve(s".curated_head.$snapshotId.tmp")
+    Files.write(tmp, s"""{"curatedSnapshotId":$snapshotId}""".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, cursorFile(lshDir),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  /** Curate everything between the persisted cursor and the table's CURRENT
+    * head, then advance the cursor; `None` when the cursor is already at
+    * head. The one-call building block [[startCuratedStream]] loops.
+    *
+    * EXACTLY-ONCE: the order is index-append (span-keyed overwrite,
+    * [[LshIndex.append]]) → `onIncrement` → cursor bump (atomic rename). A
+    * crash anywhere in between replays the SAME span on restart — the head
+    * cannot move before the replayed batch is re-applied, and a replayed
+    * merge is a marker-gated no-op — so the append overwrites its own rows
+    * and `onIncrement` re-fires with an identical SpanIncrement. Downstream
+    * effects in `onIncrement` must therefore be idempotent PER SPAN (write
+    * under a `span=<from>-<to>` key, as the index itself does); pure
+    * observers need nothing.
+    *
+    * A fresh cursor starts at `initialFromSnapshotId` (default 0 = curate
+    * the table's whole retained history in the first increment). Attaching
+    * a NEW index to an old table whose early snapshots were already expired?
+    * Pass the oldest retained snapshot id and bootstrap the index from a
+    * full-table read instead — an increment read cannot see folded-away
+    * history. */
+  def curateToHead(spark: SparkSession, table: LakeTable, lshDir: Path,
+      minQuality: Double = 0.0, minTokens: Int = 3, minMatchFrac: Double = 0.5,
+      initialFromSnapshotId: Long = 0L,
+      onIncrement: SpanIncrement => Unit = _ => ()): Option[SpanIncrement] = {
+    val from = curatedHead(lshDir).getOrElse(initialFromSnapshotId)
+    val to = table.currentSnapshotId
+    if (to <= from) return None
+    val inc = curateIncrement(spark, table, lshDir, from, Some(to),
+      minQuality = minQuality, minTokens = minTokens, minMatchFrac = minMatchFrac)
+    val si = SpanIncrement(from, to, inc)
+    onIncrement(si)
+    writeCursor(lshDir, to)
+    Some(si)
+  }
+
+  /** The whole CDC→curation loop as ONE streaming query: binlog tail →
+    * exactly-once LWW MERGE into the LakeTable ([[Ingest.startStream]]) →
+    * per-batch [[curateToHead]] increment (change feed → score → LSH
+    * probe-then-append), all inside the same micro-batch so the curation
+    * cursor can never lag the table by more than the in-flight batch.
+    *
+    * The cursor snapshot is PINNED for the life of the query (lease swapped
+    * forward as the cursor advances, heartbeat on idle batches), so the
+    * auto-expiry knobs (`expireEveryBatches`) can run at full cadence
+    * without GC-ing a span the curator still has to read —
+    * [[LakeTable.readIncrement]]'s documented pin contract. Between a crash
+    * and a restart the lease goes un-heartbeated and ages out on the
+    * `ignorePinsOlderThanMs` horizon; restart within that horizon (or keep
+    * expiry retention above the expected downtime). */
+  def startCuratedStream(spark: SparkSession, binlogDir: String,
+      tableRoot: Path, checkpointDir: String, lshDir: Path,
+      maxEventsPerBatch: Long = 1000000L,
+      trigger: Trigger = Trigger.AvailableNow(), nBuckets: Int = 32,
+      mode: MergeMode = Mor, expireEveryBatches: Long = 0L,
+      keepSnapshots: Int = 10,
+      minQuality: Double = 0.0, minTokens: Int = 3, minMatchFrac: Double = 0.5,
+      onIncrement: SpanIncrement => Unit = _ => ()): StreamingQuery = {
+    var pin: Option[SnapshotPin] = None
+    Ingest.startStream(spark, binlogDir, tableRoot, checkpointDir,
+      maxEventsPerBatch = maxEventsPerBatch, trigger = trigger,
+      nBuckets = nBuckets, mode = mode,
+      expireEveryBatches = expireEveryBatches, keepSnapshots = keepSnapshots,
+      afterBatch = (table, _) => {
+        // restart: re-lease the persisted cursor before the first increment
+        // (pin-then-release ordering below keeps the span covered mid-run)
+        if (pin.isEmpty) curatedHead(lshDir).foreach(h => pin = Some(table.pin(h)))
+        curateToHead(spark, table, lshDir, minQuality = minQuality,
+          minTokens = minTokens, minMatchFrac = minMatchFrac,
+          onIncrement = onIncrement) match {
+          case Some(si) =>
+            val np = table.pin(si.toSnapshotId)
+            pin.foreach(_.release())
+            pin = Some(np)
+          case None => pin.foreach(_.touch()) // idle: heartbeat the lease
+        }
+      })
   }
 }

@@ -3,8 +3,9 @@ package graft.ops
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.binlog.{ChangeEventGen, GenProfile}
+import graft.binlog.{ChangeEventGen, EventCodec, GenProfile}
 import graft.cdc.{Ingest, Mor}
+import graft.lake.LakeTable
 
 /** The CDC → curation composition: per-span increments (change feed →
   * score → LSH probe-then-append) must cover exactly the table's live
@@ -104,6 +105,113 @@ class CurateSpec extends SparkSpec {
       assert(curatedUrls.contains(n) && curatedUrls.contains(o))
       assert(n != o || keptAll.count(_._1 == n) > 1,
         s"self-pair $n without a re-curated version")
+    }
+  }
+
+  private def indexRows(idx: java.nio.file.Path): Seq[String] =
+    spark.read.parquet(idx.resolve("bands").toString)
+      .select(col("span"), col("id"), col("band"), col("bucket"))
+      .collect().map(_.toString).sorted.toSeq
+
+  test("startCuratedStream: one-call loop, kill mid-run, restart — index exactly-once") {
+    val p = GenProfile.uniformSmall().copy(partitions = 2, eventsPerPartition = 1200)
+    val binlog = tmpDir("cstbl")
+    ChangeEventGen.writeSegments(p, binlog, segmentEvents = 400)
+    val params = LshIndex.Params(n = 3, bands = 4, rowsPerBand = 2, shards = 8)
+
+    // CONTROL: uninterrupted run, same data, same batching
+    val ctlIdx = tmpDir("csctlidx"); LshIndex.create(ctlIdx, params)
+    val ctlRoot = tmpDir("csctltbl")
+    val ctl = Curate.startCuratedStream(spark, binlog.toString, ctlRoot,
+      tmpDir("csctlck").toString, ctlIdx, maxEventsPerBatch = 500, nBuckets = 4)
+    ctl.awaitTermination()
+
+    // CRASH run: onIncrement fails on the SECOND span, after its index
+    // append (the exactly-once hazard window: span appended, cursor not yet
+    // bumped, downstream consumer never saw the increment)
+    val idx = tmpDir("csidx"); LshIndex.create(idx, params)
+    val tblRoot = tmpDir("cstbl2")
+    val ckpt = tmpDir("csck").toString
+    val delivered = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var crashes = 0
+    def onInc(crashOnSecond: Boolean)(si: Curate.SpanIncrement): Unit =
+      delivered.synchronized {
+        if (crashOnSecond && delivered.size == 1) {
+          crashes += 1; sys.error("injected crash after index append")
+        }
+        delivered += ((si.fromSnapshotId, si.toSnapshotId))
+      }
+    val q1 = Curate.startCuratedStream(spark, binlog.toString, tblRoot, ckpt, idx,
+      maxEventsPerBatch = 500, nBuckets = 4, onIncrement = onInc(crashOnSecond = true))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    assert(crashes == 1 && delivered.size == 1, s"crash fired after ${delivered.size} spans")
+
+    // restart from the same checkpoint: the in-flight span replays (its merge
+    // is a marker-gated no-op, its append overwrites the same span dir, and
+    // onIncrement re-fires with the identical SpanIncrement), then the tail
+    // of the log drains
+    val q2 = Curate.startCuratedStream(spark, binlog.toString, tblRoot, ckpt, idx,
+      maxEventsPerBatch = 500, nBuckets = 4, onIncrement = onInc(crashOnSecond = false))
+    q2.awaitTermination()
+
+    val table = LakeTable.load(tblRoot)
+    // cursor caught up to head; spans partition (0, head] contiguously
+    assert(Curate.curatedHead(idx).contains(table.currentSnapshotId))
+    val spans = delivered.toVector
+    assert(spans.head._1 == 0L && spans.last._2 == table.currentSnapshotId)
+    spans.sliding(2).foreach {
+      case Vector(a, b) => assert(b._1 == a._2, s"span gap: $a -> $b")
+      case _ =>
+    }
+    // the index is EXACTLY the uninterrupted control's — same spans, same
+    // rows, no duplicate from the replayed append
+    assert(indexRows(idx) == indexRows(ctlIdx))
+    // and the table itself matches the same-batching control table
+    val ctlTable = LakeTable.load(ctlRoot)
+    assert(table.read(spark).count() == ctlTable.read(spark).count())
+  }
+
+  test("curated stream across a table-data gap: restart picks up new segments") {
+    // phase 1 drains half the log, terminates (AvailableNow); more segments
+    // land; phase 2 restarts from the checkpoint and curates ONLY the new
+    // span — the cursor survives the stop/start without an injected failure
+    val p = GenProfile.uniformSmall().copy(partitions = 1, eventsPerPartition = 1000)
+    val binlog = tmpDir("cg_bl")
+    val pHalf = p.copy(eventsPerPartition = 500)
+    ChangeEventGen.writeSegments(pHalf, binlog, segmentEvents = 250)
+    val idx = tmpDir("cg_idx")
+    LshIndex.create(idx, LshIndex.Params(n = 3, bands = 4, rowsPerBand = 2, shards = 8))
+    val tblRoot = tmpDir("cg_tbl")
+    val ckpt = tmpDir("cg_ck").toString
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val collect = (si: Curate.SpanIncrement) =>
+      spans.synchronized { spans += ((si.fromSnapshotId, si.toSnapshotId)) }: Unit
+
+    Curate.startCuratedStream(spark, binlog.toString, tblRoot, ckpt, idx,
+      maxEventsPerBatch = 1000, nBuckets = 4, onIncrement = collect).awaitTermination()
+    val cursor1 = Curate.curatedHead(idx).get
+    val rows1 = indexRows(idx)
+    assert(rows1.nonEmpty && spans.nonEmpty)
+
+    var off = 500L
+    val w = new graft.binlog.SegmentWriter(binlog, 0, off)
+    while (off < p.eventsPerPartition) { w.writeEvent(ChangeEventGen.event(p, 0, off), EventCodec.V2); off += 1 }
+    w.close()
+
+    Curate.startCuratedStream(spark, binlog.toString, tblRoot, ckpt, idx,
+      maxEventsPerBatch = 1000, nBuckets = 4, onIncrement = collect).awaitTermination()
+    val table = LakeTable.load(tblRoot)
+    assert(Curate.curatedHead(idx).get > cursor1)
+    assert(Curate.curatedHead(idx).contains(table.currentSnapshotId))
+    // phase 2 appended NEW spans only — phase-1 rows untouched
+    val rows2 = indexRows(idx)
+    assert(rows2.size > rows1.size)
+    assert(rows1.forall(rows2.toSet.contains))
+    spans.sliding(2).foreach {
+      case Seq((_, aTo), (bFrom, _)) => assert(bFrom == aTo)
+      case _ =>
     }
   }
 }

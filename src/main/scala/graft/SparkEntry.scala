@@ -34,7 +34,8 @@ object SparkEntry {
     * derived from the events table, split into 3 microbatches to exercise
     * cross-batch LWW + tombstones, then reads the final table back. */
   private def cdcMergeFinalState(s: SparkSession, dir: String,
-      mode: graft.cdc.MergeMode = graft.cdc.Cow): DataFrame = {
+      mode: graft.cdc.MergeMode = graft.cdc.Cow,
+      opts: graft.cdc.MergeOptions = graft.cdc.MergeOptions()): DataFrame = {
     val ev = t(s, dir, "events")
     val changelog = ev.select(
       pmod(col("user_id"), lit(4)).cast("int").as("partition"),
@@ -57,7 +58,7 @@ object SparkEntry {
       var from = lo
       while (from <= hi) {
         val until = from + step
-        graft.cdc.Ingest.applyBatch(s, table, mode = mode)(
+        graft.cdc.Ingest.applyBatch(s, table, mode = mode, opts = opts)(
           cached.filter(col("offset") >= from && col("offset") < until), b)
         b += 1
         from = until
@@ -81,12 +82,10 @@ object SparkEntry {
 
     // same pipeline with LATE-MATERIALIZED dedup (meta-only shuffle +
     // broadcast-admitted winner payload fetch) — identical oracle proves
-    // the mode changes shuffle bytes, never results
-    "cdc_merge_latemat" -> ((s, dir) => {
-      val prev = graft.cdc.Merge.lateMaterialize
-      graft.cdc.Merge.lateMaterialize = true
-      try cdcMergeFinalState(s, dir) finally graft.cdc.Merge.lateMaterialize = prev
-    }),
+    // the mode changes shuffle bytes, never results; the mode rides a
+    // per-call MergeOptions, not the process-global toggle
+    "cdc_merge_latemat" -> ((s, dir) => cdcMergeFinalState(s, dir,
+      opts = graft.cdc.MergeOptions(lateMaterialize = true))),
 
     // the SQL surface end-to-end: CREATE TABLE … USING graft, MERGE INTO
     // driving the engine's Merge operator, SELECT via the catalog's

@@ -58,7 +58,8 @@ object Ingest {
     * so the raw batch flows straight through — one pass, one shuffle. */
   def applyBatch(spark: SparkSession, table: LakeTable,
       knownLineage: Option[Seq[PartLineage]] = None,
-      mode: MergeMode = Cow)(df: DataFrame, batchId: Long): Unit = {
+      mode: MergeMode = Cow,
+      opts: MergeOptions = MergeOptions())(df: DataFrame, batchId: Long): Unit = {
     val snap = table.currentSnapshot
     if (snap.committedBatchIds.contains(batchId)) return // replayed batch: already durable
     val t0 = System.nanoTime()
@@ -68,7 +69,7 @@ object Ingest {
     knownLineage.filter(_.nonEmpty).orElse(lineageFromPlan(df)) match {
       case Some(lineage) =>
         if (lineage.isEmpty) return
-        Merge(spark, table, df, batchId, lineage, mode)
+        Merge(spark, table, df, batchId, lineage, mode, opts)
         if (sys.env.contains("GRAFT_TIMING")) System.err.println(
           f"[timing] batch $batchId: merge ${(System.nanoTime() - t0) / 1e9}%.1f s, rows ${lineage.map(_.count).sum} (plan lineage)")
       case None =>
@@ -96,7 +97,7 @@ object Ingest {
             .map(r => PartLineage(r.getInt(0), r.getLong(2), r.getLong(3), r.getLong(3)))
             .toSeq.sortBy(l => (l.partition, l.startOffset))
           if (lineage.isEmpty) return
-          Merge(spark, table, events, batchId, lineage, mode)
+          Merge(spark, table, events, batchId, lineage, mode, opts)
           if (sys.env.contains("GRAFT_TIMING")) System.err.println(
             f"[timing] batch $batchId: merge ${(System.nanoTime() - t0) / 1e9}%.1f s, rows ${lineage.map(_.count).sum} (agg lineage)")
         } finally events.unpersist()
@@ -117,7 +118,8 @@ object Ingest {
       mode: MergeMode = Cow, expireEveryBatches: Long = 0L,
       keepSnapshots: Int = 10, bloomEveryBatches: Long = 0L,
       growBucketsTargetBytes: Long = 0L,
-      afterBatch: (LakeTable, Long) => Unit = (_, _) => ()): StreamingQuery = {
+      afterBatch: (LakeTable, Long) => Unit = (_, _) => (),
+      opts: MergeOptions = MergeOptions()): StreamingQuery = {
     val table =
       if (LakeTable.exists(tableRoot)) LakeTable.load(tableRoot)
       else LakeTable.create(tableRoot, nBuckets)
@@ -140,7 +142,7 @@ object Ingest {
         // one pass saved per batch vs aggregating them from the data.
         val lineage = graft.binlog.BinlogLineage.lastPlanned(lineageToken).map(_.toSeq.sortBy(_._1)
           .map { case (p, (from, until)) => PartLineage(p, from, until - from, until - from) })
-        applyBatch(spark, table, lineage, mode)(df, id)
+        applyBatch(spark, table, lineage, mode, opts)(df, id)
         // auto-maintenance cadence: metadata expiry, point-lookup blooms,
         // bucket growth — all single-writer-safe inside the batch loop
         if (expireEveryBatches > 0 && id > 0 && id % expireEveryBatches == 0)
@@ -171,7 +173,8 @@ object Ingest {
       remap: String => String = identity,
       maxEventsPerBatch: Long = 1000000L,
       trigger: Trigger = Trigger.AvailableNow(), nBuckets: Int = 32,
-      mode: MergeMode = Cow): Map[String, StreamingQuery] = {
+      mode: MergeMode = Cow,
+      opts: MergeOptions = MergeOptions()): Map[String, StreamingQuery] = {
     // one writer per table: the engine's commit protocol is single-writer
     // (best-effort CAS), so a remap may rename but never MERGE topic streams
     val targets = topics.map(remap)
@@ -199,7 +202,7 @@ object Ingest {
           val lineage = graft.binlog.BinlogLineage.lastPlanned(lineageToken)
             .map(_.toSeq.sortBy(_._1)
               .map { case (p, (from, until)) => PartLineage(p, from, until - from, until - from) })
-          applyBatch(spark, table, lineage, mode)(df, id)
+          applyBatch(spark, table, lineage, mode, opts)(df, id)
         }
         .start()
       topic -> q
@@ -210,7 +213,7 @@ object Ingest {
     * — used by tests and the bench (same code path as streaming apply). */
   def replayBatch(spark: SparkSession, binlogDir: String, tableRoot: Path,
       eventsPerBatch: Long, nBuckets: Int = 32, firstBatchId: Long = 0L,
-      mode: MergeMode = Cow): LakeTable = {
+      mode: MergeMode = Cow, opts: MergeOptions = MergeOptions()): LakeTable = {
     val table =
       if (LakeTable.exists(tableRoot)) LakeTable.load(tableRoot)
       else LakeTable.create(tableRoot, nBuckets)
@@ -222,7 +225,7 @@ object Ingest {
     while (from < maxEnd) {
       val until = math.min(from + eventsPerBatch, maxEnd)
       val df = graft.binlog.BinlogRead.range(spark, binlogDir, from, until)
-      applyBatch(spark, table, mode = mode)(df, batchId)
+      applyBatch(spark, table, mode = mode, opts = opts)(df, batchId)
       batchId += 1
       from = until
     }

@@ -60,6 +60,16 @@ sealed trait MergeMode
 case object Cow extends MergeMode
 case object Mor extends MergeMode
 
+/** Per-call merge strategy knobs. The defaults snapshot the process-global
+  * escape hatches ([[Merge.useColocatedCow]], [[Merge.lateMaterialize]]) AT
+  * CALL TIME, so existing callers and the A/B apps that flip the globals
+  * keep working — while callers running CONCURRENT merges in one JVM (or
+  * wanting a mode for exactly one pipeline) pass their own options instead
+  * of racing on the globals. */
+final case class MergeOptions(
+    colocatedCow: Boolean = Merge.useColocatedCow,
+    lateMaterialize: Boolean = Merge.lateMaterialize)
+
 object Merge {
 
   /** Debug hook: print the next merge's physical plan (used by PlanCheck). */
@@ -85,7 +95,10 @@ object Merge {
   @volatile var MaxFilesPerBucket = 8
 
   /** Escape hatch for A/B: when false, COW uses the round-1 union+max_by
-    * shuffle formulation instead of the co-located [[graft.plans.BucketMergeExec]]. */
+    * shuffle formulation instead of the co-located [[graft.plans.BucketMergeExec]].
+    * Process-wide DEFAULT only — each merge snapshots it into its
+    * [[MergeOptions]] at call time; pass opts explicitly to pin a mode per
+    * pipeline. */
   @volatile var useColocatedCow: Boolean = true
 
   /** LATE MATERIALIZATION for the dedup shuffle (network-cluster mode,
@@ -109,7 +122,8 @@ object Merge {
     * where an exact key set would be ~1.6 GB); callers without lineage
     * fall back to an exact (partition, offset) key-set broadcast bounded
     * by admission control (maxEventsPerBatch × 16 B keys). Enable via
-    * `-Dgraft.merge.lateMaterialize=true` or this var. */
+    * `-Dgraft.merge.lateMaterialize=true`, this var (process-wide default,
+    * snapshotted per call), or per pipeline via [[MergeOptions]]. */
   @volatile var lateMaterialize: Boolean =
     sys.props.get("graft.merge.lateMaterialize").contains("true")
 
@@ -269,10 +283,11 @@ object Merge {
     * url, warc_ts, html, lang — duplicates allowed). Returns the committed
     * snapshot. */
   def apply(spark: SparkSession, table: LakeTable, batch: DataFrame,
-      batchId: Long, lineage: Seq[PartLineage], mode: MergeMode = Cow): Snapshot =
+      batchId: Long, lineage: Seq[PartLineage], mode: MergeMode = Cow,
+      opts: MergeOptions = MergeOptions()): Snapshot =
     mode match {
-      case Cow => applyCow(spark, table, batch, batchId, lineage)
-      case Mor => applyMor(spark, table, batch, batchId, lineage)
+      case Cow => applyCow(spark, table, batch, batchId, lineage, opts)
+      case Mor => applyMor(spark, table, batch, batchId, lineage, opts)
     }
 
   /** MERGE-ON-READ apply: dedup the batch to per-url winners (same single
@@ -287,16 +302,16 @@ object Merge {
     * (rare — once per table growth step; the batch plan is re-executable and
     * the marker was never committed, so the retry is exactly-once-safe). */
   private def applyMor(spark: SparkSession, table: LakeTable, batch: DataFrame,
-      batchId: Long, lineage: Seq[PartLineage]): Snapshot =
-    try applyMorOnce(spark, table, batch, batchId, lineage)
+      batchId: Long, lineage: Seq[PartLineage], opts: MergeOptions): Snapshot =
+    try applyMorOnce(spark, table, batch, batchId, lineage, opts)
     catch {
       case e: graft.lake.BucketLayoutChanged =>
         System.err.println(s"[merge] batch $batchId: ${e.getMessage}; retrying")
-        applyMorOnce(spark, table, batch, batchId, lineage)
+        applyMorOnce(spark, table, batch, batchId, lineage, opts)
     }
 
   private def applyMorOnce(spark: SparkSession, table: LakeTable, batch: DataFrame,
-      batchId: Long, lineage: Seq[PartLineage]): Snapshot = {
+      batchId: Long, lineage: Seq[PartLineage], opts: MergeOptions): Snapshot = {
     val snap = table.currentSnapshot
     if (snap.committedBatchIds.contains(batchId)) return snap
     val timing = sys.env.contains("GRAFT_TIMING")
@@ -321,7 +336,7 @@ object Merge {
       .select((dataCols ++ TableSchemas.internalNames).map(c => col(c).cast(typeOf(c)).as(c)): _*)
 
     val winners =
-      if (lateMaterialize && batch.columns.contains("offset") && batch.columns.contains("partition"))
+      if (opts.lateMaterialize && batch.columns.contains("offset") && batch.columns.contains("partition"))
         lateResolved(batch, srcAligned, nBuckets, dataCols, lineage)
       else
         graft.lake.Resolve.lww(srcAligned.repartition(nBuckets, col("url")), dataCols)
@@ -481,7 +496,7 @@ object Merge {
   /** COPY-ON-WRITE apply: see object doc — union of pruned target files and
     * the raw batch, one bucket-aligned shuffle, touched buckets rewritten. */
   private def applyCow(spark: SparkSession, table: LakeTable, batch: DataFrame,
-      batchId: Long, lineage: Seq[PartLineage]): Snapshot = {
+      batchId: Long, lineage: Seq[PartLineage], opts: MergeOptions): Snapshot = {
     val snap = table.currentSnapshot
     if (snap.committedBatchIds.contains(batchId)) return snap // exactly-once replay skip
 
@@ -557,8 +572,8 @@ object Merge {
       //    Fallback (mixed schema versions among touched files, or the A/B
       //    flag): union + one bucket-aligned shuffle + max_by.
       val sameVersion = touched.forall(_.schemaVersion == snap.schemaVersion)
-      if (timing) System.err.println(s"[timing]   cow path=${if (useColocatedCow && sameVersion) "colocated" else "shuffle"} touchedFiles=${touched.size} touchedRows=${touched.map(_.rowCount).sum}")
-      val winners = if (useColocatedCow && sameVersion) {
+      if (timing) System.err.println(s"[timing]   cow path=${if (opts.colocatedCow && sameVersion) "colocated" else "shuffle"} touchedFiles=${touched.size} touchedRows=${touched.map(_.rowCount).sum}")
+      val winners = if (opts.colocatedCow && sameVersion) {
         val bucketFiles = touched.groupBy(_.bucket).map { case (b, fs) =>
           b -> fs.map(f => (table.root.resolve(f.path).toString, f.bytes))
         }
@@ -568,7 +583,7 @@ object Merge {
         // exchange), LWW over pre-LWW'd input is idempotent, and the
         // payload shuffle shrinks to O(winners)
         val batchSide =
-          if (lateMaterialize && batch.columns.contains("offset") && batch.columns.contains("partition"))
+          if (opts.lateMaterialize && batch.columns.contains("offset") && batch.columns.contains("partition"))
             aligned(lateResolved(withBucket, srcAligned, nBuckets, dataCols, lineage)
               .withColumn("_xt", lit(true)))
           else aligned(srcAligned)

@@ -198,7 +198,9 @@ final class GraftSqlTable(val lake: LakeTable, ident: String,
           // epochs (epoch id == exactly-once batch id)
           override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
             new graft.lake.LakeStreamingWrite(lake.root.toString,
-              lake.currentSnapshot.nBuckets, GraftSql.sqlMergeMode, userSchemaRows = true)
+              lake.currentSnapshot.nBuckets,
+              GraftSql.mergeModeFor(org.apache.spark.sql.SparkSession.active),
+              userSchemaRows = true)
         }
     }
 }

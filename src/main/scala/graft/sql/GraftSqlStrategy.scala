@@ -199,7 +199,7 @@ final case class GraftMergeExec(
       (if (cols.contains("lang")) col("lang") else lit(null)).cast("string").as("lang"))
     val lake = table.lake
     val batchId = lake.currentSnapshot.batches.map(_.batchId).maxOption.getOrElse(-1L) + 1L
-    Merge(spark, lake, changelog, batchId, lineage = Nil, mode = GraftSql.sqlMergeMode): Unit
+    Merge(spark, lake, changelog, batchId, lineage = Nil, mode = GraftSql.mergeModeFor(spark)): Unit
   }
 
   override def executeCollect(): Array[InternalRow] = { done; Array.empty }
@@ -244,7 +244,7 @@ private[sql] object GraftRowLevel {
   def commitChangelog(spark: SparkSession, lake: graft.lake.LakeTable,
       changelog: DataFrame): Unit = {
     val batchId = lake.currentSnapshot.batches.map(_.batchId).maxOption.getOrElse(-1L) + 1L
-    Merge(spark, lake, changelog, batchId, lineage = Nil, mode = GraftSql.sqlMergeMode): Unit
+    Merge(spark, lake, changelog, batchId, lineage = Nil, mode = GraftSql.mergeModeFor(spark)): Unit
   }
 }
 
@@ -349,9 +349,25 @@ final case class GraftUpdateExec(
 /** Runtime enablement: everything here is registerable on an EXISTING
   * session (no extensions required) — catalog conf + planner strategies. */
 object GraftSql {
-  /** Merge mode used by SQL MERGE statements (COW default: SQL merges are
-    * interactive, read-optimized). */
+  /** Merge mode used by SQL MERGE/INSERT/DELETE/UPDATE (COW default: SQL
+    * merges are interactive, read-optimized). PROCESS-WIDE FALLBACK only —
+    * resolution is per statement via the SESSION conf
+    * `spark.graft.sql.mergeMode` (`cow` | `mor`), so concurrent sessions in
+    * one JVM each pin their own mode ([[mergeModeFor]]). */
   @volatile var sqlMergeMode: MergeMode = graft.cdc.Cow
+
+  /** Session conf key selecting the SQL surface's merge mode. */
+  val MergeModeConf = "spark.graft.sql.mergeMode"
+
+  /** The merge mode for THIS session: conf when set, global default else. */
+  def mergeModeFor(spark: SparkSession): MergeMode =
+    spark.conf.getOption(MergeModeConf).map(_.trim.toLowerCase) match {
+      case Some("mor") => graft.cdc.Mor
+      case Some("cow") => graft.cdc.Cow
+      case Some(other) => throw new IllegalArgumentException(
+        s"$MergeModeConf must be cow|mor, got '$other'")
+      case None => sqlMergeMode
+    }
 
   def enable(spark: SparkSession, warehouse: String): Unit = {
     // catalog instances are cached per session by CatalogManager — if the

@@ -48,7 +48,7 @@ final class GraftBatchWrite(lake: LakeTable,
         val batchId = lake.currentSnapshot.batches.map(_.batchId).maxOption.getOrElse(-1L) + 1L
         val df = dirs.map(d => graft.binlog.BinlogRead.all(spark, d)).reduce(_.unionByName(_))
         graft.cdc.Merge(spark, lake, df, batchId, lineage = Nil,
-          mode = GraftSql.sqlMergeMode): Unit
+          mode = GraftSql.mergeModeFor(spark)): Unit
       }
     } finally rm(staging)
   }

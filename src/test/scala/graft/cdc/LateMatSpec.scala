@@ -6,7 +6,8 @@ import graft.{Oracle, SparkSpec}
 import graft.binlog.{ChangeEventGen, GenProfile}
 import graft.lake.LakeTable
 
-/** Late-materialization merge (`Merge.lateMaterialize`): the dedup shuffle
+/** Late-materialization merge (per-call `MergeOptions(lateMaterialize =
+  * true)`): the dedup shuffle
   * carries the html-free meta projection, winning payloads are fetched by a
   * broadcast-semi-join second pass and attached co-partitioned. The final
   * table state must be IDENTICAL to the default path's — same winners, same
@@ -15,11 +16,7 @@ import graft.lake.LakeTable
   * shuffle crosses a network instead of tmpfs). */
 class LateMatSpec extends SparkSpec {
 
-  private def withLateMat[A](f: => A): A = {
-    val prev = Merge.lateMaterialize
-    Merge.lateMaterialize = true
-    try f finally Merge.lateMaterialize = prev
-  }
+  private val lateOpts = MergeOptions(lateMaterialize = true)
 
   /** User-facing state, html content-addressed (byte arrays break Row
     * equality), sorted for comparison. */
@@ -41,9 +38,9 @@ class LateMatSpec extends SparkSpec {
   }
 
   private def replay(binlog: Path, tag: String, mode: MergeMode,
-      eventsPerBatch: Long): LakeTable =
+      eventsPerBatch: Long, opts: MergeOptions = MergeOptions()): LakeTable =
     Ingest.replayBatch(spark, binlog.toString, tmpDir(tag),
-      eventsPerBatch = eventsPerBatch, nBuckets = 4, mode = mode)
+      eventsPerBatch = eventsPerBatch, nBuckets = 4, mode = mode, opts = opts)
 
   for (mode <- Seq(Cow, Mor)) {
     test(s"late-materialized $mode replay equals the default path and the oracle") {
@@ -51,7 +48,7 @@ class LateMatSpec extends SparkSpec {
       val binlog = gen(p, "latemat")
       val default = state(replay(binlog, "lmdef", mode, eventsPerBatch = 700))
       Merge.lastAdmitBitmapBytes = -1L
-      val late = withLateMat(state(replay(binlog, "lmlate", mode, eventsPerBatch = 700)))
+      val late = state(replay(binlog, "lmlate", mode, eventsPerBatch = 700, opts = lateOpts))
       assert(late == default, s"$mode late-materialized state diverged from default")
       // binlog replays carry plan lineage → the OFFSET-BITMAP admission path
       // must have engaged (events/8 bytes, not an O(winners) key broadcast)
@@ -84,7 +81,7 @@ class LateMatSpec extends SparkSpec {
       val events = graft.binlog.BinlogRead.all(spark, binlog.toString)
       val doubled = events.unionAll(events).localCheckpoint(true)
       val table = LakeTable.create(tmpDir(s"lmdup-$mode"), nBuckets = 4)
-      withLateMat(Ingest.applyBatch(spark, table, mode = mode)(doubled, 0L))
+      Ingest.applyBatch(spark, table, mode = mode, opts = lateOpts)(doubled, 0L)
       val clean = replay(binlog, s"lmdupref-$mode", mode, eventsPerBatch = Long.MaxValue)
       assert(state(table) == state(clean), s"$mode duplicated-batch state diverged")
       // MOR markers carry post-dedup winner counts: copies must not inflate
@@ -109,6 +106,27 @@ class LateMatSpec extends SparkSpec {
     }
   }
 
+  test("per-call MergeOptions pins the mode regardless of the process global") {
+    // two pipelines in one JVM with OPPOSITE modes: each call's options win
+    // over the global default — the race the @volatile toggles had
+    val p = GenProfile.uniformSmall()
+    val binlog = gen(p, "lmopts")
+    val prev = Merge.lateMaterialize
+    Merge.lateMaterialize = true // adversarial global
+    try {
+      Merge.lastAdmitBitmapBytes = -1L
+      val off = state(replay(binlog, "lmoptsoff", Cow, 700,
+        opts = MergeOptions(lateMaterialize = false)))
+      assert(Merge.lastAdmitBitmapBytes == -1L,
+        "explicit lateMaterialize=false must beat the global true")
+      val on = state(replay(binlog, "lmoptson", Cow, 700, opts = lateOpts))
+      assert(Merge.lastAdmitBitmapBytes > 0)
+      assert(on == off)
+      // and the no-args default SNAPSHOTS the global at call time
+      assert(MergeOptions().lateMaterialize)
+    } finally Merge.lateMaterialize = prev
+  }
+
   test("late-mat without lineage falls back to the exact key-set broadcast") {
     // SQL merges and other lineage-less callers: admission reverts to the
     // broadcast semi-join on winners' (partition, offset) — same results
@@ -117,7 +135,7 @@ class LateMatSpec extends SparkSpec {
     val events = graft.binlog.BinlogRead.all(spark, binlog.toString).localCheckpoint(true)
     val table = LakeTable.create(tmpDir("lmnolin-t"), nBuckets = 4)
     Merge.lastAdmitBitmapBytes = 0L
-    withLateMat(Merge(spark, table, events, 0L, lineage = Nil, mode = Cow))
+    Merge(spark, table, events, 0L, lineage = Nil, mode = Cow, opts = lateOpts): Unit
     assert(Merge.lastAdmitBitmapBytes == -1L, "lineage-less merge must use the key-set fallback")
     val ref = replay(binlog, "lmnolinref", Cow, eventsPerBatch = Long.MaxValue)
     assert(state(table) == state(ref))
@@ -147,7 +165,7 @@ class LateMatSpec extends SparkSpec {
       }
       // single COW batch on a fresh table: the only shuffle is the dedup
       val (defState, defBytes) = measured(replay(binlog, "lmshdef", Cow, 10000))
-      val (lateState, lateBytes) = measured(withLateMat(replay(binlog, "lmshlate", Cow, 10000)))
+      val (lateState, lateBytes) = measured(replay(binlog, "lmshlate", Cow, 10000, opts = lateOpts))
       assert(lateState == defState)
       assert(lateBytes < defBytes * 6 / 10,
         s"expected <0.6x shuffle bytes, got late=$lateBytes default=$defBytes")

@@ -16,7 +16,7 @@ class BloomSpec extends SparkSpec {
     spark.sql("CREATE TABLE graft.bl (url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, content_len BIGINT, lang STRING) USING graft TBLPROPERTIES('buckets'='2')")
     // 3 MOR batches over DISJOINT url ranges → each bucket holds 3 delta
     // files; a given url exists in exactly ONE of them
-    GraftSql.sqlMergeMode = graft.cdc.Mor
+    spark.conf.set(GraftSql.MergeModeConf, "mor")
     try {
       // url scheme u<id>-r<r>: every delta file's [min,max] bounds span the
       // whole id range (bounds can NOT discriminate), yet each url lives in
@@ -29,7 +29,7 @@ class BloomSpec extends SparkSpec {
              |  cast('<p>x</p>' AS BINARY), CAST(NULL AS STRING), CAST(NULL AS BIGINT), 'en'
              |FROM range(200)""".stripMargin)
       }
-    } finally GraftSql.sqlMergeMode = graft.cdc.Cow
+    } finally spark.conf.unset(GraftSql.MergeModeConf)
 
     val lake = LakeTable.load(java.nio.file.Paths.get(wh, "bl"))
     val snap = lake.currentSnapshot

@@ -114,7 +114,7 @@ class GraftSqlSpec extends SparkSpec {
   test("SELECT equals the library read() path, including MOR delta resolve") {
     enable()
     spark.sql("CREATE TABLE graft.morpages (url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, content_len BIGINT, lang STRING) USING graft TBLPROPERTIES('buckets'='4')")
-    GraftSql.sqlMergeMode = graft.cdc.Mor
+    spark.conf.set(GraftSql.MergeModeConf, "mor")
     try {
       spark.range(60).createOrReplaceTempView("seed2")
       (0 until 3).foreach { round =>
@@ -132,7 +132,7 @@ class GraftSqlSpec extends SparkSpec {
              |WHEN MATCHED THEN UPDATE SET *
              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
       }
-    } finally GraftSql.sqlMergeMode = graft.cdc.Cow
+    } finally spark.conf.unset(GraftSql.MergeModeConf)
 
     val viaSql = spark.sql("SELECT url, text, content_len FROM graft.morpages")
       .collect().map(_.toString).sorted
@@ -226,7 +226,7 @@ class GraftSqlSpec extends SparkSpec {
     // MERGE against the ALTERed table (v2 source with lang), LWW over v1
     // rows — in MOR mode so v1 base files and v2 delta files COEXIST and the
     // SQL read exercises the mixed-version k-way resolve
-    GraftSql.sqlMergeMode = graft.cdc.Mor
+    spark.conf.set(GraftSql.MergeModeConf, "mor")
     try {
       spark.range(10).createOrReplaceTempView("evseed")
       spark.sql(
@@ -237,7 +237,7 @@ class GraftSqlSpec extends SparkSpec {
           |ON t.url = s.url
           |WHEN MATCHED THEN UPDATE SET *
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-    } finally GraftSql.sqlMergeMode = graft.cdc.Cow
+    } finally spark.conf.unset(GraftSql.MergeModeConf)
     val rows = spark.sql("SELECT url, lang, text FROM graft.ev").collect()
       .map(r => r.getString(0) -> (Option(r.getString(1)), r.getString(2))).toMap
     assert(rows.size == 20)

@@ -220,12 +220,60 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       md5Seeding: Boolean = false): Array[(Int, Array[Double])] = {
     val (assigned, cents) = ivfAssign(vecs, nLists, seed, idCol, vecCol, md5Seeding)
-    assigned.write.mode("overwrite").partitionBy("list").parquet(dir)
+    val obs = org.apache.spark.sql.Observation()
+    assigned.observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").partitionBy("list").parquet(dir)
     val json = cents.sortBy(_._1).map(_._2.mkString("[", ",", "]"))
       .mkString("[", ",", "]")
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_centroids.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    writeTrainMeta(dir, TrainMeta(nLists, seed, md5Seeding,
+      trainedRows = obs.get("n").asInstanceOf[Long], appendedRows = 0L,
+      idCol = idCol, vecCol = vecCol))
     cents
+  }
+
+  /** Training provenance + drift counter for [[maybeRebuildIvfIndex]]'s
+    * cadence rule: how many rows the codebook was trained over, and how
+    * many have been frozen-assigned since. Lives in `_train_meta.json`
+    * next to `_centroids.json` (same single-writer discipline as the
+    * index's parquet appends). */
+  final case class TrainMeta(nLists: Int, seed: Long, md5Seeding: Boolean,
+      trainedRows: Long, appendedRows: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+
+  private def metaPath(dir: String) =
+    java.nio.file.Paths.get(dir, "_train_meta.json")
+
+  private def writeTrainMeta(dir: String, m: TrainMeta): Unit = {
+    val json = s"""{"nLists":${m.nLists},"seed":${m.seed},""" +
+      s""""md5Seeding":${m.md5Seeding},"trainedRows":${m.trainedRows},""" +
+      s""""appendedRows":${m.appendedRows},""" +
+      s""""idCol":"${m.idCol}","vecCol":"${m.vecCol}"}"""
+    val tmp = java.nio.file.Paths.get(dir, s".train_meta.tmp")
+    java.nio.file.Files.write(tmp, json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, metaPath(dir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  /** `None` for a pre-meta index (created before training provenance was
+    * recorded): appends still work, the automated cadence just can't judge
+    * drift — rebuild explicitly once and the meta starts tracking. */
+  def readTrainMeta(dir: String): Option[TrainMeta] = {
+    val p = metaPath(dir)
+    if (!java.nio.file.Files.exists(p)) return None
+    val j = new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def f(name: String): String =
+      s""""$name":([^,}]+)""".r.findFirstMatchIn(j)
+        .getOrElse(throw new IllegalStateException(s"bad _train_meta.json at $dir"))
+        .group(1)
+    def str(name: String): String =
+      s""""$name":"([^"]*)"""".r.findFirstMatchIn(j).map(_.group(1))
+        .getOrElse(throw new IllegalStateException(s"bad _train_meta.json at $dir"))
+    Some(TrainMeta(f("nLists").toInt, f("seed").toLong, f("md5Seeding").toBoolean,
+      f("trainedRows").toLong, f("appendedRows").toLong, str("idCol"), str("vecCol")))
   }
 
   /** INCREMENTAL index maintenance: assign a new vector batch with the
@@ -237,8 +285,32 @@ object Similarity {
   def appendToIvfIndex(vecs: DataFrame, dir: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val cents = readIvfCentroids(dir)
+    val obs = org.apache.spark.sql.Observation()
     assignToCentroids(vecs.select(col(idCol), col(vecCol)), cents, idCol, vecCol)
-      .write.mode("append").partitionBy("list").parquet(dir): Unit
+      .observe(obs, count(lit(1)).as("n"))
+      .write.mode("append").partitionBy("list").parquet(dir)
+    // drift counter (single-writer: appends are serialized by the caller,
+    // as parquet `append` itself already requires)
+    readTrainMeta(dir).foreach(m => writeTrainMeta(dir,
+      m.copy(appendedRows = m.appendedRows + obs.get("n").asInstanceOf[Long])))
+  }
+
+  /** Automated retrain cadence (the `maybeGrowBuckets` of the ANN side):
+    * rebuild when frozen-codebook appends since the last train exceed
+    * `growthFactor` × the trained corpus — the point where the codebook
+    * was trained over a minority of the index and stale-list recall decay
+    * sets in. Returns the new centroids when a rebuild ran, `None` when
+    * under threshold (or the index predates training metadata). Call it
+    * after appends on any maintenance cadence — cheap no-op otherwise. */
+  def maybeRebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, growthFactor: Double = 1.0): Option[Array[(Int, Array[Double])]] = {
+    require(growthFactor > 0, "growthFactor must be positive")
+    readTrainMeta(dir) match {
+      case Some(m) if m.appendedRows >= growthFactor * math.max(1L, m.trainedRows) =>
+        Some(rebuildIvfIndex(spark, dir, m.nLists, m.seed,
+          idCol = m.idCol, vecCol = m.vecCol, md5Seeding = m.md5Seeding))
+      case _ => None
+    }
   }
 
   /** REBUILD/RETRAIN an IVF index in place — the operational lever for

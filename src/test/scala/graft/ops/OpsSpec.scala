@@ -216,6 +216,49 @@ class OpsSpec extends SparkSpec {
     assert(rebuilt.sameElements(fromScratch), "rebuild must equal a from-scratch index")
   }
 
+  test("IVF retrain cadence: maybeRebuild fires once appends exceed the trained corpus") {
+    import spark.implicits._
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(8)(d => (if (d == (i % 4).toInt) 10f else 0f) + ((i * 31 + d * 7) % 5) * 0.1f)
+    val toDF = (s: Seq[Long]) => s.map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val dir = tmpDir("ivf-cadence").resolve("index").toString
+
+    Similarity.writeIvfIndex(toDF(0L until 40L), dir, nLists = 4)
+    val m0 = Similarity.readTrainMeta(dir).get
+    assert(m0.trainedRows == 40L && m0.appendedRows == 0L && m0.nLists == 4)
+
+    // below threshold: 30 appended < 1.0 × 40 trained — cheap no-op
+    Similarity.appendToIvfIndex(toDF(100L until 130L), dir)
+    assert(Similarity.readTrainMeta(dir).get.appendedRows == 30L)
+    assert(Similarity.maybeRebuildIvfIndex(spark, dir).isEmpty)
+    assert(Similarity.readTrainMeta(dir).get.appendedRows == 30L, "no-op must not touch meta")
+
+    // crossing threshold: 45 ≥ 40 — rebuild fires and resets the counter
+    Similarity.appendToIvfIndex(toDF(200L until 215L), dir)
+    assert(Similarity.maybeRebuildIvfIndex(spark, dir).isDefined)
+    val m1 = Similarity.readTrainMeta(dir).get
+    assert(m1.trainedRows == 85L && m1.appendedRows == 0L,
+      s"rebuild must retrain over all 85 rows and reset the drift counter ($m1)")
+    assert(m1.nLists == 4 && m1.seed == m0.seed && m1.md5Seeding == m0.md5Seeding,
+      "rebuild must preserve the index's training parameters")
+
+    // the rebuilt index equals a from-scratch one over the same rows
+    val scratch = tmpDir("ivf-cadence-scratch").resolve("index").toString
+    Similarity.writeIvfIndex(toDF((0L until 40L) ++ (100L until 130L) ++ (200L until 215L)),
+      scratch, nLists = 4)
+    val queries = toDF(900L until 903L)
+    def top(d: String) = Similarity.ivfTopKForVectors(spark, d, queries, k = 5, nprobe = 2)
+      .collect().map(_.toString).sorted
+    assert(top(dir).sameElements(top(scratch)), "cadence rebuild must equal from-scratch")
+
+    // pre-meta index (created before provenance existed): appends work,
+    // cadence declines to judge
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_train_meta.json"))
+    Similarity.appendToIvfIndex(toDF(300L until 310L), dir)
+    assert(Similarity.maybeRebuildIvfIndex(spark, dir).isEmpty)
+    assert(Similarity.readTrainMeta(dir).isEmpty)
+  }
+
   test("viral-boilerplate bucket cap bounds candidate generation (hot-bucket defense)") {
     import spark.implicits._
     // 400 identical boilerplate docs + the real corpus: uncapped, the

@@ -24,10 +24,11 @@ import graft.lake.{LakeTable, SnapshotPin}
   *     probe, O(increment) index growth),
   *
   * so curation cost per increment is O(changed docs), never O(table) — the
-  * property that matters at 10^10 rows. Deletes need no index maintenance:
-  * a tombstoned url's stale index entries can only surface as near-dup
-  * evidence against OLD content, and downstream joins back to the live
-  * table drop them (documented contract; a periodic index rebuild GCs them).
+  * property that matters at 10^10 rows. Deletes need no PER-INCREMENT index
+  * maintenance: a tombstoned url's stale index entries can only surface as
+  * near-dup evidence against OLD content, and downstream joins back to the
+  * live table drop them; [[rebuildIndex]] is the periodic GC that actually
+  * removes them (and updated urls' previous-content signatures).
   *
   * A long-lived curator should [[LakeTable.pin]] its `from` snapshot so
   * expiry retains the span (see readIncrement's pin contract).
@@ -134,6 +135,39 @@ object Curate {
     onIncrement(si)
     writeCursor(lshDir, to)
     Some(si)
+  }
+
+  /** GC/REBUILD the curation index from the LIVE table — the periodic
+    * maintenance op backing the delete contract above: incremental appends
+    * never remove rows, so tombstoned urls' bands and updated urls'
+    * previous-content signatures accumulate until a rebuild drops them.
+    * Pins the current snapshot (concurrent expiry cannot GC the inputs),
+    * re-scores the live rows with the SAME quality/length gate the
+    * increments used (pass the same thresholds), and rebuilds the index via
+    * [[LshIndex.rebuild]] — the curation CURSOR is installed INSIDE the
+    * fresh tree before the atomic swap, so index contents and progress
+    * marker publish together: after the swap the cursor reads the pinned
+    * snapshot id and the next [[curateToHead]] resumes from exactly the
+    * state the rebuild captured (a crash before the swap leaves the old
+    * index + old cursor fully intact). Returns the snapshot id the rebuilt
+    * index represents. Run with the curator paused (or accept one loud
+    * span-replay on its restart — see [[LshIndex.rebuild]]); cost is
+    * O(live table) by design. */
+  def rebuildIndex(spark: SparkSession, table: LakeTable, lshDir: Path,
+      minQuality: Double = 0.0, minTokens: Int = 3): Long = {
+    val (snap, pin) = table.pinCurrent()
+    try {
+      val s = snap.snapshotId
+      val live = table.read(spark, Some(s)).filter(col("text").isNotNull)
+        .select(col("url"), col("text"),
+          TextOps.qualityScore(col("text")).as("quality"),
+          TextOps.tokenCount(col("text")).as("tokens"))
+        .filter(col("quality") >= minQuality && col("tokens") >= minTokens)
+        .select(col("url"), col("text"))
+      LshIndex.rebuild(spark, live, "text", "url", lshDir, span = s"0-$s",
+        beforeSwap = fresh => writeCursor(fresh, s))
+      s
+    } finally pin.release()
   }
 
   /** The whole CDC→curation loop as ONE streaming query: binlog tail →

@@ -215,6 +215,44 @@ object LshIndex {
         "left_semi")
     }
 
+  /** REBUILD the index from a corpus snapshot — the GC lever for stale
+    * entries: appends only ever ADD rows, so a deleted document's bands and
+    * an updated document's previous-content signatures stay in the index
+    * until a rebuild drops them (they cost probe-side candidate fan-out and
+    * bucket-cap pressure, and a stale-sig match is near-dup evidence against
+    * content that no longer exists). The rebuild re-shingles `liveDocs`,
+    * writes a complete fresh index NEXT TO the live one (same `params.json`
+    * shape, one `span=<tag>` directory), and swaps — after it, the index
+    * equals `create` + one `append` of `liveDocs`, bit for bit.
+    *
+    * Swap protocol (the [[Similarity.rebuildIvfIndex]] discipline): build
+    * under `<dir>.rebuild-<nonce>` (probes never see it), `beforeSwap` runs
+    * against the finished fresh tree (install sidecar state — e.g. the
+    * curation cursor — so the swap publishes index + state atomically), then
+    * `dir → <dir>.old-<nonce>` and `rebuild → dir` (two atomic renames) and
+    * the old tree is deleted. Probes re-list per call: the only hazard is
+    * the instant between the renames — a concurrent probe fails loudly on
+    * the missing dir (retry); it can never observe a mix of old and new
+    * spans. Crash between the renames: restore by renaming `.old-<nonce>`
+    * back. Concurrent APPENDERS are not supported during the swap (their
+    * span write fails loudly and replays after restart — pause the curator
+    * or rely on its span-keyed replay); rebuild cost is O(corpus) by design,
+    * the periodic-maintenance price of an append-only index. */
+  def rebuild(spark: SparkSession, liveDocs: DataFrame, textCol: String,
+      idCol: String, dir: Path, span: String = "rebuilt",
+      beforeSwap: Path => Unit = _ => ()): Unit = {
+    val p = load(dir)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val fresh = dir.resolveSibling(s"${dir.getFileName}.rebuild-$nonce")
+    create(fresh, p)
+    append(liveDocs, textCol, idCol, fresh, Some(span))
+    beforeSwap(fresh)
+    val old = dir.resolveSibling(s"${dir.getFileName}.old-$nonce")
+    Files.move(dir, old, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Files.move(fresh, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    graft.lake.SinkIO.rmDir(old)
+  }
+
   /** Convenience: probe-then-append in the canonical ingest order — returns
     * the batch's near-dups against everything indexed BEFORE it.
     *

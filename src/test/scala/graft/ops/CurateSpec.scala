@@ -6,6 +6,7 @@ import graft.SparkSpec
 import graft.binlog.{ChangeEventGen, EventCodec, GenProfile}
 import graft.cdc.{Ingest, Mor}
 import graft.lake.LakeTable
+import graft.model.ChangeEvent
 
 /** The CDC → curation composition: per-span increments (change feed →
   * score → LSH probe-then-append) must cover exactly the table's live
@@ -171,6 +172,113 @@ class CurateSpec extends SparkSpec {
     // and the table itself matches the same-batching control table
     val ctlTable = LakeTable.load(ctlRoot)
     assert(table.read(spark).count() == ctlTable.read(spark).count())
+  }
+
+  test("curated stream under aggressive expiry: pinned cursor keeps every span readable") {
+    // expiry runs BEFORE afterBatch in the batch loop — the curator's pin
+    // (leased at each increment's `to`, heartbeated when idle) is the only
+    // thing keeping a span's `from` anchor alive at keepSnapshots=1. The
+    // curated index must equal a no-expiry control's exactly.
+    val p = GenProfile.uniformSmall().copy(partitions = 1, eventsPerPartition = 1500)
+    val binlog = tmpDir("ce_bl")
+    ChangeEventGen.writeSegments(p, binlog, segmentEvents = 300)
+    val params = LshIndex.Params(n = 3, bands = 4, rowsPerBand = 2, shards = 8)
+
+    val ctlIdx = tmpDir("ce_ctlidx"); LshIndex.create(ctlIdx, params)
+    Curate.startCuratedStream(spark, binlog.toString, tmpDir("ce_ctltbl"),
+      tmpDir("ce_ctlck").toString, ctlIdx, maxEventsPerBatch = 300, nBuckets = 4)
+      .awaitTermination()
+
+    val idx = tmpDir("ce_idx"); LshIndex.create(idx, params)
+    val tblRoot = tmpDir("ce_tbl")
+    Curate.startCuratedStream(spark, binlog.toString, tblRoot,
+      tmpDir("ce_ck").toString, idx, maxEventsPerBatch = 300, nBuckets = 4,
+      expireEveryBatches = 1L, keepSnapshots = 1)
+      .awaitTermination()
+    val table = LakeTable.load(tblRoot)
+    assert(Curate.curatedHead(idx).contains(table.currentSnapshotId))
+    assert(indexRows(idx) == indexRows(ctlIdx),
+      "aggressive expiry must not change what gets curated")
+  }
+
+  test("rebuildIndex: GCs tombstoned urls and superseded signatures; cursor installed atomically") {
+    import java.sql.Timestamp
+    // span 1: upserts only, curated through the one-call loop
+    val p = GenProfile.uniformSmall().copy(partitions = 1, eventsPerPartition = 600,
+      deleteRatio = 0.0)
+    val binlog = tmpDir("rb_bl")
+    ChangeEventGen.writeSegments(p, binlog, segmentEvents = 600)
+    val idx = tmpDir("rb_idx")
+    LshIndex.create(idx, LshIndex.Params(n = 3, bands = 4, rowsPerBand = 2, shards = 8))
+    val tblRoot = tmpDir("rb_tbl")
+    val ckpt = tmpDir("rb_ck").toString
+    Curate.startCuratedStream(spark, binlog.toString, tblRoot, ckpt, idx,
+      maxEventsPerBatch = 600, nBuckets = 4).awaitTermination()
+    var table = LakeTable.load(tblRoot)
+    val phase1 = table.read(spark).filter(col("text").isNotNull)
+      .select("url", "text").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val urls = phase1.keys.toSeq.sorted
+    val (deleted, updated) = (urls.take(3), urls.slice(3, 6))
+    assert(deleted.size == 3 && updated.size == 3)
+
+    // span 2: strictly-later deletes of 3 curated urls + new-content upserts
+    // of 3 others, landed through the same stream (checkpoint restart)
+    val later = new Timestamp(table.read(spark).agg(max("warc_ts")).head()
+      .getTimestamp(0).getTime + 3600L * 1000)
+    var off = p.eventsPerPartition
+    val w = new graft.binlog.SegmentWriter(binlog, 0, off)
+    deleted.foreach { u =>
+      w.writeEvent(ChangeEvent(0, off, ChangeEvent.OpDelete, u, later, null, "en"),
+        EventCodec.V2); off += 1
+    }
+    updated.foreach { u =>
+      w.writeEvent(ChangeEvent(0, off, ChangeEvent.OpUpsert, u, later,
+        ChangeEventGen.html(u, 5000L, p.seed, 400), "en"), EventCodec.V2); off += 1
+    }
+    w.close()
+    Curate.startCuratedStream(spark, binlog.toString, tblRoot, ckpt, idx,
+      maxEventsPerBatch = 600, nBuckets = 4).awaitTermination()
+    table = LakeTable.load(tblRoot)
+
+    // pre-GC: appends never remove rows — deleted urls still indexed,
+    // updated urls hold BOTH content versions' signatures, and probing the
+    // deleted url's old text still surfaces the stale entry
+    def ids() = spark.read.parquet(idx.resolve("bands").toString)
+      .select("id").distinct().collect().map(_.getString(0)).toSet
+    def sigVersions(u: String) = spark.read.parquet(idx.resolve("bands").toString)
+      .filter(col("id") === u).select("sig").distinct().count()
+    assert(deleted.forall(ids().contains))
+    updated.foreach(u => assert(sigVersions(u) == 2L, s"$u should hold 2 sig versions pre-GC"))
+    import spark.implicits._
+    val probe = Seq(("probe-del", phase1(deleted.head))).toDF("doc_id", "txt")
+    def staleHits() = LshIndex.nearDupsOf(spark, probe, "txt", "doc_id", idx)
+      .filter(col("old_id") === deleted.head).count()
+    assert(staleHits() > 0, "probe of deleted content should hit the stale entry pre-GC")
+
+    val s = Curate.rebuildIndex(spark, table, idx)
+    assert(s == table.currentSnapshotId)
+    // cursor published atomically with the swap: at head, next increment no-ops
+    assert(Curate.curatedHead(idx).contains(s))
+    assert(Curate.curateToHead(spark, table, idx).isEmpty)
+
+    // GC semantics: tombstoned urls gone, updated urls keep exactly the live
+    // signature, stale-content probes stop matching
+    assert(deleted.forall(u => !ids().contains(u)))
+    updated.foreach(u => assert(sigVersions(u) == 1L, s"$u should hold 1 sig version post-GC"))
+    assert(staleHits() == 0L)
+
+    // rebuilt == create + ONE append of the gated live docs, bit for bit
+    val ctl = tmpDir("rb_ctl")
+    LshIndex.create(ctl, LshIndex.load(idx))
+    val live = table.read(spark).filter(col("text").isNotNull)
+      .filter(TextOps.qualityScore(col("text")) >= 0.0 &&
+        TextOps.tokenCount(col("text")) >= 3)
+      .select(col("url"), col("text"))
+    LshIndex.append(live, "text", "url", ctl, Some(s"0-$s"))
+    def all(d: java.nio.file.Path) = spark.read.parquet(d.resolve("bands").toString)
+      .select("span", "id", "sig", "band", "bucket", "pb")
+      .collect().map(_.toString).sorted.toSeq
+    assert(all(idx) == all(ctl))
   }
 
   test("curated stream across a table-data gap: restart picks up new segments") {

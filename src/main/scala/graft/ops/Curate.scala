@@ -47,9 +47,11 @@ object Curate {
         TextOps.tokenCount(col("text")).as("tokens"))
   }
 
-  /** Result of one curation increment: the quality-passing docs of the span
-    * and their near-dup hits against everything curated BEFORE the span. */
-  final case class Increment(kept: DataFrame, nearDups: DataFrame)
+  /** Result of one curation increment: the quality-passing docs of the span,
+    * their near-dup hits against everything curated BEFORE the span, and the
+    * (doc, band) index rows the span appended (the GC-cadence growth signal). */
+  final case class Increment(kept: DataFrame, nearDups: DataFrame,
+      appendedRows: Long)
 
   /** Run one increment end to end: score the span's winners, keep docs
     * passing the quality/length gate, probe-then-append the LSH index.
@@ -70,9 +72,9 @@ object Curate {
     val to = toSnapshotId.getOrElse(table.currentSnapshotId)
     val scored = scoredIncrement(spark, table, fromSnapshotId, Some(to))
     val kept = scored.filter(col("quality") >= minQuality && col("tokens") >= minTokens)
-    val dups = LshIndex.probeAndAppend(spark, kept, "text", "url", lshDir,
+    val (dups, n) = LshIndex.probeAndAppendCounted(spark, kept, "text", "url", lshDir,
       minMatchFrac = minMatchFrac, span = Some(s"$fromSnapshotId-$to"))
-    Increment(kept, dups)
+    Increment(kept, dups, n)
   }
 
   /** An increment plus the snapshot span it covered — the replay key for
@@ -84,20 +86,38 @@ object Curate {
     * already in the index. Persisted inside the index directory (the cursor
     * and the spans it tracks live or die together — copying the index copies
     * its progress). */
-  def curatedHead(lshDir: Path): Option[Long] = {
-    val f = cursorFile(lshDir)
-    if (!Files.exists(f)) None
-    else {
-      val j = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
-      """"curatedSnapshotId"\s*:\s*(\d+)""".r.findFirstMatchIn(j).map(_.group(1).toLong)
-    }
-  }
+  def curatedHead(lshDir: Path): Option[Long] =
+    readCursor(lshDir).map(_.curatedSnapshotId)
+
+  /** Cursor sidecar state: progress plus the GC growth counters —
+    * `rowsAtRebuild` = (doc, band) rows the index held after the last
+    * rebuild (the staleness baseline), `rowsSinceRebuild` = rows appended by
+    * increments since. A legacy cursor predating the counters reads as
+    * (0, 0): increments keep working, [[maybeRebuildIndex]] declines to
+    * judge until one explicit [[rebuildIndex]] seeds the baseline — the
+    * [[Similarity.readTrainMeta]] pre-meta contract. */
+  private final case class CursorMeta(curatedSnapshotId: Long,
+      rowsSinceRebuild: Long, rowsAtRebuild: Long)
 
   private def cursorFile(lshDir: Path) = lshDir.resolve("_curated_head.json")
 
-  private def writeCursor(lshDir: Path, snapshotId: Long): Unit = {
-    val tmp = lshDir.resolve(s".curated_head.$snapshotId.tmp")
-    Files.write(tmp, s"""{"curatedSnapshotId":$snapshotId}""".getBytes(StandardCharsets.UTF_8))
+  private def readCursor(lshDir: Path): Option[CursorMeta] = {
+    val f = cursorFile(lshDir)
+    if (!Files.exists(f)) return None
+    val j = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+    def num(name: String): Option[Long] =
+      s""""$name"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(j).map(_.group(1).toLong)
+    num("curatedSnapshotId").map(id =>
+      CursorMeta(id, num("rowsSinceRebuild").getOrElse(0L),
+        num("rowsAtRebuild").getOrElse(0L)))
+  }
+
+  private def writeCursor(lshDir: Path, m: CursorMeta): Unit = {
+    val tmp = lshDir.resolve(s".curated_head.${m.curatedSnapshotId}.tmp")
+    Files.write(tmp,
+      (s"""{"curatedSnapshotId":${m.curatedSnapshotId},""" +
+        s""""rowsSinceRebuild":${m.rowsSinceRebuild},""" +
+        s""""rowsAtRebuild":${m.rowsAtRebuild}}""").getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, cursorFile(lshDir),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
   }
@@ -126,14 +146,21 @@ object Curate {
       minQuality: Double = 0.0, minTokens: Int = 3, minMatchFrac: Double = 0.5,
       initialFromSnapshotId: Long = 0L,
       onIncrement: SpanIncrement => Unit = _ => ()): Option[SpanIncrement] = {
-    val from = curatedHead(lshDir).getOrElse(initialFromSnapshotId)
+    val prev = readCursor(lshDir)
+    val from = prev.map(_.curatedSnapshotId).getOrElse(initialFromSnapshotId)
     val to = table.currentSnapshotId
     if (to <= from) return None
     val inc = curateIncrement(spark, table, lshDir, from, Some(to),
       minQuality = minQuality, minTokens = minTokens, minMatchFrac = minMatchFrac)
     val si = SpanIncrement(from, to, inc)
     onIncrement(si)
-    writeCursor(lshDir, to)
+    // growth accounting is replay-idempotent with the span: a crashed span
+    // never bumped the cursor, so its re-run re-reads the same `prev`
+    writeCursor(lshDir, prev match {
+      case Some(m) => m.copy(curatedSnapshotId = to,
+        rowsSinceRebuild = m.rowsSinceRebuild + inc.appendedRows)
+      case None => CursorMeta(to, 0L, inc.appendedRows) // first increment seeds the GC baseline
+    })
     Some(si)
   }
 
@@ -164,10 +191,33 @@ object Curate {
           TextOps.tokenCount(col("text")).as("tokens"))
         .filter(col("quality") >= minQuality && col("tokens") >= minTokens)
         .select(col("url"), col("text"))
-      LshIndex.rebuild(spark, live, "text", "url", lshDir, span = s"0-$s",
-        beforeSwap = fresh => writeCursor(fresh, s))
+      LshIndex.rebuild(spark, live, "text", "url", lshDir, span = s"gc-$s",
+        beforeSwap = (fresh, n) => writeCursor(fresh, CursorMeta(s, 0L, n)))
       s
     } finally pin.release()
+  }
+
+  /** Automated GC cadence (the [[Similarity.maybeRebuildIvfIndex]] of the
+    * near-dup side): rebuild once the (doc, band) rows appended since the
+    * last rebuild exceed `staleFactor` × the rows the index held right after
+    * it — the growth proxy for stale-row accumulation in an append-only
+    * index (every update re-indexes its url; every delete strands rows).
+    * Cheap no-op under threshold (one cursor-file read); a legacy cursor
+    * without counters (or none) declines to judge — rebuild once explicitly
+    * and tracking starts. Pass the SAME quality gate the increments use.
+    * Call on any maintenance cadence; [[startCuratedStream]] runs it inside
+    * the batch loop when `gcStaleFactor` > 0 (single-writer for free).
+    * Returns the rebuilt snapshot id when GC ran. */
+  def maybeRebuildIndex(spark: SparkSession, table: LakeTable, lshDir: Path,
+      staleFactor: Double = 1.0, minQuality: Double = 0.0,
+      minTokens: Int = 3): Option[Long] = {
+    require(staleFactor > 0, "staleFactor must be positive")
+    readCursor(lshDir) match {
+      case Some(m) if m.rowsAtRebuild > 0 &&
+          m.rowsSinceRebuild >= staleFactor * m.rowsAtRebuild =>
+        Some(rebuildIndex(spark, table, lshDir, minQuality, minTokens))
+      case _ => None
+    }
   }
 
   /** The whole CDC→curation loop as ONE streaming query: binlog tail →
@@ -183,7 +233,11 @@ object Curate {
     * [[LakeTable.readIncrement]]'s documented pin contract. Between a crash
     * and a restart the lease goes un-heartbeated and ages out on the
     * `ignorePinsOlderThanMs` horizon; restart within that horizon (or keep
-    * expiry retention above the expected downtime). */
+    * expiry retention above the expected downtime).
+    *
+    * `gcStaleFactor` > 0 additionally runs [[maybeRebuildIndex]] after each
+    * increment — index GC rides the batch loop, serialized with ingest and
+    * curation (the rebuild's single-maintenance requirement, for free). */
   def startCuratedStream(spark: SparkSession, binlogDir: String,
       tableRoot: Path, checkpointDir: String, lshDir: Path,
       maxEventsPerBatch: Long = 1000000L,
@@ -191,8 +245,14 @@ object Curate {
       mode: MergeMode = Mor, expireEveryBatches: Long = 0L,
       keepSnapshots: Int = 10,
       minQuality: Double = 0.0, minTokens: Int = 3, minMatchFrac: Double = 0.5,
+      gcStaleFactor: Double = 0.0,
       onIncrement: SpanIncrement => Unit = _ => ()): StreamingQuery = {
     var pin: Option[SnapshotPin] = None
+    def swapPinTo(table: LakeTable, snapshotId: Long): Unit = {
+      val np = table.pin(snapshotId)
+      pin.foreach(_.release())
+      pin = Some(np)
+    }
     Ingest.startStream(spark, binlogDir, tableRoot, checkpointDir,
       maxEventsPerBatch = maxEventsPerBatch, trigger = trigger,
       nBuckets = nBuckets, mode = mode,
@@ -205,9 +265,15 @@ object Curate {
           minTokens = minTokens, minMatchFrac = minMatchFrac,
           onIncrement = onIncrement) match {
           case Some(si) =>
-            val np = table.pin(si.toSnapshotId)
-            pin.foreach(_.release())
-            pin = Some(np)
+            swapPinTo(table, si.toSnapshotId)
+            // in-loop GC: inside afterBatch the rebuild is serialized with
+            // ingest and curation — the single-maintenance discipline
+            // LshIndex.rebuild requires, for free. At staleFactor f the
+            // cadence is "rebuild when the index grew f×", so total rebuild
+            // cost is amortized O(rows/f) — the LSM bound.
+            if (gcStaleFactor > 0)
+              maybeRebuildIndex(spark, table, lshDir, gcStaleFactor,
+                minQuality, minTokens).foreach(swapPinTo(table, _))
           case None => pin.foreach(_.touch()) // idle: heartbeat the lease
         }
       })

@@ -142,17 +142,24 @@ object LshIndex {
     * of duplicating them (the lake table's marker-gated discipline, applied
     * to the index). Ad-hoc appends (`span = None`) accumulate under one
     * shared tag and are NOT replay-idempotent — callers with replay
-    * semantics (the curation loop) must pass their span. */
+    * semantics (the curation loop) must pass their span.
+    *
+    * Returns the number of (doc, band) rows written (observed on the write
+    * action itself — no second pass); [[graft.ops.Curate]] accumulates it as
+    * the growth counter driving its GC-rebuild cadence. */
   def append(docs: DataFrame, textCol: String, idCol: String, dir: Path,
-      span: Option[String] = None): Unit = {
+      span: Option[String] = None): Long = {
     val p = load(dir)
+    val obs = org.apache.spark.sql.Observation()
     val rows = bandRows(docs, textCol, idCol, p)
       .withColumn("pb", pmod(hash(col("bucket")), lit(p.shards)))
+      .observe(obs, count(lit(1)).as("n"))
     val (mode, out) = span match {
       case Some(tag) => ("overwrite", spanDir(dir, tag))
       case None => ("append", spanDir(dir, "adhoc"))
     }
-    rows.write.mode(mode).partitionBy("pb").parquet(out.toString): Unit
+    rows.write.mode(mode).partitionBy("pb").parquet(out.toString)
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** Near-duplicates of `newDocs` against the INDEXED corpus: one row per
@@ -227,8 +234,9 @@ object LshIndex {
     *
     * Swap protocol (the [[Similarity.rebuildIvfIndex]] discipline): build
     * under `<dir>.rebuild-<nonce>` (probes never see it), `beforeSwap` runs
-    * against the finished fresh tree (install sidecar state — e.g. the
-    * curation cursor — so the swap publishes index + state atomically), then
+    * against the finished fresh tree and its (doc, band) row count (install
+    * sidecar state — e.g. the curation cursor with its reset GC growth
+    * baseline — so the swap publishes index + state atomically), then
     * `dir → <dir>.old-<nonce>` and `rebuild → dir` (two atomic renames) and
     * the old tree is deleted. Probes re-list per call: the only hazard is
     * the instant between the renames — a concurrent probe fails loudly on
@@ -240,17 +248,18 @@ object LshIndex {
     * the periodic-maintenance price of an append-only index. */
   def rebuild(spark: SparkSession, liveDocs: DataFrame, textCol: String,
       idCol: String, dir: Path, span: String = "rebuilt",
-      beforeSwap: Path => Unit = _ => ()): Unit = {
+      beforeSwap: (Path, Long) => Unit = (_, _) => ()): Long = {
     val p = load(dir)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val fresh = dir.resolveSibling(s"${dir.getFileName}.rebuild-$nonce")
     create(fresh, p)
-    append(liveDocs, textCol, idCol, fresh, Some(span))
-    beforeSwap(fresh)
+    val n = append(liveDocs, textCol, idCol, fresh, Some(span))
+    beforeSwap(fresh, n)
     val old = dir.resolveSibling(s"${dir.getFileName}.old-$nonce")
     Files.move(dir, old, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     Files.move(fresh, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     graft.lake.SinkIO.rmDir(old)
+    n
   }
 
   /** Convenience: probe-then-append in the canonical ingest order — returns
@@ -264,10 +273,18 @@ object LshIndex {
     * the lineage away from the index files entirely. */
   def probeAndAppend(spark: SparkSession, batch: DataFrame, textCol: String,
       idCol: String, dir: Path, minMatchFrac: Double = 0.5,
-      maxBucketSize: Int = 1000, span: Option[String] = None): DataFrame = {
+      maxBucketSize: Int = 1000, span: Option[String] = None): DataFrame =
+    probeAndAppendCounted(spark, batch, textCol, idCol, dir, minMatchFrac,
+      maxBucketSize, span)._1
+
+  /** [[probeAndAppend]] plus the appended (doc, band) row count — the
+    * growth signal [[graft.ops.Curate]] feeds its GC-rebuild cadence. */
+  def probeAndAppendCounted(spark: SparkSession, batch: DataFrame,
+      textCol: String, idCol: String, dir: Path, minMatchFrac: Double = 0.5,
+      maxBucketSize: Int = 1000, span: Option[String] = None): (DataFrame, Long) = {
     val out = nearDupsOf(spark, batch, textCol, idCol, dir, minMatchFrac, maxBucketSize)
       .localCheckpoint(true)
-    append(batch, textCol, idCol, dir, span)
-    out
+    val n = append(batch, textCol, idCol, dir, span)
+    (out, n)
   }
 }

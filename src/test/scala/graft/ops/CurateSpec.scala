@@ -274,7 +274,83 @@ class CurateSpec extends SparkSpec {
       .filter(TextOps.qualityScore(col("text")) >= 0.0 &&
         TextOps.tokenCount(col("text")) >= 3)
       .select(col("url"), col("text"))
-    LshIndex.append(live, "text", "url", ctl, Some(s"0-$s"))
+    LshIndex.append(live, "text", "url", ctl, Some(s"gc-$s"))
+    def all(d: java.nio.file.Path) = spark.read.parquet(d.resolve("bands").toString)
+      .select("span", "id", "sig", "band", "bucket", "pb")
+      .collect().map(_.toString).sorted.toSeq
+    assert(all(idx) == all(ctl))
+  }
+
+  test("GC cadence: maybeRebuildIndex fires on index growth and resets the baseline") {
+    val p = GenProfile.uniformSmall().copy(partitions = 1, eventsPerPartition = 400)
+    val binlog = tmpDir("mc_bl")
+    ChangeEventGen.writeSegments(p, binlog, segmentEvents = 200)
+    val idx = tmpDir("mc_idx")
+    LshIndex.create(idx, LshIndex.Params(n = 3, bands = 4, rowsPerBand = 2, shards = 8))
+    val tblRoot = tmpDir("mc_tbl")
+
+    // span 1 seeds the growth baseline (first increment = rowsAtRebuild)
+    var table = Ingest.replayBatch(spark, binlog.toString, tblRoot,
+      eventsPerBatch = 400L, nBuckets = 4, mode = Mor)
+    val inc1 = Curate.curateToHead(spark, table, idx).get
+    assert(inc1.increment.appendedRows > 0)
+    // no growth since the seed: cheap no-op at any factor
+    assert(Curate.maybeRebuildIndex(spark, table, idx, staleFactor = 0.01).isEmpty)
+
+    // span 2 grows the index; a high factor declines, a low one fires
+    var off = p.eventsPerPartition
+    val w = new graft.binlog.SegmentWriter(binlog, 0, off)
+    while (off < 800) {
+      w.writeEvent(ChangeEventGen.event(p.copy(eventsPerPartition = 800), 0, off),
+        EventCodec.V2); off += 1
+    }
+    w.close()
+    // same batch size: batch 0 replays as a marker-gated no-op, batch 1
+    // carries the new span
+    table = Ingest.replayBatch(spark, binlog.toString, tblRoot,
+      eventsPerBatch = 400L, nBuckets = 4, mode = Mor)
+    val inc2 = Curate.curateToHead(spark, table, idx).get
+    assert(inc2.increment.appendedRows > 0)
+    assert(Curate.maybeRebuildIndex(spark, table, idx, staleFactor = 1e9).isEmpty,
+      "under-threshold growth must not rebuild")
+    val rebuilt = Curate.maybeRebuildIndex(spark, table, idx, staleFactor = 0.1)
+    assert(rebuilt.contains(table.currentSnapshotId))
+    // counter reset: the same low factor immediately after is a no-op
+    assert(Curate.maybeRebuildIndex(spark, table, idx, staleFactor = 0.1).isEmpty)
+    assert(Curate.curatedHead(idx).contains(table.currentSnapshotId))
+    // no cursor at all (fresh index dir): declines to judge
+    val bare = tmpDir("mc_bare")
+    LshIndex.create(bare, LshIndex.Params(n = 3, bands = 4, rowsPerBand = 2, shards = 8))
+    assert(Curate.maybeRebuildIndex(spark, table, bare, staleFactor = 0.01).isEmpty)
+  }
+
+  test("startCuratedStream with in-loop GC: rebuilds fire, curation stays correct") {
+    val p = GenProfile.uniformSmall().copy(partitions = 1, eventsPerPartition = 1500)
+    val binlog = tmpDir("sg_bl")
+    ChangeEventGen.writeSegments(p, binlog, segmentEvents = 300)
+    val params = LshIndex.Params(n = 3, bands = 4, rowsPerBand = 2, shards = 8)
+    val idx = tmpDir("sg_idx"); LshIndex.create(idx, params)
+    val tblRoot = tmpDir("sg_tbl")
+    // 5 batches; factor 0.1 fires GC nearly every increment after the seed —
+    // combined with aggressive expiry, the hardest composition the loop runs
+    Curate.startCuratedStream(spark, binlog.toString, tblRoot,
+      tmpDir("sg_ck").toString, idx, maxEventsPerBatch = 300, nBuckets = 4,
+      expireEveryBatches = 1L, keepSnapshots = 1, gcStaleFactor = 0.1)
+      .awaitTermination()
+    val table = LakeTable.load(tblRoot)
+    assert(Curate.curatedHead(idx).contains(table.currentSnapshotId))
+    // a GC actually ran: its span tag is distinguishable from increments'
+    val spans = java.nio.file.Files.list(idx.resolve("bands")).toArray.map(_.toString)
+    assert(spans.exists(_.contains("span=gc-")), s"no GC span among ${spans.toSeq}")
+    // index coverage survives interleaved rebuilds: every gated live doc's
+    // current signature is present — equality with one final full rebuild
+    val s = Curate.rebuildIndex(spark, table, idx)
+    val ctl = tmpDir("sg_ctl"); LshIndex.create(ctl, params)
+    val live = table.read(spark).filter(col("text").isNotNull)
+      .filter(TextOps.qualityScore(col("text")) >= 0.0 &&
+        TextOps.tokenCount(col("text")) >= 3)
+      .select(col("url"), col("text"))
+    LshIndex.append(live, "text", "url", ctl, Some(s"gc-$s"))
     def all(d: java.nio.file.Path) = spark.read.parquet(d.resolve("bands").toString)
       .select("span", "id", "sig", "band", "bucket", "pb")
       .collect().map(_.toString).sorted.toSeq

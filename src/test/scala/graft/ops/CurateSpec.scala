@@ -357,6 +357,49 @@ class CurateSpec extends SparkSpec {
     assert(all(idx) == all(ctl))
   }
 
+  test("curated stream: crash at EVERY span boundary converges to the control") {
+    // the single-crash test above pins one hazard window; this sweeps it —
+    // for each k, crash inside the k-th onIncrement (span appended, cursor
+    // not yet bumped, consumer never notified), restart, and require the
+    // final index, cursor and table to equal the uninterrupted control's
+    val p = GenProfile.uniformSmall().copy(partitions = 1, eventsPerPartition = 1200)
+    val binlog = tmpDir("cw_bl")
+    ChangeEventGen.writeSegments(p, binlog, segmentEvents = 300)
+    val params = LshIndex.Params(n = 3, bands = 4, rowsPerBand = 2, shards = 8)
+
+    val ctlIdx = tmpDir("cw_ctlidx"); LshIndex.create(ctlIdx, params)
+    val ctlRoot = tmpDir("cw_ctltbl")
+    Curate.startCuratedStream(spark, binlog.toString, ctlRoot,
+      tmpDir("cw_ctlck").toString, ctlIdx, maxEventsPerBatch = 300, nBuckets = 4)
+      .awaitTermination()
+    val ctlRows = indexRows(ctlIdx)
+    val ctlHead = LakeTable.load(ctlRoot).currentSnapshotId
+    val nSpans = 4 // 1200 events / 300-event batches
+
+    (1 to nSpans).foreach { k =>
+      val idx = tmpDir(s"cw_idx$k"); LshIndex.create(idx, params)
+      val tblRoot = tmpDir(s"cw_tbl$k")
+      val ckpt = tmpDir(s"cw_ck$k").toString
+      var seen = 0
+      def onInc(arm: Boolean)(si: Curate.SpanIncrement): Unit = {
+        seen += 1
+        if (arm && seen == k) sys.error(s"injected crash in span $k at ${si.toSnapshotId}")
+      }
+      val q1 = Curate.startCuratedStream(spark, binlog.toString, tblRoot, ckpt, idx,
+        maxEventsPerBatch = 300, nBuckets = 4, onIncrement = onInc(arm = true))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.awaitTermination()
+      }
+      Curate.startCuratedStream(spark, binlog.toString, tblRoot, ckpt, idx,
+        maxEventsPerBatch = 300, nBuckets = 4, onIncrement = onInc(arm = false))
+        .awaitTermination()
+      val table = LakeTable.load(tblRoot)
+      assert(table.currentSnapshotId == ctlHead, s"crash@$k: head diverged")
+      assert(Curate.curatedHead(idx).contains(ctlHead), s"crash@$k: cursor diverged")
+      assert(indexRows(idx) == ctlRows, s"crash@$k: index diverged")
+    }
+  }
+
   test("curated stream across a table-data gap: restart picks up new segments") {
     // phase 1 drains half the log, terminates (AvailableNow); more segments
     // land; phase 2 restarts from the checkpoint and curates ONLY the new

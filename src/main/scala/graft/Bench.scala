@@ -13,8 +13,10 @@ import graft.app.BenchUtil
   *  - a small warmup ingest JITs the whole pipeline before anything is timed;
   *  - the ingest headline and the three merge queries are best-of-2 — the
   *    reproducible number, not the GC-noise envelope;
-  *  - a steady-state multi-batch COW ingest (the CowAB shape) is reported so
-  *    the per-batch O(batch) merge cost is visible in round diffs.
+  *  - steady-state multi-batch COW and MOR ingests (the CowAB shape) are
+  *    reported so the per-batch O(batch) merge cost is visible in round
+  *    diffs; their attempts alternate modes across the window, best-of-3
+  *    per mode (drift-resistant — the ScalingBench protocol).
   *
   * Env knobs: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS
   * (default 32), GRAFT_BENCH_EVENTS (default 1,000,000 CDC events).
@@ -81,19 +83,23 @@ object Bench {
     val (ev, ingestSec, eps) = Seq(ingestOnce(), ingestOnce()).minBy(_._2)
     results("cdc_ingest_1m") = ingestSec
 
-    // steady-state COW: 16 growing-table batches (per-batch cost must stay
-    // O(batch), independent of table size — the co-located merge invariant)
+    // steady-state COW + MOR: 16 growing-table batches each (per-batch cost
+    // must stay O(batch), independent of table size — the co-located merge
+    // invariant; MOR is the DECLARED 10^10-scale path whose number must stay
+    // flat as the table grows). The two modes' attempts ALTERNATE across the
+    // measurement window, best-of-3 per mode — the ScalingBench discipline:
+    // shared-host noise only ever SLOWS a run, so the per-mode best
+    // approaches the quiet-host capability, and alternation keeps one bad
+    // stretch from eating every attempt of one mode (observed: back-to-back
+    // best-of-2 scored steady COW 94.8 s in a window where an adjacent run
+    // measured 36.9 s).
     val steadyBatch = math.max(1L, cdcEvents / 8 / 16) // per-partition units
-    def steadyOnce(mode: graft.cdc.MergeMode) =
-      Seq(steadyReplay(spark, binlog, steadyBatch, mode),
-        steadyReplay(spark, binlog, steadyBatch, mode)).minBy(_._2)
-    val (sev, ssec, seps) = steadyOnce(graft.cdc.Cow)
+    val steadyAttempts = (1 to 3).flatMap(_ =>
+      Seq(graft.cdc.Cow, graft.cdc.Mor).map(m =>
+        m -> steadyReplay(spark, binlog, steadyBatch, m)))
+    val (sev, ssec, seps) = steadyAttempts.collect { case (graft.cdc.Cow, r) => r }.minBy(_._2)
     results("cdc_steady_cow_16b") = ssec
-    // steady-state MOR: the DECLARED 10^10-scale path (O(batch) delta
-    // appends + tiered incremental folds) over the same 16 batches — the
-    // number that must stay flat as the table grows; regressions here are
-    // regressions in the path that matters at target scale
-    val (mev, msec, meps) = steadyOnce(graft.cdc.Mor)
+    val (mev, msec, meps) = steadyAttempts.collect { case (graft.cdc.Mor, r) => r }.minBy(_._2)
     results("cdc_steady_mor_16b") = msec
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")

@@ -111,13 +111,18 @@ object Ingest {
     * GCs data files that only expired snapshots reference, without
     * interrupting ingest (maintenance commits are cheap metadata +
     * unlink operations; MOR's incremental bucket compaction is separate
-    * and automatic). */
+    * and automatic). `expirePinHorizonMs` is that expiry's stale-lease
+    * horizon ([[graft.lake.Maintain.expireSnapshots]]): leases older than
+    * it are treated as crashed holders; the default honors every lease
+    * forever (conservative — a pin from an absent consumer keeps its span
+    * retained until the consumer returns or cleans up). */
   def startStream(spark: SparkSession, binlogDir: String, tableRoot: Path,
       checkpointDir: String, maxEventsPerBatch: Long = 1000000L,
       trigger: Trigger = Trigger.AvailableNow(), nBuckets: Int = 32,
       mode: MergeMode = Cow, expireEveryBatches: Long = 0L,
       keepSnapshots: Int = 10, bloomEveryBatches: Long = 0L,
       growBucketsTargetBytes: Long = 0L,
+      expirePinHorizonMs: Long = Long.MaxValue,
       afterBatch: (LakeTable, Long) => Unit = (_, _) => (),
       opts: MergeOptions = MergeOptions()): StreamingQuery = {
     val table =
@@ -146,7 +151,8 @@ object Ingest {
         // auto-maintenance cadence: metadata expiry, point-lookup blooms,
         // bucket growth — all single-writer-safe inside the batch loop
         if (expireEveryBatches > 0 && id > 0 && id % expireEveryBatches == 0)
-          graft.lake.Maintain.expireSnapshots(table, keepSnapshots): Unit
+          graft.lake.Maintain.expireSnapshots(table, keepSnapshots,
+            ignorePinsOlderThanMs = expirePinHorizonMs): Unit
         if (bloomEveryBatches > 0 && id > 0 && id % bloomEveryBatches == 0)
           graft.lake.Maintain.buildBlooms(spark, table): Unit
         if (growBucketsTargetBytes > 0)

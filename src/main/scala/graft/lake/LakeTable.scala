@@ -71,14 +71,41 @@ final class LakeTable(val root: Path) {
     *
     * Taken under the table's commit lock so a pin cannot be granted on a
     * snapshot a concurrent [[Maintain.expireSnapshots]] (same JVM) is
-    * mid-way through deleting. */
-  def pin(snapshotId: Long): SnapshotPin = LakeTable.commitLock(root).synchronized {
+    * mid-way through deleting.
+    *
+    * `owner` (optional, sanitized to `[A-Za-z0-9_]`) tags the lease file so
+    * a RESTARTED holder can clean up its own crashed predecessors'
+    * leases ([[releaseOwnedPins]]) — without a tag an orphaned lease can
+    * only age out via the expiry call's horizon, because leases are
+    * otherwise anonymous (another reader may legitimately pin the same
+    * snapshot). */
+  def pin(snapshotId: Long, owner: String = ""): SnapshotPin =
+      LakeTable.commitLock(root).synchronized {
     require(Files.exists(snapFile(snapshotId)), s"no snapshot $snapshotId")
     val dir = metaDir.resolve("pins")
     Files.createDirectories(dir)
-    val f = dir.resolve(s"pin-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}")
+    val tag = if (owner.isEmpty) "" else s"${LakeTable.sanitizeOwner(owner)}-"
+    val f = dir.resolve(s"pin-$snapshotId-$tag${java.util.UUID.randomUUID().toString.take(8)}")
     Files.write(f, Array.empty[Byte])
     new SnapshotPin(snapshotId, f)
+  }
+
+  /** Release every lease `owner` holds EXCEPT the given live ones — the
+    * restart path of a long-lived pinning consumer (the curation loop):
+    * after re-leasing, drop the crashed predecessor's orphans so they cannot
+    * block expiry for the rest of the table's life. Under the commit lock
+    * (expiry reads the pin set under the same lock). */
+  def releaseOwnedPins(owner: String, except: Set[Path] = Set.empty): Int =
+      LakeTable.commitLock(root).synchronized {
+    val dir = metaDir.resolve("pins")
+    if (!Files.isDirectory(dir)) return 0
+    val marker = s"-${LakeTable.sanitizeOwner(owner)}-"
+    val s = Files.list(dir)
+    val mine = Vector.newBuilder[Path]
+    try s.iterator().forEachRemaining { p =>
+      if (p.getFileName.toString.contains(marker)) mine += p
+    } finally s.close()
+    mine.result().count(p => !except.contains(p) && Files.deleteIfExists(p))
   }
 
   /** Atomically resolve the current snapshot AND pin it: taken under the
@@ -407,7 +434,8 @@ final class BucketLayoutChanged(msg: String) extends IllegalStateException(msg)
   * outlive the expiry call's `ignorePinsOlderThanMs` staleness window must
   * call [[touch]] on a shorter cadence — freshness is the lease file's
   * mtime, so an un-touched lease is indistinguishable from a crashed one. */
-final class SnapshotPin(val snapshotId: Long, file: Path) extends AutoCloseable {
+final class SnapshotPin(val snapshotId: Long, private[graft] val file: Path)
+    extends AutoCloseable {
   /** Heartbeat: refresh the lease so stale-lease aging doesn't GC a
     * snapshot a live long-running reader still holds. */
   def touch(): Unit =
@@ -425,6 +453,13 @@ object LakeTable {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[lake] def commitLock(root: Path): Object =
     commitLocks.computeIfAbsent(root.toAbsolutePath.normalize.toString, _ => new Object)
+
+  /** Owner tags ride inside dash-delimited pin file names: strip to
+    * `[A-Za-z0-9_]` so the snapshot-id field keeps parsing positionally. */
+  private[lake] def sanitizeOwner(owner: String): String = {
+    val s = owner.filter(c => c.isLetterOrDigit || c == '_')
+    if (s.isEmpty) "owner" else s
+  }
 
   /** Create an empty table with an initial snapshot 0. */
   def create(root: Path, nBuckets: Int, schemaVersion: Int = TableSchemas.current): LakeTable = {

@@ -230,10 +230,18 @@ object Curate {
     * forward as the cursor advances, heartbeat on idle batches), so the
     * auto-expiry knobs (`expireEveryBatches`) can run at full cadence
     * without GC-ing a span the curator still has to read —
-    * [[LakeTable.readIncrement]]'s documented pin contract. Between a crash
-    * and a restart the lease goes un-heartbeated and ages out on the
-    * `ignorePinsOlderThanMs` horizon; restart within that horizon (or keep
-    * expiry retention above the expected downtime).
+    * [[LakeTable.readIncrement]]'s documented pin contract. Leases are
+    * OWNED by the query (tag derived from the checkpoint dir): a crashed
+    * run's orphaned lease keeps protecting the cursor span during the
+    * downtime, and the restart — after re-leasing the persisted cursor —
+    * deletes every other lease under the same owner tag
+    * ([[LakeTable.releaseOwnedPins]]), so orphans cannot block expiry
+    * forever. A curator that never restarts leaves its lease in place by
+    * design (don't GC what an absent curator hasn't curated);
+    * `expirePinHorizonMs` (default: honor leases forever) opts the in-loop
+    * expiry into treating leases older than the horizon as crashed — pair
+    * it with a heartbeat interval (idle batches touch the lease) well under
+    * the horizon.
     *
     * `gcStaleFactor` > 0 additionally runs [[maybeRebuildIndex]] after each
     * increment — index GC rides the batch loop, serialized with ingest and
@@ -245,11 +253,16 @@ object Curate {
       mode: MergeMode = Mor, expireEveryBatches: Long = 0L,
       keepSnapshots: Int = 10,
       minQuality: Double = 0.0, minTokens: Int = 3, minMatchFrac: Double = 0.5,
-      gcStaleFactor: Double = 0.0,
+      gcStaleFactor: Double = 0.0, expirePinHorizonMs: Long = Long.MaxValue,
       onIncrement: SpanIncrement => Unit = _ => ()): StreamingQuery = {
+    // lease owner tag: stable across restarts of THIS query (checkpoint dir
+    // is unique per query), so a restart can GC its crashed predecessors'
+    // leases without touching other readers' pins on the same snapshots
+    val owner = "cur" + java.lang.Integer.toHexString(
+      java.nio.file.Paths.get(checkpointDir).toAbsolutePath.normalize.toString.hashCode)
     var pin: Option[SnapshotPin] = None
     def swapPinTo(table: LakeTable, snapshotId: Long): Unit = {
-      val np = table.pin(snapshotId)
+      val np = table.pin(snapshotId, owner)
       pin.foreach(_.release())
       pin = Some(np)
     }
@@ -257,10 +270,16 @@ object Curate {
       maxEventsPerBatch = maxEventsPerBatch, trigger = trigger,
       nBuckets = nBuckets, mode = mode,
       expireEveryBatches = expireEveryBatches, keepSnapshots = keepSnapshots,
+      expirePinHorizonMs = expirePinHorizonMs,
       afterBatch = (table, _) => {
-        // restart: re-lease the persisted cursor before the first increment
-        // (pin-then-release ordering below keeps the span covered mid-run)
-        if (pin.isEmpty) curatedHead(lshDir).foreach(h => pin = Some(table.pin(h)))
+        // restart: re-lease the persisted cursor before the first increment,
+        // then drop the crashed predecessor's orphaned leases — they covered
+        // the cursor span through the downtime, the fresh lease covers it
+        // now, and left in place they would block expiry forever
+        if (pin.isEmpty) {
+          curatedHead(lshDir).foreach(h => pin = Some(table.pin(h, owner)))
+          table.releaseOwnedPins(owner, except = pin.map(_.file).toSet): Unit
+        }
         curateToHead(spark, table, lshDir, minQuality = minQuality,
           minTokens = minTokens, minMatchFrac = minMatchFrac,
           onIncrement = onIncrement) match {

@@ -87,13 +87,39 @@ object LshIndex {
     finally walk.close()
   }
 
+  /** Current on-disk layout: 2 = span-keyed append dirs
+    * (`bands/span=<tag>/pb=<shard>`) with truncated `array<long>` sigs.
+    * Layout 1 (pre-span flat `bands/pb=<shard>`, hex-string sigs) is
+    * read-incompatible with 2 — mixed partition depths break parquet
+    * partition discovery and the sig schemas conflict — so writes against a
+    * legacy index FAIL FAST instead of bricking every subsequent probe; the
+    * migration path is [[rebuild]] from the live corpus (it re-shingles the
+    * caller's docs and writes a complete fresh layout-2 tree — it never
+    * reads the old files). */
+  val CurrentLayout = 2
+
   def create(dir: Path, params: Params): Unit = {
     require(params.n >= 1 && params.bands >= 1 && params.rowsPerBand >= 1 && params.shards >= 1)
     Files.createDirectories(dir)
     require(!Files.exists(paramsFile(dir)), s"index already exists at $dir")
-    val json = s"""{"n":${params.n},"bands":${params.bands},""" +
+    val json = s"""{"layout":$CurrentLayout,"n":${params.n},"bands":${params.bands},""" +
       s""""rowsPerBand":${params.rowsPerBand},"shards":${params.shards}}"""
     Files.write(paramsFile(dir), json.getBytes(StandardCharsets.UTF_8)): Unit
+  }
+
+  /** A params.json without the `layout` field predates versioning → 1. */
+  private def layoutOf(dir: Path): Int = {
+    val j = new String(Files.readAllBytes(paramsFile(dir)), StandardCharsets.UTF_8)
+    """"layout":(\d+)""".r.findFirstMatchIn(j).map(_.group(1).toInt).getOrElse(1)
+  }
+
+  private def requireCurrentLayout(dir: Path): Unit = {
+    val l = layoutOf(dir)
+    if (l != CurrentLayout)
+      throw new IllegalStateException(
+        s"LSH index at $dir uses legacy layout $l (current $CurrentLayout): " +
+          "appending or probing would mix incompatible directory depths and " +
+          "sig schemas — migrate with LshIndex.rebuild over the live corpus")
   }
 
   def load(dir: Path): Params = {
@@ -149,6 +175,7 @@ object LshIndex {
     * the growth counter driving its GC-rebuild cadence. */
   def append(docs: DataFrame, textCol: String, idCol: String, dir: Path,
       span: Option[String] = None): Long = {
+    requireCurrentLayout(dir)
     val p = load(dir)
     val obs = org.apache.spark.sql.Observation()
     val rows = bandRows(docs, textCol, idCol, p)
@@ -178,6 +205,7 @@ object LshIndex {
   def nearDupsOf(spark: SparkSession, newDocs: DataFrame, textCol: String,
       idCol: String, dir: Path, minMatchFrac: Double = 0.5,
       maxBucketSize: Int = 1000): DataFrame = {
+    requireCurrentLayout(dir)
     val p = load(dir)
     val probes = bandRows(newDocs, textCol, idCol, p)
       .withColumn("pb", pmod(hash(col("bucket")), lit(p.shards)))

@@ -64,6 +64,10 @@ object GraftSqlStrategy extends SparkStrategy {
       graftTarget(u.table) match {
         case Some(t) =>
           u.condition.foreach(rejectSubquery(_, "UPDATE"))
+          // assignment VALUES too: a subquery in `SET col = (SELECT …)`
+          // would otherwise slip past the guard and fail unresolvably deep
+          // inside the merge (byName re-anchors only top-level attributes)
+          u.assignments.foreach(a => rejectSubquery(a.value, "UPDATE"))
           GraftUpdateExec(t, u.assignments, u.condition) :: Nil
         case None => Nil
       }

@@ -357,6 +357,51 @@ class CurateSpec extends SparkSpec {
     assert(all(idx) == all(ctl))
   }
 
+  test("restart drops the crashed run's orphaned cursor leases (owned pins)") {
+    // a crashed curator leaves its cursor lease in place ON PURPOSE (it
+    // protects the uncurated span through the downtime) — but the restart,
+    // once re-leased, must delete it, or expiry is blocked by the orphan for
+    // the rest of the table's life
+    val p = GenProfile.uniformSmall().copy(partitions = 1, eventsPerPartition = 900)
+    val binlog = tmpDir("pl_bl")
+    ChangeEventGen.writeSegments(p, binlog, segmentEvents = 300)
+    val idx = tmpDir("pl_idx")
+    LshIndex.create(idx, LshIndex.Params(n = 3, bands = 4, rowsPerBand = 2, shards = 8))
+    val tblRoot = tmpDir("pl_tbl")
+    val ckpt = tmpDir("pl_ck").toString
+    def pins(): Seq[String] = {
+      val d = tblRoot.resolve("meta").resolve("pins")
+      if (!java.nio.file.Files.isDirectory(d)) Seq.empty
+      else {
+        val s = java.nio.file.Files.list(d)
+        try {
+          val b = Seq.newBuilder[String]
+          s.iterator().forEachRemaining(f => b += f.getFileName.toString)
+          b.result()
+        } finally s.close()
+      }
+    }
+    var n = 0
+    val q1 = Curate.startCuratedStream(spark, binlog.toString, tblRoot, ckpt, idx,
+      maxEventsPerBatch = 300, nBuckets = 4,
+      onIncrement = _ => { n += 1; if (n == 2) sys.error("injected crash") })
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    val orphaned = pins()
+    assert(orphaned.nonEmpty, "crashed run must leave its cursor lease (downtime protection)")
+
+    Curate.startCuratedStream(spark, binlog.toString, tblRoot, ckpt, idx,
+      maxEventsPerBatch = 300, nBuckets = 4).awaitTermination()
+    val after = pins()
+    val table = LakeTable.load(tblRoot)
+    assert(after.size == 1, s"exactly the live cursor lease should remain, got $after")
+    assert(after.head.startsWith(s"pin-${table.currentSnapshotId}-"),
+      s"remaining lease must pin the final cursor: ${after.head}")
+    assert(orphaned.forall(o => !after.contains(o)), "the crashed run's leases must be gone")
+    assert(Curate.curatedHead(idx).contains(table.currentSnapshotId))
+  }
+
   test("curated stream: crash at EVERY span boundary converges to the control") {
     // the single-crash test above pins one hazard window; this sweeps it —
     // for each k, crash inside the k-th onIncrement (span appended, cursor

@@ -150,4 +150,31 @@ class LshIndexSpec extends SparkSpec {
       minMatchFrac = 0.5, maxBucketSize = 0).count()
     assert(uncapped == 200L)
   }
+
+  test("legacy-layout index: writes and probes fail fast; rebuild migrates") {
+    import spark.implicits._
+    // forge a pre-versioning index: params.json without `layout` (old trees
+    // hold flat bands/pb=… dirs with hex-string sigs — one new span-keyed
+    // long-sig append would brick every subsequent read, so the guard must
+    // fire BEFORE any file lands)
+    val idx = tmpDir("lsh-legacy").resolve("index")
+    java.nio.file.Files.createDirectories(idx)
+    java.nio.file.Files.write(idx.resolve("params.json"),
+      """{"n":3,"bands":4,"rowsPerBand":2,"shards":8}""".getBytes("UTF-8"))
+    val batch = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val e1 = intercept[IllegalStateException](
+      LshIndex.append(batch, "text", "doc_id", idx))
+    assert(e1.getMessage.contains("legacy layout"))
+    val e2 = intercept[IllegalStateException](
+      LshIndex.nearDupsOf(spark, batch, "text", "doc_id", idx))
+    assert(e2.getMessage.contains("legacy layout"))
+    assert(!java.nio.file.Files.exists(idx.resolve("bands")),
+      "the failed append must not have written anything")
+    // migration: rebuild re-shingles the caller's corpus into a fresh
+    // layout-2 tree (it never reads the old files) — then writes work
+    LshIndex.rebuild(spark, batch, "text", "doc_id", idx)
+    assert(LshIndex.append(batch, "text", "doc_id", idx, span = Some("1-2")) > 0)
+    assert(LshIndex.nearDupsOf(spark, batch, "text", "doc_id", idx).columns.length == 3)
+  }
 }

@@ -350,6 +350,14 @@ class GraftSqlSpec extends SparkSpec {
     intercept[Exception](spark.sql("UPDATE graft.upd SET url = 'u99' WHERE url = 'u1'"))
     intercept[Exception](spark.sql("UPDATE graft.upd SET text = 'x' WHERE url = 'u1'"))
     intercept[Exception](spark.sql("UPDATE graft.upd SET content_len = 5 WHERE url = 'u1'"))
+    // subqueries are rejected loudly in BOTH positions — the WHERE clause
+    // and the assignment value (byName re-anchors only top-level attributes,
+    // so an unrejected SET-subquery would fail unresolvably mid-merge)
+    spark.range(3).createOrReplaceTempView("usub")
+    intercept[Exception](spark.sql(
+      "UPDATE graft.upd SET lang = 'de' WHERE url IN (SELECT concat('u', id) FROM usub)"))
+    intercept[Exception](spark.sql(
+      "UPDATE graft.upd SET lang = (SELECT first(cast(id AS STRING)) FROM usub) WHERE url = 'u1'"))
   }
 
   test("INSERT INTO appends as an upsert MERGE batch (LWW against stored rows)") {

@@ -151,6 +151,20 @@ class LshIndexSpec extends SparkSpec {
     assert(uncapped == 200L)
   }
 
+  test("empty-batch append returns 0 and leaves the index usable") {
+    // a curation span whose docs ALL fail the quality gate appends an empty
+    // batch — the observed row count must resolve to 0 (not hang or throw),
+    // and later appends/probes must be unaffected
+    import spark.implicits._
+    val idx = tmpDir("lsh-empty")
+    LshIndex.create(idx, P)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(LshIndex.append(empty, "text", "doc_id", idx, span = Some("0-1")) == 0L)
+    val one = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    assert(LshIndex.append(one, "text", "doc_id", idx, span = Some("1-2")) > 0L)
+    assert(LshIndex.nearDupsOf(spark, one, "text", "doc_id", idx).count() >= 0L)
+  }
+
   test("legacy-layout index: writes and probes fail fast; rebuild migrates") {
     import spark.implicits._
     // forge a pre-versioning index: params.json without `layout` (old trees

@@ -80,6 +80,13 @@ object BenchUtil {
 
   /** One timed CDC ingest of the binlog into a fresh LakeTable via the
     * streaming pipeline. Returns (events, seconds, events/sec). */
+  /** Total bytes of regular files under `p` (on-disk footprint A/Bs). */
+  def dirBytes(p: Path): Long = {
+    val w = Files.walk(p)
+    try w.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
+    finally w.close()
+  }
+
   def timedIngest(spark: SparkSession, binlog: Path, maxEventsPerBatch: Long,
       nBuckets: Int): (Long, Double, Double) = {
     Files.createDirectories(Paths.get(scratch))

@@ -20,12 +20,7 @@ object GcRebuildAB {
       .select(col("doc_id"), col("text")).cache()
     val n = docs.count()
 
-    def dirBytes(p: java.nio.file.Path): Long = {
-      val w = java.nio.file.Files.walk(p)
-      try w.filter(java.nio.file.Files.isRegularFile(_))
-        .mapToLong(java.nio.file.Files.size(_)).sum()
-      finally w.close()
-    }
+    import BenchUtil.dirBytes
     def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime()
       val a = f

@@ -30,12 +30,7 @@ object LshBytesAB {
       .select(col("id"), col("sigHex"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
       .withColumn("pb", pmod(hash(col("bucket")), lit(shards)))
 
-    def dirBytes(p: java.nio.file.Path): Long = {
-      val w = java.nio.file.Files.walk(p)
-      try w.filter(java.nio.file.Files.isRegularFile(_))
-        .mapToLong(java.nio.file.Files.size(_)).sum()
-      finally w.close()
-    }
+    import BenchUtil.dirBytes
     val work = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(BenchUtil.scratch), "lshbytes")
     val hexDir = work.resolve("hex"); val longDir = work.resolve("low64")

@@ -73,8 +73,11 @@ final class LakeTable(val root: Path) {
     * snapshot a concurrent [[Maintain.expireSnapshots]] (same JVM) is
     * mid-way through deleting.
     *
-    * `owner` (optional, sanitized to `[A-Za-z0-9_]`) tags the lease file so
-    * a RESTARTED holder can clean up its own crashed predecessors'
+    * `owner` (optional; must match `[A-Za-z0-9_]+` — the tag rides inside
+    * the dash-delimited lease file name, so the charset is VALIDATED rather
+    * than sanitized: silent rewriting could collapse two distinct owners
+    * onto one tag and let one delete the other's live leases) tags the
+    * lease so a RESTARTED holder can clean up its own crashed predecessors'
     * leases ([[releaseOwnedPins]]) — without a tag an orphaned lease can
     * only age out via the expiry call's horizon, because leases are
     * otherwise anonymous (another reader may legitimately pin the same
@@ -82,9 +85,10 @@ final class LakeTable(val root: Path) {
   def pin(snapshotId: Long, owner: String = ""): SnapshotPin =
       LakeTable.commitLock(root).synchronized {
     require(Files.exists(snapFile(snapshotId)), s"no snapshot $snapshotId")
+    LakeTable.validateOwner(owner)
     val dir = metaDir.resolve("pins")
     Files.createDirectories(dir)
-    val tag = if (owner.isEmpty) "" else s"${LakeTable.sanitizeOwner(owner)}-"
+    val tag = if (owner.isEmpty) "" else s"$owner-"
     val f = dir.resolve(s"pin-$snapshotId-$tag${java.util.UUID.randomUUID().toString.take(8)}")
     Files.write(f, Array.empty[Byte])
     new SnapshotPin(snapshotId, f)
@@ -94,16 +98,23 @@ final class LakeTable(val root: Path) {
     * restart path of a long-lived pinning consumer (the curation loop):
     * after re-leasing, drop the crashed predecessor's orphans so they cannot
     * block expiry for the rest of the table's life. Under the commit lock
-    * (expiry reads the pin set under the same lock). */
+    * (expiry reads the pin set under the same lock).
+    *
+    * Ownership is matched POSITIONALLY (the third dash-field of
+    * `pin-<id>-<tag>-<uuid>`), never by substring — a numeric tag can
+    * therefore never match another lease's snapshot-id field, and anonymous
+    * three-field leases can never match at all. */
   def releaseOwnedPins(owner: String, except: Set[Path] = Set.empty): Int =
       LakeTable.commitLock(root).synchronized {
+    LakeTable.validateOwner(owner)
+    require(owner.nonEmpty, "owner tag required")
     val dir = metaDir.resolve("pins")
     if (!Files.isDirectory(dir)) return 0
-    val marker = s"-${LakeTable.sanitizeOwner(owner)}-"
     val s = Files.list(dir)
     val mine = Vector.newBuilder[Path]
     try s.iterator().forEachRemaining { p =>
-      if (p.getFileName.toString.contains(marker)) mine += p
+      val parts = p.getFileName.toString.split("-")
+      if (parts.length == 4 && parts(0) == "pin" && parts(2) == owner) mine += p
     } finally s.close()
     mine.result().count(p => !except.contains(p) && Files.deleteIfExists(p))
   }
@@ -115,9 +126,10 @@ final class LakeTable(val root: Path) {
     * that reads table files for the duration of a Spark job (compaction,
     * tier folds, rebucket) MUST hold a pin — otherwise an aggressive
     * concurrent expiry can delete its input files mid-read. */
-  def pinCurrent(): (Snapshot, SnapshotPin) = LakeTable.commitLock(root).synchronized {
+  def pinCurrent(owner: String = ""): (Snapshot, SnapshotPin) =
+      LakeTable.commitLock(root).synchronized {
     val s = currentSnapshot
-    (s, pin(s.snapshotId))
+    (s, pin(s.snapshotId, owner))
   }
 
   /** Snapshot ids currently pinned (optionally ignoring leases older than
@@ -454,12 +466,12 @@ object LakeTable {
   private[lake] def commitLock(root: Path): Object =
     commitLocks.computeIfAbsent(root.toAbsolutePath.normalize.toString, _ => new Object)
 
-  /** Owner tags ride inside dash-delimited pin file names: strip to
-    * `[A-Za-z0-9_]` so the snapshot-id field keeps parsing positionally. */
-  private[lake] def sanitizeOwner(owner: String): String = {
-    val s = owner.filter(c => c.isLetterOrDigit || c == '_')
-    if (s.isEmpty) "owner" else s
-  }
+  /** Owner tags ride inside dash-delimited pin file names — enforce the
+    * charset instead of rewriting it (a lossy sanitize could collapse two
+    * distinct owners onto one tag). Empty = anonymous. */
+  private[lake] def validateOwner(owner: String): Unit =
+    require(owner.forall(c => c.isLetterOrDigit || c == '_'),
+      s"pin owner tag must match [A-Za-z0-9_]*, got '$owner'")
 
   /** Create an empty table with an initial snapshot 0. */
   def create(root: Path, nBuckets: Int, schemaVersion: Int = TableSchemas.current): LakeTable = {

@@ -181,8 +181,9 @@ object Curate {
     * span-replay on its restart — see [[LshIndex.rebuild]]); cost is
     * O(live table) by design. */
   def rebuildIndex(spark: SparkSession, table: LakeTable, lshDir: Path,
-      minQuality: Double = 0.0, minTokens: Int = 3): Long = {
-    val (snap, pin) = table.pinCurrent()
+      minQuality: Double = 0.0, minTokens: Int = 3,
+      pinOwner: String = ""): Long = {
+    val (snap, pin) = table.pinCurrent(pinOwner)
     try {
       val s = snap.snapshotId
       val live = table.read(spark, Some(s)).filter(col("text").isNotNull)
@@ -210,12 +211,12 @@ object Curate {
     * Returns the rebuilt snapshot id when GC ran. */
   def maybeRebuildIndex(spark: SparkSession, table: LakeTable, lshDir: Path,
       staleFactor: Double = 1.0, minQuality: Double = 0.0,
-      minTokens: Int = 3): Option[Long] = {
+      minTokens: Int = 3, pinOwner: String = ""): Option[Long] = {
     require(staleFactor > 0, "staleFactor must be positive")
     readCursor(lshDir) match {
       case Some(m) if m.rowsAtRebuild > 0 &&
           m.rowsSinceRebuild >= staleFactor * m.rowsAtRebuild =>
-        Some(rebuildIndex(spark, table, lshDir, minQuality, minTokens))
+        Some(rebuildIndex(spark, table, lshDir, minQuality, minTokens, pinOwner))
       case _ => None
     }
   }
@@ -257,9 +258,13 @@ object Curate {
       onIncrement: SpanIncrement => Unit = _ => ()): StreamingQuery = {
     // lease owner tag: stable across restarts of THIS query (checkpoint dir
     // is unique per query), so a restart can GC its crashed predecessors'
-    // leases without touching other readers' pins on the same snapshots
-    val owner = "cur" + java.lang.Integer.toHexString(
-      java.nio.file.Paths.get(checkpointDir).toAbsolutePath.normalize.toString.hashCode)
+    // leases without touching other readers' pins on the same snapshots.
+    // md5-derived (a 32-bit hashCode can collide across two curators on one
+    // table — a restart of one would then delete the OTHER's live lease)
+    val owner = "cur" + java.security.MessageDigest.getInstance("MD5")
+      .digest(java.nio.file.Paths.get(checkpointDir).toAbsolutePath.normalize
+        .toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
     var pin: Option[SnapshotPin] = None
     def swapPinTo(table: LakeTable, snapshotId: Long): Unit = {
       val np = table.pin(snapshotId, owner)
@@ -292,7 +297,8 @@ object Curate {
             // cost is amortized O(rows/f) — the LSM bound.
             if (gcStaleFactor > 0)
               maybeRebuildIndex(spark, table, lshDir, gcStaleFactor,
-                minQuality, minTokens).foreach(swapPinTo(table, _))
+                minQuality, minTokens, pinOwner = owner)
+                .foreach(swapPinTo(table, _))
           case None => pin.foreach(_.touch()) // idle: heartbeat the lease
         }
       })

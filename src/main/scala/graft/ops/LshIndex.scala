@@ -107,28 +107,32 @@ object LshIndex {
     Files.write(paramsFile(dir), json.getBytes(StandardCharsets.UTF_8)): Unit
   }
 
-  /** A params.json without the `layout` field predates versioning → 1. */
-  private def layoutOf(dir: Path): Int = {
-    val j = new String(Files.readAllBytes(paramsFile(dir)), StandardCharsets.UTF_8)
-    """"layout":(\d+)""".r.findFirstMatchIn(j).map(_.group(1).toInt).getOrElse(1)
-  }
+  private def readParamsJson(dir: Path): String =
+    new String(Files.readAllBytes(paramsFile(dir)), StandardCharsets.UTF_8)
 
-  private def requireCurrentLayout(dir: Path): Unit = {
-    val l = layoutOf(dir)
-    if (l != CurrentLayout)
-      throw new IllegalStateException(
-        s"LSH index at $dir uses legacy layout $l (current $CurrentLayout): " +
-          "appending or probing would mix incompatible directory depths and " +
-          "sig schemas — migrate with LshIndex.rebuild over the live corpus")
-  }
+  /** Layout-tolerant load (params parse on any version — [[rebuild]] uses
+    * it to migrate a legacy tree without reading its data files). */
+  def load(dir: Path): Params = parseParams(readParamsJson(dir), dir)
 
-  def load(dir: Path): Params = {
-    val j = new String(Files.readAllBytes(paramsFile(dir)), StandardCharsets.UTF_8)
+  private def parseParams(j: String, dir: Path): Params = {
     def field(name: String): Int =
       s""""$name":(\\d+)""".r.findFirstMatchIn(j)
         .getOrElse(throw new IllegalStateException(s"bad params.json at $dir"))
         .group(1).toInt
     Params(field("n"), field("bands"), field("rowsPerBand"), field("shards"))
+  }
+
+  /** One read: parse params AND enforce the current layout (a params.json
+    * without the `layout` field predates versioning → 1). */
+  private def loadChecked(dir: Path): Params = {
+    val j = readParamsJson(dir)
+    val l = """"layout":(\d+)""".r.findFirstMatchIn(j).map(_.group(1).toInt).getOrElse(1)
+    if (l != CurrentLayout)
+      throw new IllegalStateException(
+        s"LSH index at $dir uses legacy layout $l (current $CurrentLayout): " +
+          "appending or probing would mix incompatible directory depths and " +
+          "sig schemas — migrate with LshIndex.rebuild over the live corpus")
+    parseParams(j, dir)
   }
 
   /** (id, sig, band, bucket) rows for `docs` — the index's logical row.
@@ -175,8 +179,7 @@ object LshIndex {
     * the growth counter driving its GC-rebuild cadence. */
   def append(docs: DataFrame, textCol: String, idCol: String, dir: Path,
       span: Option[String] = None): Long = {
-    requireCurrentLayout(dir)
-    val p = load(dir)
+    val p = loadChecked(dir)
     val obs = org.apache.spark.sql.Observation()
     val rows = bandRows(docs, textCol, idCol, p)
       .withColumn("pb", pmod(hash(col("bucket")), lit(p.shards)))
@@ -205,8 +208,7 @@ object LshIndex {
   def nearDupsOf(spark: SparkSession, newDocs: DataFrame, textCol: String,
       idCol: String, dir: Path, minMatchFrac: Double = 0.5,
       maxBucketSize: Int = 1000): DataFrame = {
-    requireCurrentLayout(dir)
-    val p = load(dir)
+    val p = loadChecked(dir)
     val probes = bandRows(newDocs, textCol, idCol, p)
       .withColumn("pb", pmod(hash(col("bucket")), lit(p.shards)))
     // empty corpus: no candidates — schema derived from the probe's id type

@@ -67,7 +67,8 @@ object GraftSqlStrategy extends SparkStrategy {
           // assignment VALUES too: a subquery in `SET col = (SELECT …)`
           // would otherwise slip past the guard and fail unresolvably deep
           // inside the merge (byName re-anchors only top-level attributes)
-          u.assignments.foreach(a => rejectSubquery(a.value, "UPDATE"))
+          u.assignments.foreach(a =>
+            rejectSubquery(a.value, "UPDATE", "assignment values"))
           GraftUpdateExec(t, u.assignments, u.condition) :: Nil
         case None => Nil
       }
@@ -85,12 +86,13 @@ object GraftSqlStrategy extends SparkStrategy {
         s.relation.table.asInstanceOf[GraftSqlTable]
     }
 
-  private def rejectSubquery(e: Expression, what: String): Unit =
+  private def rejectSubquery(e: Expression, what: String,
+      position: String = "the WHERE clause"): Unit =
     if (e.exists(_.isInstanceOf[SubqueryExpression]))
       throw new AnalysisException(
         errorClass = "USER_RAISED_EXCEPTION",
         messageParameters = Map("errorMessage" ->
-          s"graft $what: subqueries in the WHERE clause are not supported"))
+          s"graft $what: subqueries in $position are not supported"))
 
   /** The engine executes exactly ONE merge semantics — the canonical CDC
     * upsert in the object doc. Anything else (no NOT MATCHED clause,

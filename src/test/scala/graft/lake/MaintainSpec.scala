@@ -90,6 +90,26 @@ class MaintainSpec extends SparkSpec {
       s"released $pinId must expire: ${table.snapshotIds}")
   }
 
+  test("owned pins: positional matching — releaseOwnedPins can't touch others' leases") {
+    val (table, _, _) = build()
+    val id = table.currentSnapshotId
+    // a NUMERIC owner tag must never match another lease's snapshot-id
+    // field, and anonymous leases must never match any owner
+    val anon = table.pin(id)
+    val numericOwner = table.pin(id, owner = id.toString)
+    val other = table.pin(id, owner = "readerB")
+    val mine = table.pin(id, owner = "curA")
+    val mine2 = table.pin(id, owner = "curA")
+    assert(table.releaseOwnedPins(id.toString) == 1, "numeric owner deletes only its own lease")
+    assert(table.releaseOwnedPins("curA", except = Set(mine2.file)) == 1,
+      "owned cleanup honors the except set")
+    assert(table.pinnedSnapshotIds().contains(id), "anon + readerB + kept curA still pinned")
+    // dash would corrupt positional parsing — rejected, not rewritten
+    intercept[IllegalArgumentException](table.pin(id, owner = "a-b"))
+    intercept[IllegalArgumentException](table.releaseOwnedPins("a-b"))
+    anon.release(); other.release(); mine.release(); mine2.release()
+  }
+
   test("incremental read across an expired (GC'd) span fails loudly, not silently wrong") {
     val (table, _, _) = build()
     val ids = table.snapshotIds

@@ -68,7 +68,18 @@ case object Mor extends MergeMode
   * of racing on the globals. */
 final case class MergeOptions(
     colocatedCow: Boolean = Merge.useColocatedCow,
-    lateMaterialize: Boolean = Merge.lateMaterialize)
+    lateMaterialize: Boolean = Merge.lateMaterialize,
+    audit: Option[MergeAudit] = None)
+
+/** Per-call audit sink for merge internals: written only by the merge that
+  * received it, so CONCURRENT pipelines in one JVM each read their own
+  * values — the process-global [[Merge.lastAdmitBitmapBytes]] mirror races
+  * in exactly that scenario and stays only as a single-pipeline convenience. */
+final class MergeAudit {
+  /** Bytes of the late-mat admission bitmap this merge broadcast
+    * (−1 = key-set fallback; 0 = late materialization never ran). */
+  @volatile var admitBitmapBytes: Long = 0L
+}
 
 object Merge {
 
@@ -128,9 +139,17 @@ object Merge {
     sys.props.get("graft.merge.lateMaterialize").contains("true")
 
   /** Bytes of the last late-mat admission bitmap (−1 = last merge used the
-    * key-set broadcast fallback) — surfaced for plan audits (LateMatPlan,
-    * LateMatAB). */
+    * key-set broadcast fallback) — a process-global convenience MIRROR for
+    * single-pipeline plan audits (LateMatPlan, LateMatAB). Concurrent
+    * pipelines must read their own [[MergeAudit]] via
+    * [[MergeOptions.audit]] instead: this mirror is written by every
+    * late-mat merge in the JVM. */
   @volatile var lastAdmitBitmapBytes: Long = -1L
+
+  private def recordAdmitBytes(audit: Option[MergeAudit], bytes: Long): Unit = {
+    audit.foreach(_.admitBitmapBytes = bytes)
+    lastAdmitBitmapBytes = bytes
+  }
 
   /** Resolve winners late-materialized (see [[lateMaterialize]]).
     *
@@ -147,10 +166,11 @@ object Merge {
     *    the winners' exact (partition, offset) keys — bounded by batch
     *    admission control (maxEventsPerBatch × 16 B). */
   private def lateResolved(batch: DataFrame, srcAligned: DataFrame,
-      nBuckets: Int, dataCols: Seq[String], lineage: Seq[PartLineage]): DataFrame = {
+      nBuckets: Int, dataCols: Seq[String], lineage: Seq[PartLineage],
+      audit: Option[MergeAudit]): DataFrame = {
     if (lineage.nonEmpty)
-      return lateResolvedBitmap(batch, srcAligned, nBuckets, dataCols, lineage)
-    lastAdmitBitmapBytes = -1L
+      return lateResolvedBitmap(batch, srcAligned, nBuckets, dataCols, lineage, audit)
+    recordAdmitBytes(audit, -1L)
     val metaCols = dataCols.filterNot(_ == "html")
     // phase A: winners over the meta projection — projection collapse drops
     // html BEFORE the exchange, so the dedup shuffle never carries payloads.
@@ -212,7 +232,8 @@ object Merge {
     * batch's offset coverage, and silently dropping a winner's payload
     * would corrupt the table. */
   private def lateResolvedBitmap(batch: DataFrame, srcAligned: DataFrame,
-      nBuckets: Int, dataCols: Seq[String], lineage: Seq[PartLineage]): DataFrame = {
+      nBuckets: Int, dataCols: Seq[String], lineage: Seq[PartLineage],
+      audit: Option[MergeAudit]): DataFrame = {
     val spark = batch.sparkSession
     val metaCols = dataCols.filterNot(_ == "html")
     val runs = lineage.sortBy(l => (l.partition, l.startOffset))
@@ -251,18 +272,27 @@ object Merge {
         s"late-mat admission: winner envelope ($p, $o) outside the batch's planned lineage runs")
       pos
     })
-    // word-packed bit aggregation: ≤ events/64 (word, bits) rows reach the
-    // driver, map-side bit_or combines first
-    val words = wMeta.where(!col("_deleted"))
+    // EXECUTOR-SIDE bitmap aggregation: each task folds its winners into a
+    // lazily-allocated word array, treeAggregate ORs the partials — the
+    // driver receives O(log parts) pre-ORed arrays of events/8 bytes each,
+    // never per-winner rows (a 10⁸-event mega-batch would otherwise collect
+    // ~1.6M (word, bits) Rows of driver overhead). The zero value is EMPTY
+    // so the task closure ships bytes, not the full array; partials allocate
+    // on first bit.
+    val nWords = ((totalBits + 63) / 64).toInt
+    def alloc(a: Array[Long]): Array[Long] = if (a.length == nWords) a else new Array[Long](nWords)
+    val bitmap = wMeta.where(!col("_deleted"))
       .select(posU(col("_seq_part"), col("_seq_offset")).as("pos"))
-      .select((col("pos") / 64).cast("long").as("w"),
-        expr("shiftleft(1L, cast(pos % 64 as int))").as("b"))
-      .groupBy(col("w")).agg(expr("bit_or(b)").as("bits"))
-      .collect()
-    val bitmap = new Array[Long](((totalBits + 63) / 64).toInt)
-    words.foreach(r => bitmap(r.getLong(0).toInt) |= r.getLong(1))
-    lastAdmitBitmapBytes = bitmap.length * 8L
-    val bmB = spark.sparkContext.broadcast(bitmap)
+      .select(col("pos")).rdd.map(_.getLong(0))
+      .treeAggregate(Array.emptyLongArray)(
+        (acc, pos) => { val a = alloc(acc); a((pos >> 6).toInt) |= 1L << (pos & 63L).toInt; a },
+        (x, y) =>
+          if (x.isEmpty) y
+          else if (y.isEmpty) x
+          else { var i = 0; while (i < nWords) { x(i) |= y(i); i += 1 }; x })
+    val bitmapFull = alloc(bitmap) // all-empty batch (every winner deleted)
+    recordAdmitBytes(audit, bitmapFull.length * 8L)
+    val bmB = spark.sparkContext.broadcast(bitmapFull)
     val admit = udf((p: Int, o: Long) => {
       val pos = posOf(p, o)
       pos >= 0 && (bmB.value((pos >> 6).toInt) & (1L << (pos & 63L).toInt)) != 0L
@@ -337,7 +367,7 @@ object Merge {
 
     val winners =
       if (opts.lateMaterialize && batch.columns.contains("offset") && batch.columns.contains("partition"))
-        lateResolved(batch, srcAligned, nBuckets, dataCols, lineage)
+        lateResolved(batch, srcAligned, nBuckets, dataCols, lineage, opts.audit)
       else
         graft.lake.Resolve.lww(srcAligned.repartition(nBuckets, col("url")), dataCols)
     val obs = org.apache.spark.sql.Observation()
@@ -584,7 +614,7 @@ object Merge {
         // payload shuffle shrinks to O(winners)
         val batchSide =
           if (opts.lateMaterialize && batch.columns.contains("offset") && batch.columns.contains("partition"))
-            aligned(lateResolved(withBucket, srcAligned, nBuckets, dataCols, lineage)
+            aligned(lateResolved(withBucket, srcAligned, nBuckets, dataCols, lineage, opts.audit)
               .withColumn("_xt", lit(true)))
           else aligned(srcAligned)
         graft.plans.BucketMergeStrategy.mergedRows(

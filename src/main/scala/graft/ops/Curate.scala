@@ -141,11 +141,22 @@ object Curate {
     * a NEW index to an old table whose early snapshots were already expired?
     * Pass the oldest retained snapshot id and bootstrap the index from a
     * full-table read instead — an increment read cannot see folded-away
-    * history. */
+    * history.
+    *
+    * `prePin` fires with the resolved `to` AFTER the span's effects
+    * (append + `onIncrement`) and BEFORE the cursor bump — the safe publish
+    * order for a caller holding snapshot leases: acquire the NEW lease on
+    * `to` inside `prePin`, release the old one after this returns, and the
+    * advanced cursor is never on disk without a lease covering its snapshot
+    * (a crash in the old acquire-after-bump order left the cursor snapshot
+    * unprotected: an aggressive expiry during the downtime could GC it, and
+    * the restart's `pin(curatedHead)` would then fail on every retry —
+    * wedging the stream permanently). */
   def curateToHead(spark: SparkSession, table: LakeTable, lshDir: Path,
       minQuality: Double = 0.0, minTokens: Int = 3, minMatchFrac: Double = 0.5,
       initialFromSnapshotId: Long = 0L,
-      onIncrement: SpanIncrement => Unit = _ => ()): Option[SpanIncrement] = {
+      onIncrement: SpanIncrement => Unit = _ => (),
+      prePin: Long => Unit = _ => ()): Option[SpanIncrement] = {
     val prev = readCursor(lshDir)
     val from = prev.map(_.curatedSnapshotId).getOrElse(initialFromSnapshotId)
     val to = table.currentSnapshotId
@@ -154,6 +165,9 @@ object Curate {
       minQuality = minQuality, minTokens = minTokens, minMatchFrac = minMatchFrac)
     val si = SpanIncrement(from, to, inc)
     onIncrement(si)
+    // lease-before-cursor: if prePin throws, the cursor is not advanced and
+    // the span replays — span-keyed effects above are replay-idempotent
+    prePin(to)
     // growth accounting is replay-idempotent with the span: a crashed span
     // never bumped the cursor, so its re-run re-reads the same `prev`
     writeCursor(lshDir, prev match {
@@ -285,11 +299,22 @@ object Curate {
           curatedHead(lshDir).foreach(h => pin = Some(table.pin(h, owner)))
           table.releaseOwnedPins(owner, except = pin.map(_.file).toSet): Unit
         }
+        // lease-before-cursor publish order (see curateToHead's prePin doc):
+        // the new lease on `to` exists BEFORE the advanced cursor does, so
+        // no crash point leaves the cursor snapshot unprotected — the old
+        // lease (still held through prePin) covers the span's replay, the
+        // new one covers the bumped cursor, and the overlap is released here
+        var prevLease: Option[SnapshotPin] = None
         curateToHead(spark, table, lshDir, minQuality = minQuality,
           minTokens = minTokens, minMatchFrac = minMatchFrac,
-          onIncrement = onIncrement) match {
-          case Some(si) =>
-            swapPinTo(table, si.toSnapshotId)
+          onIncrement = onIncrement,
+          prePin = to => {
+            val np = table.pin(to, owner)
+            prevLease = pin
+            pin = Some(np)
+          }) match {
+          case Some(_) =>
+            prevLease.foreach(_.release())
             // in-loop GC: inside afterBatch the rebuild is serialized with
             // ingest and curation — the single-maintenance discipline
             // LshIndex.rebuild requires, for free. At staleFactor f the

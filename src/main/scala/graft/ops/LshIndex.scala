@@ -67,13 +67,31 @@ object LshIndex {
   /** One subdirectory per append span (`bands/span=<tag>/pb=<shard>/…`):
     * `span` is a discovered partition column, so probes read across all
     * spans unchanged while a REPLAYED span overwrites exactly its own rows. */
-  private def spanDir(dir: Path, tag: String) =
-    bandsDir(dir).resolve(s"span=${sanitizeTag(tag)}")
-
-  private def sanitizeTag(tag: String): String = {
-    val s = tag.map(c => if (c.isLetterOrDigit || c == '.' || c == '_' || c == '-') c else '_')
-    if (s.isEmpty) "_" else s
+  private def spanDir(dir: Path, tag: String) = {
+    validateTag(tag)
+    bandsDir(dir).resolve(s"span=$tag")
   }
+
+  /** Span tags become directory names with OVERWRITE semantics — VALIDATE
+    * the charset instead of rewriting it (the [[graft.lake.LakeTable]]
+    * pin-owner rule): a lossy sanitize would collapse distinct tags like
+    * `a/b`, `a b`, and `a_b` onto one span directory, and a colliding tag
+    * silently deletes another span's index rows. The ad-hoc accumulator tag
+    * is reserved: a keyed append under it would OVERWRITE the whole
+    * accumulated un-keyed history. */
+  private[ops] def validateTag(tag: String): Unit = {
+    require(tag.nonEmpty &&
+      tag.forall(c => c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"span tag must match [A-Za-z0-9._-]+, got '$tag'")
+    require(tag != AdhocTag,
+      s"span tag '$AdhocTag' is reserved for un-keyed appends " +
+        "(a keyed append under it would overwrite the accumulated ad-hoc rows)")
+  }
+
+  /** Shared accumulator span for un-keyed (`span = None`) appends. */
+  private val AdhocTag = "adhoc"
+
+  private def adhocDir(dir: Path) = bandsDir(dir).resolve(s"span=$AdhocTag")
 
   /** Does the index hold any data file yet? (A freshly created index — or one
     * whose only appended spans were empty batches — has no parquet leaves;
@@ -186,7 +204,7 @@ object LshIndex {
       .observe(obs, count(lit(1)).as("n"))
     val (mode, out) = span match {
       case Some(tag) => ("overwrite", spanDir(dir, tag))
-      case None => ("append", spanDir(dir, "adhoc"))
+      case None => ("append", adhocDir(dir))
     }
     rows.write.mode(mode).partitionBy("pb").parquet(out.toString)
     obs.get("n").asInstanceOf[Long]

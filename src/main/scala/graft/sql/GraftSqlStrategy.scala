@@ -245,6 +245,35 @@ private[sql] object GraftRowLevel {
     }
   }
 
+  /** Debug hook (the [[graft.cdc.Merge.explainNext]] discipline): when set,
+    * the next row-level command stashes its matched-row read here so specs
+    * can assert the PRUNED plan — a point `DELETE FROM t WHERE url = 'x'`
+    * must read the key's single hash bucket (bounds- and bloom-admitted
+    * files only), not the table. */
+  @volatile var captureMatchedNext: Boolean = false
+  @volatile var lastMatched: DataFrame = _
+  private[sql] def maybeCapture(df: DataFrame): Unit =
+    if (captureMatchedNext) { captureMatchedNext = false; lastMatched = df }
+
+  /** RESERVED envelope domain for SQL-synthesized events: row-level commands
+    * re-emit the stored winner's envelope advanced by one offset, and setting
+    * this high offset bit keeps the synthesized envelope OUTSIDE the space
+    * binlog readers (file byte offsets) and streaming epochs (`epochId<<32`,
+    * [[graft.lake.LakeSink]]) can ever assign — without it, a future CDC
+    * event for the same url could legitimately arrive at the exact bumped
+    * (partition, offset) with an EQUAL warc_ts, an exact total-order tie
+    * whose max_by winner is arbitrary. Deterministic consequence (documented
+    * rule): at an EQUAL warc_ts a SQL row-level command beats any binlog
+    * event; a strictly later warc_ts still beats the command — the one LWW
+    * rule is unchanged. Chaining stays monotonic: a second command over a
+    * first's output keeps the bit and advances the offset. */
+  val SqlEnvelopeOffsetBit: Long = 1L << 62
+
+  /** The synthesized offset: stored `_seq_offset` + 1, lifted into the
+    * reserved domain. */
+  def syntheticOffset: Column =
+    (col("_seq_offset") + lit(1L)).bitwiseOR(lit(SqlEnvelopeOffsetBit)).cast("long")
+
   /** Commit a changelog derived from the matched rows as one exactly-once
     * merge batch (the GraftMergeExec tail). */
   def commitChangelog(spark: SparkSession, lake: graft.lake.LakeTable,
@@ -273,10 +302,11 @@ final case class GraftDeleteExec(
     val lake = table.lake
     val rows = GraftRowLevel.resolvedWithEnvelope(spark, lake)
     val matched = rows.filter(!col("_deleted")).filter(GraftRowLevel.byName(cond))
+    GraftRowLevel.maybeCapture(matched)
     val hasLang = matched.columns.contains("lang")
     val changelog = matched.select(
       col("_seq_part").cast("int").as("partition"),
-      (col("_seq_offset") + lit(1L)).cast("long").as("offset"),
+      GraftRowLevel.syntheticOffset.as("offset"),
       lit("delete").as("op"),
       col("url"),
       col("warc_ts").cast("timestamp").as("warc_ts"),
@@ -335,11 +365,12 @@ final case class GraftUpdateExec(
     val rows = GraftRowLevel.resolvedWithEnvelope(spark, lake)
     val live = rows.filter(!col("_deleted"))
     val matched = cond.map(c => live.filter(GraftRowLevel.byName(c))).getOrElse(live)
+    GraftRowLevel.maybeCapture(matched)
     def valueOf(name: String, default: Column): Column = overrides.getOrElse(name, default)
     val hasLang = matched.columns.contains("lang")
     val changelog = matched.select(
       col("_seq_part").cast("int").as("partition"),
-      (col("_seq_offset") + lit(1L)).cast("long").as("offset"),
+      GraftRowLevel.syntheticOffset.as("offset"),
       lit("upsert").as("op"),
       col("url"),
       valueOf("warc_ts", col("warc_ts")).cast("timestamp").as("warc_ts"),

@@ -47,15 +47,17 @@ class LateMatSpec extends SparkSpec {
       val p = GenProfile.uniformSmall() // dups, deletes, ties, late events
       val binlog = gen(p, "latemat")
       val default = state(replay(binlog, "lmdef", mode, eventsPerBatch = 700))
-      Merge.lastAdmitBitmapBytes = -1L
-      val late = state(replay(binlog, "lmlate", mode, eventsPerBatch = 700, opts = lateOpts))
+      val audit = new MergeAudit
+      val late = state(replay(binlog, "lmlate", mode, eventsPerBatch = 700,
+        opts = MergeOptions(lateMaterialize = true, audit = Some(audit))))
       assert(late == default, s"$mode late-materialized state diverged from default")
       // binlog replays carry plan lineage → the OFFSET-BITMAP admission path
-      // must have engaged (events/8 bytes, not an O(winners) key broadcast)
-      assert(Merge.lastAdmitBitmapBytes > 0,
+      // must have engaged (events/8 bytes, not an O(winners) key broadcast);
+      // asserted on the PER-CALL audit, not the racy process-global mirror
+      assert(audit.admitBitmapBytes > 0,
         "bitmap admission should engage when lineage is present")
-      assert(Merge.lastAdmitBitmapBytes <= 700 * p.partitions / 8 + 8,
-        s"bitmap should be O(batch events / 8): ${Merge.lastAdmitBitmapBytes}")
+      assert(audit.admitBitmapBytes <= 700 * p.partitions / 8 + 8,
+        s"bitmap should be O(batch events / 8): ${audit.admitBitmapBytes}")
       // and both match the independent fold oracle (equal-but-both-wrong guard)
       val want = Oracle.finalState(p)
       assert(late.size == want.size)
@@ -114,13 +116,19 @@ class LateMatSpec extends SparkSpec {
     val prev = Merge.lateMaterialize
     Merge.lateMaterialize = true // adversarial global
     try {
-      Merge.lastAdmitBitmapBytes = -1L
+      val offAudit = new MergeAudit
       val off = state(replay(binlog, "lmoptsoff", Cow, 700,
-        opts = MergeOptions(lateMaterialize = false)))
-      assert(Merge.lastAdmitBitmapBytes == -1L,
+        opts = MergeOptions(lateMaterialize = false, audit = Some(offAudit))))
+      assert(offAudit.admitBitmapBytes == 0L,
         "explicit lateMaterialize=false must beat the global true")
-      val on = state(replay(binlog, "lmoptson", Cow, 700, opts = lateOpts))
-      assert(Merge.lastAdmitBitmapBytes > 0)
+      val onAudit = new MergeAudit
+      val on = state(replay(binlog, "lmoptson", Cow, 700,
+        opts = MergeOptions(lateMaterialize = true, audit = Some(onAudit))))
+      assert(onAudit.admitBitmapBytes > 0)
+      // per-call isolation: the late-mat pipeline's merges never wrote the
+      // OTHER pipeline's audit — the race the global mirror still has
+      assert(offAudit.admitBitmapBytes == 0L,
+        "a concurrent pipeline's audit must not be written by this merge")
       assert(on == off)
       // and the no-args default SNAPSHOTS the global at call time
       assert(MergeOptions().lateMaterialize)
@@ -134,9 +142,10 @@ class LateMatSpec extends SparkSpec {
     val binlog = gen(p, "lmnolin")
     val events = graft.binlog.BinlogRead.all(spark, binlog.toString).localCheckpoint(true)
     val table = LakeTable.create(tmpDir("lmnolin-t"), nBuckets = 4)
-    Merge.lastAdmitBitmapBytes = 0L
-    Merge(spark, table, events, 0L, lineage = Nil, mode = Cow, opts = lateOpts): Unit
-    assert(Merge.lastAdmitBitmapBytes == -1L, "lineage-less merge must use the key-set fallback")
+    val audit = new MergeAudit
+    Merge(spark, table, events, 0L, lineage = Nil, mode = Cow,
+      opts = MergeOptions(lateMaterialize = true, audit = Some(audit))): Unit
+    assert(audit.admitBitmapBytes == -1L, "lineage-less merge must use the key-set fallback")
     val ref = replay(binlog, "lmnolinref", Cow, eventsPerBatch = Long.MaxValue)
     assert(state(table) == state(ref))
   }

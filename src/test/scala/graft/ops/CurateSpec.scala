@@ -109,6 +109,47 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("curateToHead prePin fires before the cursor bump; a failed prePin leaves no cursor") {
+    // the safe publish order for lease holders: the new lease must exist
+    // BEFORE the advanced cursor is on disk — a crash between cursor bump
+    // and lease acquire (the old order) left the cursor snapshot unprotected
+    // against expiry during downtime, wedging the restart's pin() forever
+    val p = GenProfile.uniformSmall().copy(eventsPerPartition = 800)
+    val binlog = tmpDir("prepinbl")
+    ChangeEventGen.writeSegments(p, binlog, segmentEvents = 400)
+    val idx = tmpDir("prepinidx")
+    LshIndex.create(idx, LshIndex.Params(n = 3, bands = 4, rowsPerBand = 2, shards = 8))
+    val table = Ingest.replayBatch(spark, binlog.toString, tmpDir("prepintbl"),
+      eventsPerBatch = 800L, nBuckets = 4, mode = Mor)
+    val head = table.currentSnapshotId
+
+    // 1. prePin observes the cursor BEFORE the bump (ordering)
+    var cursorAtPrePin: Option[Long] = Some(-2L)
+    var pinnedTo = -1L
+    Curate.curateToHead(spark, table, idx, prePin = to => {
+      pinnedTo = to
+      cursorAtPrePin = Curate.curatedHead(idx)
+    })
+    assert(pinnedTo == head)
+    assert(cursorAtPrePin.isEmpty, "prePin must fire BEFORE the cursor bump")
+    assert(Curate.curatedHead(idx).contains(head))
+
+    // 2. a throwing prePin leaves the cursor un-advanced → the span replays
+    val idx2 = tmpDir("prepinidx2")
+    LshIndex.create(idx2, LshIndex.Params(n = 3, bands = 4, rowsPerBand = 2, shards = 8))
+    intercept[RuntimeException] {
+      Curate.curateToHead(spark, table, idx2,
+        prePin = _ => throw new RuntimeException("lease acquire failed"))
+    }
+    assert(Curate.curatedHead(idx2).isEmpty,
+      "failed prePin must not publish the advanced cursor")
+    // replay after the failure converges (span-keyed append overwrote itself)
+    val si = Curate.curateToHead(spark, table, idx2)
+    assert(si.exists(_.toSnapshotId == head))
+    assert(indexRows(idx2) == indexRows(idx),
+      "post-failure replay must converge to the clean run's index")
+  }
+
   private def indexRows(idx: java.nio.file.Path): Seq[String] =
     spark.read.parquet(idx.resolve("bands").toString)
       .select(col("span"), col("id"), col("band"), col("bucket"))

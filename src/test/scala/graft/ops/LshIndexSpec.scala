@@ -123,6 +123,33 @@ class LshIndexSpec extends SparkSpec {
     assert(got2 == 50L, s"replay-inflated bucket must survive the distinct-id cap (got $got2)")
   }
 
+  test("span tags are validated, not rewritten; the ad-hoc tag is reserved") {
+    import spark.implicits._
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val idx = tmpDir("lshtags")
+    LshIndex.create(idx, P)
+    // a lossy sanitize would collapse 'a/b', 'a b', 'a_b' onto ONE span dir —
+    // overwrite semantics then silently delete another span's rows; tags
+    // outside the safe charset must be REJECTED instead
+    for (bad <- Seq("a/b", "a b", "a=b", "", "a\tb"))
+      intercept[IllegalArgumentException] {
+        LshIndex.append(docs, "text", "doc_id", idx, span = Some(bad))
+      }
+    // a keyed append under the reserved ad-hoc tag would OVERWRITE the whole
+    // accumulated un-keyed history
+    intercept[IllegalArgumentException] {
+      LshIndex.append(docs, "text", "doc_id", idx, span = Some("adhoc"))
+    }
+    // nothing was written by the rejected calls; valid tags still work and
+    // coexist with ad-hoc appends
+    LshIndex.append(docs, "text", "doc_id", idx, span = Some("a_b-1.0"))
+    LshIndex.append(docs, "text", "doc_id", idx) // un-keyed accumulator
+    val spans = java.nio.file.Files.list(idx.resolve("bands")).iterator()
+    val names = Iterator.continually(spans).takeWhile(_.hasNext).map(_.next().getFileName.toString).toSet
+    assert(names == Set("span=a_b-1.0", "span=adhoc"), s"got $names")
+  }
+
   test("hot-bucket cap bounds probe fan-out on the pruned slice") {
     import spark.implicits._
     val idx = tmpDir("lshhot")

@@ -316,6 +316,111 @@ class GraftSqlSpec extends SparkSpec {
       "DELETE FROM graft.del WHERE url IN (SELECT concat('u', id) FROM dseed)"))
   }
 
+  test("point DELETE/UPDATE prune the matched-row read to the keys' buckets") {
+    enable()
+    spark.sql("CREATE TABLE graft.pdel (url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, content_len BIGINT, lang STRING) USING graft TBLPROPERTIES('buckets'='4')")
+    spark.range(40).createOrReplaceTempView("pdseed")
+    spark.sql(
+      """MERGE INTO graft.pdel t USING (
+        |  SELECT concat('u', id) AS url, timestamp_micros(2000000000000000 + id) AS warc_ts,
+        |    cast(concat('<p>v ', id, '</p>') AS BINARY) AS html,
+        |    CAST(NULL AS STRING) AS text, CAST(NULL AS BIGINT) AS content_len,
+        |    'en' AS lang, CAST(id AS LONG) AS offset, CAST(0 AS INT) AS partition,
+        |    'upsert' AS op
+        |  FROM pdseed) s
+        |ON t.url = s.url
+        |WHEN MATCHED AND s.op = 'delete' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+
+    def capturedParts(): (String, Int) = {
+      val leaves = GraftRowLevel.lastMatched.queryExecution.executedPlan.collectLeaves()
+      val desc = leaves.map(_.toString).mkString("\n")
+      val parts = leaves.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.size
+      }.sum
+      (desc, parts)
+    }
+
+    // point DELETE: the matched-row read must push the key and scan at most
+    // the key's single hash bucket, not all 4
+    GraftRowLevel.captureMatchedNext = true
+    spark.sql("DELETE FROM graft.pdel WHERE url = 'u5'")
+    val (dDesc, dParts) = capturedParts()
+    assert(dDesc.contains("urlKeys=u5"), dDesc.take(800))
+    assert(dParts <= 1, s"point DELETE read $dParts partitions, want <=1")
+    assert(spark.sql("SELECT * FROM graft.pdel WHERE url = 'u5'").count() == 0)
+    assert(spark.sql("SELECT * FROM graft.pdel").count() == 39)
+
+    // IN-list UPDATE: at most one bucket per key
+    GraftRowLevel.captureMatchedNext = true
+    spark.sql("UPDATE graft.pdel SET lang = 'de' WHERE url IN ('u1', 'u2', 'u7')")
+    val (uDesc, uParts) = capturedParts()
+    assert(uDesc.contains("urlKeys="), uDesc.take(800))
+    assert(uParts <= 3, s"3-key UPDATE read $uParts partitions, want <=3")
+    assert(spark.sql("SELECT * FROM graft.pdel WHERE lang = 'de'").count() == 3)
+
+    // non-key predicates still work (full scan is the correct plan there)
+    GraftRowLevel.captureMatchedNext = true
+    spark.sql("DELETE FROM graft.pdel WHERE content_len >= 8")
+    val (nDesc, _) = capturedParts()
+    assert(!nDesc.contains("urlKeys="), "non-url predicate must not fake a key prune")
+  }
+
+  test("SQL row-level envelopes live in a reserved offset domain: no binlog tie possible") {
+    enable()
+    spark.sql("CREATE TABLE graft.env (url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, content_len BIGINT, lang STRING) USING graft TBLPROPERTIES('buckets'='4')")
+    def merge(ts: Long, offset: Long, body: String): Unit = spark.sql(
+      s"""MERGE INTO graft.env t USING (
+         |  SELECT 'u1' AS url, timestamp_micros($ts) AS warc_ts,
+         |    cast('<p>$body</p>' AS BINARY) AS html,
+         |    CAST(NULL AS STRING) AS text, CAST(NULL AS BIGINT) AS content_len,
+         |    'en' AS lang, CAST($offset AS LONG) AS offset, CAST(0 AS INT) AS partition,
+         |    'upsert' AS op) s
+         |ON t.url = s.url
+         |WHEN MATCHED AND s.op = 'delete' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin): Unit
+    val T = 2000000000000000L
+    merge(T, 5L, "orig")
+    spark.sql("DELETE FROM graft.env WHERE url = 'u1'")
+
+    // the synthesized tombstone's offset carries the reserved high bit —
+    // outside anything a binlog reader (file byte offsets) or streaming
+    // epoch (epochId<<32) can assign
+    val lake = graft.lake.LakeTable.load(java.nio.file.Paths.get(wh).resolve("env"))
+    val tomb = GraftRead.rawResolved(spark, lake)
+      .filter(col("url") === "u1").select(col("_seq_offset"), col("_deleted")).head()
+    assert(tomb.getBoolean(1), "u1 must be tombstoned")
+    assert((tomb.getLong(0) & GraftRowLevel.SqlEnvelopeOffsetBit) != 0L,
+      s"synthesized offset ${tomb.getLong(0)} must carry the reserved bit")
+    assert((tomb.getLong(0) & ~GraftRowLevel.SqlEnvelopeOffsetBit) == 6L,
+      "and still advance the stored offset by one within the domain")
+
+    // the collision the domain exists to prevent: a binlog event at the
+    // EXACT (warc_ts, offset=stored+1, partition) the pre-fix code
+    // synthesized — an exact total-order tie with an arbitrary winner then;
+    // now the tombstone's reserved-domain offset deterministically wins
+    merge(T, 6L, "tie-attacker")
+    assert(spark.sql("SELECT * FROM graft.env WHERE url = 'u1'").count() == 0,
+      "an equal-warc_ts binlog event must lose to the SQL tombstone")
+    // the one LWW rule is unchanged: a strictly later event still wins
+    merge(T + 1L, 0L, "later")
+    assert(spark.sql("SELECT text FROM graft.env WHERE url = 'u1'").head().getString(0) == "later")
+
+    // chaining stays monotonic inside the domain: UPDATE over a previous
+    // command's output keeps the bit and advances the offset
+    spark.sql("UPDATE graft.env SET lang = 'de' WHERE url = 'u1'")
+    spark.sql("UPDATE graft.env SET lang = 'fr' WHERE url = 'u1'")
+    val r = GraftRead.rawResolved(spark, lake)
+      .filter(col("url") === "u1").select(col("_seq_offset"), col("lang")).head()
+    assert(r.getString(1) == "fr")
+    assert((r.getLong(0) & GraftRowLevel.SqlEnvelopeOffsetBit) != 0L)
+    assert((r.getLong(0) & ~GraftRowLevel.SqlEnvelopeOffsetBit) == 2L,
+      "two chained commands advance twice from offset 0")
+  }
+
   test("UPDATE assigns changelog columns; derived columns re-derive; bad SETs rejected") {
     enable()
     spark.sql("CREATE TABLE graft.upd (url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, content_len BIGINT, lang STRING) USING graft TBLPROPERTIES('buckets'='4')")

@@ -9,14 +9,18 @@ import graft.app.BenchUtil
   *
   * Measurement discipline (round-2 lesson: a one-shot, cold, last-in-JVM
   * ingest run was 3–4× its reproducible value and corrupted the only
-  * cross-round perf signal):
+  * cross-round perf signal; round-4 lesson: the host's cold window is
+  * WHOLE-RUN-scale — single-shot headline queries recorded 2–6× their warm
+  * value, e.g. doc_exact_dedup 2.82 s recorded vs 0.5 s on a warm probe):
   *  - a small warmup ingest JITs the whole pipeline before anything is timed;
-  *  - the ingest headline and the three merge queries are best-of-2 — the
-  *    reproducible number, not the GC-noise envelope;
-  *  - steady-state multi-batch COW and MOR ingests (the CowAB shape) are
-  *    reported so the per-batch O(batch) merge cost is visible in round
-  *    diffs; their attempts alternate modes across the window, best-of-3
-  *    per mode (drift-resistant — the ScalingBench protocol).
+  *  - EVERY headline query gets one untimed warm pass (whole list first),
+  *    then best-of-2 timed runs — the reproducible number, not the
+  *    GC/page-cache-noise envelope;
+  *  - the ingest headline is full-size-warmed then best-of-2;
+  *  - steady-state multi-batch COW, MOR and CURATED ingests (the CowAB
+  *    shape) are reported so the per-batch O(batch) merge cost is visible in
+  *    round diffs; the three modes' attempts alternate across the window,
+  *    best-of-3 per mode (drift-resistant — the ScalingBench protocol).
   *
   * Env knobs: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS
   * (default 32), GRAFT_BENCH_EVENTS (default 1,000,000 CDC events).
@@ -32,11 +36,6 @@ object Bench {
     "doc_ngram_neardup", "doc_simhash_neardup", "doc_quality", "doc_langid",
     "doc_minhash_incremental", "emb_cosine_topk", "emb_lsh_pairs",
     "emb_ivf_topk", "emb_ivf_incremental", "mm_features")
-
-  // merge queries build + merge a table per run: GC/page-cache sensitive, so
-  // they get the same best-of-2 treatment as the ingest headline
-  private val bestOf2 = Set(
-    "cdc_merge_final_state", "cdc_merge_final_state_mor", "cdc_sql_merge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -56,16 +55,21 @@ object Bench {
     val warmDir = BenchUtil.ensureBinlog(BenchUtil.skewedProfile(40000L))
     BenchUtil.timedIngest(spark, warmDir, 20000L, 16)
 
+    def runOnce(name: String): Double = {
+      val fn = SparkEntry.queries(name)
+      try time(fn(spark, sfDir).count())
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1.0 }
+    }
+    // one untimed warm pass over the WHOLE headline list first: the cold
+    // window is longer than any single query, so warming query-by-query
+    // right before its own timed run would still land inside it
+    headline.foreach(runOnce)
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     headline.foreach { name =>
-      val fn = SparkEntry.queries(name)
-      def once(): Double = try time(fn(spark, sfDir).count())
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1.0 }
       // min over SUCCESSFUL runs only: a transient failure (-1) must not
       // discard the other run's valid measurement
-      val sec = if (bestOf2(name)) Seq(once(), once()).filter(_ >= 0).minOption.getOrElse(-1.0)
-      else once()
-      results(name) = sec
+      results(name) = Seq(runOnce(name), runOnce(name)).filter(_ >= 0)
+        .minOption.getOrElse(-1.0)
     }
 
     // CDC ingest throughput (the north-star metric, at this parallelism).
@@ -83,28 +87,37 @@ object Bench {
     val (ev, ingestSec, eps) = Seq(ingestOnce(), ingestOnce()).minBy(_._2)
     results("cdc_ingest_1m") = ingestSec
 
-    // steady-state COW + MOR: 16 growing-table batches each (per-batch cost
-    // must stay O(batch), independent of table size — the co-located merge
-    // invariant; MOR is the DECLARED 10^10-scale path whose number must stay
-    // flat as the table grows). The two modes' attempts ALTERNATE across the
-    // measurement window, best-of-3 per mode — the ScalingBench discipline:
-    // shared-host noise only ever SLOWS a run, so the per-mode best
-    // approaches the quiet-host capability, and alternation keeps one bad
-    // stretch from eating every attempt of one mode (observed: back-to-back
-    // best-of-2 scored steady COW 94.8 s in a window where an adjacent run
-    // measured 36.9 s).
+    // steady-state COW + MOR + CURATED: 16 growing-table batches each
+    // (per-batch cost must stay O(batch), independent of table size — the
+    // co-located merge invariant; MOR is the DECLARED 10^10-scale path whose
+    // number must stay flat as the table grows; CURATED is the flagship
+    // one-call composition — ingest + curation increment + index append in
+    // one loop — graded per-round for the first time this round). The modes'
+    // attempts ALTERNATE across the measurement window, best-of-3 per mode —
+    // the ScalingBench discipline: shared-host noise only ever SLOWS a run,
+    // so the per-mode best approaches the quiet-host capability, and
+    // alternation keeps one bad stretch from eating every attempt of one
+    // mode (observed: back-to-back best-of-2 scored steady COW 94.8 s in a
+    // window where an adjacent run measured 36.9 s).
+    sealed trait Steady
+    case object SCow extends Steady
+    case object SMor extends Steady
+    case object SCur extends Steady
     val steadyBatch = math.max(1L, cdcEvents / 8 / 16) // per-partition units
-    val steadyAttempts = (1 to 3).flatMap(_ =>
-      Seq(graft.cdc.Cow, graft.cdc.Mor).map(m =>
-        m -> steadyReplay(spark, binlog, steadyBatch, m)))
-    val (sev, ssec, seps) = steadyAttempts.collect { case (graft.cdc.Cow, r) => r }.minBy(_._2)
+    val steadyAttempts = (1 to 3).flatMap(_ => Seq[(Steady, (Long, Double, Double))](
+      SCow -> steadyReplay(spark, binlog, steadyBatch, graft.cdc.Cow),
+      SMor -> steadyReplay(spark, binlog, steadyBatch, graft.cdc.Mor),
+      SCur -> curatedReplay(spark, binlog, math.max(1L, cdcEvents / 16))))
+    val (sev, ssec, seps) = steadyAttempts.collect { case (SCow, r) => r }.minBy(_._2)
     results("cdc_steady_cow_16b") = ssec
-    val (mev, msec, meps) = steadyAttempts.collect { case (graft.cdc.Mor, r) => r }.minBy(_._2)
+    val (mev, msec, meps) = steadyAttempts.collect { case (SMor, r) => r }.minBy(_._2)
     results("cdc_steady_mor_16b") = msec
+    val (cev, csec, ceps) = steadyAttempts.collect { case (SCur, r) => r }.minBy(_._2)
+    results("cdc_curated_16b") = csec
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"cdc_events":$ev,"cdc_eps":${f"$eps%.0f"},"steady_events":$sev,"steady_eps":${f"$seps%.0f"},"steady_mor_events":$mev,"steady_mor_eps":${f"$meps%.0f"}}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"cdc_events":$ev,"cdc_eps":${f"$eps%.0f"},"steady_events":$sev,"steady_eps":${f"$seps%.0f"},"steady_mor_events":$mev,"steady_mor_eps":${f"$meps%.0f"},"curated_events":$cev,"curated_eps":${f"$ceps%.0f"}}""")
     spark.stop()
   }
 
@@ -117,6 +130,30 @@ object Bench {
     val table = graft.cdc.Ingest.replayBatch(spark, binlog.toString,
       work.resolve("table"), eventsPerBatch = eventsPerBatch, nBuckets = 64,
       mode = mode)
+    val events = table.currentSnapshot.batches.flatMap(_.lineage).map(_.count).sum
+    val sec = (System.nanoTime() - t0) / 1e9
+    graft.lake.SinkIO.rmDir(work)
+    (events, sec, events / sec)
+  }
+
+  /** 16-batch one-call curated stream (ingest → MOR merge → curation
+    * increment → LSH index append per micro-batch), single run. Same event
+    * volume as [[steadyReplay]]; the delta over the MOR number is the cost
+    * of keeping the curation index exactly in step with the table. */
+  private def curatedReplay(spark: SparkSession, binlog: java.nio.file.Path,
+      maxEventsPerBatch: Long): (Long, Double, Double) = {
+    val work = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(BenchUtil.scratch), "curated")
+    val idx = work.resolve("lsh")
+    graft.ops.LshIndex.create(idx,
+      graft.ops.LshIndex.Params(n = 3, bands = 4, rowsPerBand = 2, shards = 16))
+    val t0 = System.nanoTime()
+    val q = graft.ops.Curate.startCuratedStream(spark, binlog.toString,
+      work.resolve("table"), work.resolve("ckpt").toString, idx,
+      maxEventsPerBatch = maxEventsPerBatch, nBuckets = 64,
+      mode = graft.cdc.Mor)
+    q.awaitTermination()
+    val table = graft.lake.LakeTable.load(work.resolve("table"))
     val events = table.currentSnapshot.batches.flatMap(_.lineage).map(_.count).sum
     val sec = (System.nanoTime() - t0) / 1e9
     graft.lake.SinkIO.rmDir(work)

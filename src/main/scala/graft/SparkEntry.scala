@@ -203,6 +203,37 @@ object SparkEntry {
               |FROM graft.sqlupd""".stripMargin)
     }),
 
+    // POINT row-level delete: the matched-row read goes through the same
+    // url-key pushdown as SELECT point lookups (hash-bucket prune + bounds +
+    // bloom sidecars), so a selective DELETE reads the keys' buckets only —
+    // plan-asserted in GraftSqlSpec; the oracle grades the final state
+    "cdc_sql_point_delete" -> ((s, dir) => {
+      val wh = Files.createTempDirectory("graft-sql-wh")
+      graft.sql.GraftSql.enable(s, wh.toString)
+      t(s, dir, "events").createOrReplaceTempView("graft_ev_src5")
+      s.sql("DROP TABLE IF EXISTS graft.sqlpdel")
+      s.sql("""CREATE TABLE graft.sqlpdel (url STRING, warc_ts TIMESTAMP,
+              |  html BINARY, text STRING, content_len BIGINT, lang STRING)
+              |USING graft TBLPROPERTIES('buckets'='8')""".stripMargin)
+      s.sql("""MERGE INTO graft.sqlpdel t USING (
+              |  SELECT concat('u', CAST(user_id AS STRING)) AS url,
+              |    CAST(ts AS TIMESTAMP) AS warc_ts,
+              |    CASE WHEN event_type = 'error' THEN CAST(NULL AS BINARY)
+              |         ELSE to_binary(props, 'utf-8') END AS html,
+              |    CAST(NULL AS STRING) AS text, CAST(NULL AS BIGINT) AS content_len,
+              |    'en' AS lang,
+              |    CAST(pmod(user_id, 4) AS INT) AS partition, event_id AS offset,
+              |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+              |  FROM graft_ev_src5) s
+              |ON t.url = s.url
+              |WHEN MATCHED AND s.op = 'delete' THEN DELETE
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql("DELETE FROM graft.sqlpdel WHERE url IN ('u3', 'u7', 'u1200', 'u999999')")
+      s.sql("""SELECT url, unix_micros(warc_ts) AS warc_us, text, content_len
+              |FROM graft.sqlpdel""".stripMargin)
+    }),
+
     // point lookups through the catalog scan's pushdown (one hash bucket +
     // bounds-admitted files read; results graded against the oracle)
     "cdc_sql_point_lookup" -> ((s, dir) => {
@@ -628,6 +659,16 @@ object SparkEntry {
         |       CAST(CASE WHEN strlen(props) >= 9 THEN 13 ELSE strlen(props) END AS BIGINT) AS content_len,
         |       CASE WHEN strlen(props) >= 9 THEN 'xx' ELSE 'en' END AS lang
         |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    "cdc_sql_point_delete" ->
+      """WITH ranked AS (
+        |  SELECT user_id, ts, event_id, event_type, props,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT 'u' || CAST(user_id AS VARCHAR) AS url, epoch_us(ts) AS warc_us,
+        |       props AS text, CAST(strlen(props) AS BIGINT) AS content_len
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        |  AND 'u' || CAST(user_id AS VARCHAR) NOT IN ('u3', 'u7', 'u1200', 'u999999')""".stripMargin,
 
     "cdc_sql_point_lookup" ->
       """WITH ranked AS (

@@ -160,7 +160,8 @@ object DedupOps {
     * fans out by shingle, so shuffle is O(Σ shingles), never O(n²). */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       n: Int, threshold: Double, pruneUniqueShingles: Boolean = false,
-      maxDf: Int = 0): DataFrame = {
+      maxDf: Int = 0,
+      dfAudit: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
       array_distinct(TextOps.shingles(col(textCol), n)).as("sh"))
     // CAREFUL: do NOT carry `sh` (or anything derived from it) through the
@@ -183,8 +184,16 @@ object DedupOps {
       else {
         val lo = if (pruneUniqueShingles) 1L else 0L
         val hi = if (maxDf > 0) maxDf.toLong else Long.MaxValue
-        val shared = inv0.groupBy(col("s")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > lo && col("df") <= hi).select(col("s"))
+        val dfs0 = inv0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        // NO SILENT TRUNCATION: the caller can observe exactly what the
+        // ceiling dropped — metrics ride the df aggregate the prune already
+        // computes (CollectMetrics over dfs: zero extra passes, resolved
+        // after the first action on the returned pairs)
+        val dfs = dfAudit.fold(dfs0)(obs => dfs0.observe(obs,
+          sum(when(col("df") > hi, lit(1)).otherwise(lit(0))).as("hot_shingles"),
+          sum(when(col("df") > hi, col("df")).otherwise(lit(0))).as("dropped_postings"),
+          sum(col("df")).as("total_postings")))
+        val shared = dfs.filter(col("df") > lo && col("df") <= hi).select(col("s"))
         inv0.join(shared, Seq("s"), "left_semi")
       }
     }
@@ -199,6 +208,48 @@ object DedupOps {
         (col("n1") + col("n2") - col("inter")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** Corpus-derived df ceiling for [[ngramJaccardPairs]] — the [[tuneCaps]]
+    * discipline applied to the shingle-df distribution ALONE (no minhash
+    * pass): a high quantile of a sample's observed df distribution, a
+    * headroom factor so legitimate shared boilerplate clears the cap, scaled
+    * by 1/sampleFraction (a hot shingle's df grows linearly with corpus
+    * size; the p≪hot quantile tracks the normal population). One pass over
+    * the sample; one approximate quantile crosses to the driver. */
+  def tuneMaxDf(docs: DataFrame, textCol: String, n: Int = 3,
+      sampleFraction: Double = 0.01, seed: Long = 42L,
+      quantile: Double = 0.99, headroom: Double = 4.0,
+      floorCap: Int = 16): Int = {
+    val f = math.min(1.0, sampleFraction)
+    val sample = if (f >= 1.0) docs else docs.sample(withReplacement = false, f, seed)
+    val qd = sample
+      .select(explode(array_distinct(TextOps.shingles(col(textCol), n))).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .stat.approxQuantile("df", Array(quantile), 0.001).headOption.getOrElse(1.0)
+    math.ceil(math.max(floorCap.toDouble, math.ceil(qd * headroom)) / f).toInt
+  }
+
+  /** [[ngramJaccardPairs]] as a SCALE operator: the df ceiling is derived
+    * from the corpus itself ([[tuneMaxDf]] — no fixed default to outgrow)
+    * and the prune is always observable. Returns (pairs, derived maxDf,
+    * audit); the audit Observation's metrics — `hot_shingles`,
+    * `dropped_postings`, `total_postings` — resolve after the first action
+    * on the pairs, so a caller can log exactly what the ceiling cost (the
+    * dropped postings UNDERCOUNT intersections: jaccard is a lower bound,
+    * false negatives possible, false positives never). The exact
+    * oracle-graded baseline stays `maxDf = 0` [[ngramJaccardPairs]]. */
+  def ngramJaccardPairsTuned(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double, pruneUniqueShingles: Boolean = false,
+      sampleFraction: Double = 0.01, seed: Long = 42L,
+      quantile: Double = 0.99, headroom: Double = 4.0, floorCap: Int = 16)
+      : (DataFrame, Int, org.apache.spark.sql.Observation) = {
+    val maxDf = tuneMaxDf(docs, textCol, n, sampleFraction, seed, quantile,
+      headroom, floorCap)
+    val audit = org.apache.spark.sql.Observation()
+    val pairs = ngramJaccardPairs(docs, textCol, idCol, n, threshold,
+      pruneUniqueShingles, maxDf, Some(audit))
+    (pairs, maxDf, audit)
   }
 
   /** 64-bit SimHash over tokens: per-bit weighted majority of xxhash64(token).

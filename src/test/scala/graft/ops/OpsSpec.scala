@@ -339,6 +339,43 @@ class OpsSpec extends SparkSpec {
     assert(autoExact.forall { case (a, b) => a < 100000L && b < 100000L })
   }
 
+  test("ngramJaccardPairsTuned: corpus-derived df ceiling engages, prune is observable") {
+    import spark.implicits._
+    val boiler = (100000L until 100400L)
+      .map(id => (id, "lorem ipsum boilerplate text repeated verbatim on every mirror page"))
+      .toDF("doc_id", "text")
+    val mixed = docs.select(col("doc_id"), col("text")).unionByName(boiler)
+
+    val (pairs, maxDf, audit) = DedupOps.ngramJaccardPairsTuned(
+      mixed, "text", "doc_id", n = 3, threshold = 0.6,
+      sampleFraction = 0.5, seed = 7L)
+    val tuned = pairSet(pairs)
+
+    // the derived ceiling sits between the normal shingle-df population and
+    // the 400-doc boilerplate shingles, so the cap ENGAGES on exactly the
+    // viral population
+    assert(maxDf >= 16 && maxDf < 400, s"derived maxDf must separate the populations: $maxDf")
+    assert(tuned.forall { case (a, b) => a < 100000L && b < 100000L },
+      "boilerplate postings must be dropped by the derived ceiling")
+
+    // NO SILENT TRUNCATION: the audit reports what the ceiling dropped —
+    // each of the 400 boilerplate docs contributes its hot shingles' postings
+    val m = audit.get
+    assert(m("hot_shingles").asInstanceOf[Long] > 0L, s"audit must report hot shingles: $m")
+    val dropped = m("dropped_postings").asInstanceOf[Long]
+    val total = m("total_postings").asInstanceOf[Long]
+    assert(dropped >= 400L && dropped < total,
+      s"audit must report the boilerplate postings dropped ($dropped of $total)")
+
+    // the ceiling only ever UNDERCOUNTS intersections: no new pairs vs the
+    // uncapped exact run, and the normal population's recall stays intact
+    val exactMixed = pairSet(DedupOps.ngramJaccardPairs(mixed, "text", "doc_id", 3, 0.6))
+    assert(tuned.subsetOf(exactMixed), "df ceiling must never create false positives")
+    val exactNormal = pairSet(DedupOps.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.6))
+    val recall = tuned.intersect(exactNormal).size.toDouble / exactNormal.size
+    assert(recall >= 0.8, s"derived ceiling must not hurt normal-population recall ($recall)")
+  }
+
   test("token count and quality: edge cases") {
     import spark.implicits._
     val df = Seq((1L, ""), (2L, "   "), (3L, "one"), (4L, "the cat, and the 42 dog."))

@@ -40,6 +40,26 @@ object VecFns {
       inputTypes = Seq(ArrayType(FloatType)),
       propagateNull = true, returnNullable = false))
 
+  /** 8-bit scalar quantization of a float vector (FAISS SQ8 discipline):
+    * per-vector affine codes `round((x − vmin)·255/(vmax − vmin))`, one byte
+    * per dimension — the probe-scan payload shrinks ~4× vs raw floats.
+    * Deterministic double math; a constant vector (vmax == vmin) encodes as
+    * all-zero codes and decodes back to vmin exactly. */
+  def sq8Encode(v: Column, vmin: Column, vmax: Column): Column = column(
+    StaticInvoke(VecKernels.getClass, BinaryType, "sq8Encode",
+      Seq(expression(v), expression(vmin), expression(vmax)),
+      inputTypes = Seq(ArrayType(FloatType), FloatType, FloatType),
+      propagateNull = true, returnNullable = true))
+
+  /** cosine(q, decode(code)) without materializing the decoded array: the
+    * SQ8 approximate distance used to rank re-rank candidates. Same
+    * accumulation order as [[cosineF]] over the decoded values. */
+  def sq8Cosine(q: Column, code: Column, vmin: Column, vmax: Column): Column = column(
+    StaticInvoke(VecKernels.getClass, DoubleType, "sq8Cosine",
+      Seq(expression(q), expression(code), expression(vmin), expression(vmax)),
+      inputTypes = Seq(ArrayType(FloatType), BinaryType, FloatType, FloatType),
+      propagateNull = true, returnNullable = false))
+
   /** Sign-random-projection LSH bucket of a float vector: nBits hyperplane
     * dot-product signs packed into a long. Planes are derived from
     * `Rng.uniform(Rng.key(seed, bit, dim))·2−1` INSIDE the kernel (cached) —
@@ -127,6 +147,38 @@ object VecKernels {
     val n = a.numElements()
     while (i < n) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
     math.sqrt(s)
+  }
+
+  def sq8Encode(v: ArrayData, vmin: Float, vmax: Float): Array[Byte] = {
+    val n = v.numElements()
+    val out = new Array[Byte](n)
+    val lo = vmin.toDouble
+    val scale = (vmax.toDouble - lo) / 255.0
+    if (scale > 0.0) {
+      var i = 0
+      while (i < n) {
+        val q = Math.round((v.getFloat(i).toDouble - lo) / scale)
+        out(i) = (if (q < 0L) 0L else if (q > 255L) 255L else q).toByte
+        i += 1
+      }
+    }
+    out
+  }
+
+  def sq8Cosine(q: ArrayData, code: Array[Byte], vmin: Float, vmax: Float): Double = {
+    val n = math.min(q.numElements(), code.length)
+    val lo = vmin.toDouble
+    val scale = (vmax.toDouble - lo) / 255.0
+    var dab = 0.0; var daa = 0.0; var dbb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = q.getFloat(i).toDouble
+      val y = lo + (code(i) & 0xFF) * scale
+      dab += x * y; daa += x * x; dbb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(daa) * math.sqrt(dbb)
+    if (denom == 0.0) 0.0 else dab / denom
   }
 
   // Hyperplanes are pure functions of (seed, nBits, dim) — cache the derived

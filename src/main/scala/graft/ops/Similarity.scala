@@ -233,6 +233,42 @@ object Similarity {
     cents
   }
 
+  /** SQ8 code columns for an assigned batch: per-vector affine 8-bit codes
+    * (`code` byte-per-dim + `vmin`/`vmax` floats) replacing the raw float
+    * array — the per-row index payload shrinks ~4× (see IvfBytesAB). */
+  private def sq8Columns(assigned: DataFrame, idCol: String, vecCol: String): DataFrame =
+    assigned
+      .withColumn("vmin", array_min(col(vecCol)))
+      .withColumn("vmax", array_max(col(vecCol)))
+      .select(col(idCol),
+        VecFns.sq8Encode(col(vecCol), col("vmin"), col("vmax")).as("code"),
+        col("vmin"), col("vmax"), col("list"))
+
+  /** [[writeIvfIndex]] with 8-bit scalar-quantized storage (the FAISS SQ8
+    * discipline): list files hold `(id, code, vmin, vmax)` — ~4× smaller
+    * than raw float arrays, and at 10⁹–10¹⁰ embeddings the inverted file IS
+    * the storage bill. Raw vectors are NOT duplicated into the index; exact
+    * re-rank fetches them from the source table ([[ivfTopKIndexedSq8]]).
+    * Same codebook, same training procedure, same `_centroids.json` — only
+    * the list payload changes. */
+  def writeIvfIndexSq8(vecs: DataFrame, dir: String, nLists: Int, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      md5Seeding: Boolean = false): Array[(Int, Array[Double])] = {
+    val (assigned, cents) = ivfAssign(vecs, nLists, seed, idCol, vecCol, md5Seeding)
+    val obs = org.apache.spark.sql.Observation()
+    sq8Columns(assigned, idCol, vecCol)
+      .observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").partitionBy("list").parquet(dir)
+    val json = cents.sortBy(_._1).map(_._2.mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_centroids.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    writeTrainMeta(dir, TrainMeta(nLists, seed, md5Seeding,
+      trainedRows = obs.get("n").asInstanceOf[Long], appendedRows = 0L,
+      idCol = idCol, vecCol = vecCol, quant = "sq8"))
+    cents
+  }
+
   /** Training provenance + drift counter for [[maybeRebuildIvfIndex]]'s
     * cadence rule: how many rows the codebook was trained over, and how
     * many have been frozen-assigned since. Lives in `_train_meta.json`
@@ -240,7 +276,8 @@ object Similarity {
     * index's parquet appends). */
   final case class TrainMeta(nLists: Int, seed: Long, md5Seeding: Boolean,
       trainedRows: Long, appendedRows: Long,
-      idCol: String = "vec_id", vecCol: String = "embedding")
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      quant: String = "raw")
 
   private def metaPath(dir: String) =
     java.nio.file.Paths.get(dir, "_train_meta.json")
@@ -249,7 +286,7 @@ object Similarity {
     val json = s"""{"nLists":${m.nLists},"seed":${m.seed},""" +
       s""""md5Seeding":${m.md5Seeding},"trainedRows":${m.trainedRows},""" +
       s""""appendedRows":${m.appendedRows},""" +
-      s""""idCol":"${m.idCol}","vecCol":"${m.vecCol}"}"""
+      s""""idCol":"${m.idCol}","vecCol":"${m.vecCol}","quant":"${m.quant}"}"""
     val tmp = java.nio.file.Paths.get(dir, s".train_meta.tmp")
     java.nio.file.Files.write(tmp, json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.move(tmp, metaPath(dir),
@@ -272,8 +309,11 @@ object Similarity {
     def str(name: String): String =
       s""""$name":"([^"]*)"""".r.findFirstMatchIn(j).map(_.group(1))
         .getOrElse(throw new IllegalStateException(s"bad _train_meta.json at $dir"))
+    // quant is optional for pre-SQ8 metas: absent ⇒ raw float storage
+    val quant = """"quant":"([^"]*)"""".r.findFirstMatchIn(j).map(_.group(1)).getOrElse("raw")
     Some(TrainMeta(f("nLists").toInt, f("seed").toLong, f("md5Seeding").toBoolean,
-      f("trainedRows").toLong, f("appendedRows").toLong, str("idCol"), str("vecCol")))
+      f("trainedRows").toLong, f("appendedRows").toLong, str("idCol"), str("vecCol"),
+      quant))
   }
 
   /** INCREMENTAL index maintenance: assign a new vector batch with the
@@ -286,8 +326,13 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val cents = readIvfCentroids(dir)
     val obs = org.apache.spark.sql.Observation()
-    assignToCentroids(vecs.select(col(idCol), col(vecCol)), cents, idCol, vecCol)
-      .observe(obs, count(lit(1)).as("n"))
+    val assigned = assignToCentroids(vecs.select(col(idCol), col(vecCol)), cents, idCol, vecCol)
+    // storage dispatch follows the index's recorded quantization, so a batch
+    // appended to an SQ8 index lands as codes — one index, one row layout
+    val out =
+      if (readTrainMeta(dir).exists(_.quant == "sq8")) sq8Columns(assigned, idCol, vecCol)
+      else assigned
+    out.observe(obs, count(lit(1)).as("n"))
       .write.mode("append").partitionBy("list").parquet(dir)
     // drift counter (single-writer: appends are serialized by the caller,
     // as parquet `append` itself already requires)
@@ -303,12 +348,23 @@ object Similarity {
     * under threshold (or the index predates training metadata). Call it
     * after appends on any maintenance cadence — cheap no-op otherwise. */
   def maybeRebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String, growthFactor: Double = 1.0): Option[Array[(Int, Array[Double])]] = {
+      dir: String, growthFactor: Double = 1.0,
+      source: Option[DataFrame] = None): Option[Array[(Int, Array[Double])]] = {
     require(growthFactor > 0, "growthFactor must be positive")
     readTrainMeta(dir) match {
       case Some(m) if m.appendedRows >= growthFactor * math.max(1L, m.trainedRows) =>
-        Some(rebuildIvfIndex(spark, dir, m.nLists, m.seed,
-          idCol = m.idCol, vecCol = m.vecCol, md5Seeding = m.md5Seeding))
+        if (m.quant == "sq8")
+          // SQ8 lists hold codes, not vectors: retraining needs the raw
+          // source (training on decoded codes would compound quantization
+          // error into the codebook) — fail loudly rather than drift
+          Some(rebuildIvfIndexSq8(spark, dir, source.getOrElse(
+              throw new IllegalArgumentException(
+                s"SQ8 index at $dir needs the raw vector source to retrain")),
+            m.nLists, m.seed, idCol = m.idCol, vecCol = m.vecCol,
+            md5Seeding = m.md5Seeding))
+        else
+          Some(rebuildIvfIndex(spark, dir, m.nLists, m.seed,
+            idCol = m.idCol, vecCol = m.vecCol, md5Seeding = m.md5Seeding))
       case _ => None
     }
   }
@@ -335,12 +391,29 @@ object Similarity {
       nLists: Int, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",
       md5Seeding: Boolean = false): Array[(Int, Array[Double])] = {
-    val nonce = java.util.UUID.randomUUID().toString.take(8)
     val vecs = spark.read.parquet(dir).select(col(idCol), col(vecCol))
-    // writeIvfIndex fully materializes (train collects + parquet write)
-    // BEFORE the swap, so every read of the live dir has completed
-    val cents = writeIvfIndex(vecs, s"$dir.rebuild-$nonce", nLists, seed,
-      idCol, vecCol, md5Seeding)
+    swapRebuild(dir)(fresh => writeIvfIndex(vecs, fresh, nLists, seed,
+      idCol, vecCol, md5Seeding))
+  }
+
+  /** [[rebuildIvfIndex]] for an SQ8 index: retrains over the caller-supplied
+    * RAW vectors (the index holds only codes) and writes a fresh SQ8
+    * inverted file with the same swap protocol. A rebuild equals a
+    * from-scratch [[writeIvfIndexSq8]] over the same rows, bit for bit. */
+  def rebuildIvfIndexSq8(spark: org.apache.spark.sql.SparkSession, dir: String,
+      source: DataFrame, nLists: Int, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      md5Seeding: Boolean = false): Array[(Int, Array[Double])] =
+    swapRebuild(dir)(fresh => writeIvfIndexSq8(source, fresh, nLists, seed,
+      idCol, vecCol, md5Seeding))
+
+  /** Build-next-to-live-then-swap: the builder fully materializes (train
+    * collects + parquet write) into `<dir>.rebuild-<nonce>` BEFORE the two
+    * atomic renames, so readers never observe a half-written mix. */
+  private def swapRebuild(dir: String)(
+      build: String => Array[(Int, Array[Double])]): Array[(Int, Array[Double])] = {
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val cents = build(s"$dir.rebuild-$nonce")
     val live = java.nio.file.Paths.get(dir)
     val old = java.nio.file.Paths.get(s"$dir.old-$nonce")
     java.nio.file.Files.move(live, old, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -418,6 +491,59 @@ object Similarity {
       .withColumn("cos", round(cosine(col("qv"), col("nv")), 4))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** IVF top-k over a persisted SQ8 index with EXACT re-rank (the FAISS
+    * two-stage discipline): the partition-pruned probe scans 8-bit codes
+    * (~4× fewer bytes than raw floats — at 10⁹+ vectors the probe-scan
+    * payload is the query cost), approximate cosine ranks a candidate pool
+    * of `rerankFactor × k` per query, then ONLY the pool's raw vectors are
+    * fetched from `source` (the id-keyed vector table — never duplicated
+    * into the index) and the final top-k is exact-cosine ranked with the
+    * same tie order as [[ivfTopKIndexed]].
+    *
+    * Exactness: the re-ranked scores are exact; the POOL is approximate —
+    * a true top-k member ranked below `rerankFactor × k` by quantized
+    * cosine would be missed (SQ8 error is ~1e-3 on unit-scale floats, so
+    * factor 4 holds recall in practice; raise it to trade scan for
+    * certainty). The pool fetch broadcasts O(queries·k·factor) ids against
+    * `source` — map-only, no shuffle of the vector table. */
+  def ivfTopKIndexedSq8(spark: org.apache.spark.sql.SparkSession, dir: String,
+      source: DataFrame, queryIds: Seq[Long], k: Int, nprobe: Int,
+      rerankFactor: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(rerankFactor >= 1, "rerankFactor must be >= 1")
+    val cents = readIvfCentroids(dir)
+    val queries = source.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("probe",
+        explode(probeListsCol(col("qv"), cents, nprobe)))
+      .select(col("query_id"), col("qv"), col("probe")).collect()
+    val probeSet = queries.map(_.getInt(2)).distinct.toSeq
+    val qdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(queries.map(r =>
+        org.apache.spark.sql.Row(r.getLong(0), r.getSeq[Float](1), r.getInt(2))).toSeq),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("qv",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+        org.apache.spark.sql.types.StructField("probe", org.apache.spark.sql.types.IntegerType))))
+    val codes = spark.read.parquet(dir)
+      .filter(col("list").isin(probeSet: _*)) // partition-pruned
+      .select(col(idCol).as("neighbor_id"), col("code"), col("vmin"), col("vmax"), col("list"))
+    val approx = codes.join(broadcast(qdf),
+        col("list") === col("probe") && col("neighbor_id") =!= col("query_id"))
+      .withColumn("acos", VecFns.sq8Cosine(col("qv"), col("code"), col("vmin"), col("vmax")))
+    val wa = Window.partitionBy(col("query_id")).orderBy(col("acos").desc, col("neighbor_id"))
+    val pool = approx.withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= k * rerankFactor)
+      .select(col("query_id"), col("qv"), col("neighbor_id"))
+    val rescored = source.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      .join(broadcast(pool), Seq("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("nv")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 

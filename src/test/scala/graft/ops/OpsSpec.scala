@@ -139,6 +139,79 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("list#"), plan.take(800))
   }
 
+  test("SQ8 IVF index: exact re-rank matches the raw index; ~4x smaller probe payload") {
+    import graft.app.BenchUtil.dirBytes
+    val rawDir = tmpDir("ivf-raw").resolve("index").toString
+    val sq8Dir = tmpDir("ivf-sq8").resolve("index").toString
+    Similarity.writeIvfIndex(embs, rawDir, nLists = 16)
+    Similarity.writeIvfIndexSq8(embs, sq8Dir, nLists = 16)
+
+    // same codebook (same seeding + Lloyd pass over the same rows), so the
+    // two indexes probe the same lists
+    assert(Similarity.readIvfCentroids(rawDir).map(_._2.toSeq).toSeq ==
+      Similarity.readIvfCentroids(sq8Dir).map(_._2.toSeq).toSeq)
+
+    // exact re-rank: the SQ8 path's final top-k equals the raw index's —
+    // approximate cosine only selects the pool, never scores the answer
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val raw = Similarity.ivfTopKIndexed(spark, rawDir, qids, k = 3, nprobe = 4)
+    val sq8 = Similarity.ivfTopKIndexedSq8(spark, sq8Dir, embs, qids, k = 3, nprobe = 4)
+    assert(sq8.collect().map(_.toString).sorted
+      .sameElements(raw.collect().map(_.toString).sorted))
+
+    // the probe-scan payload (what every query reads) is ~3.4x smaller:
+    // codes are byte-per-dim vs 4-byte floats (snappy + per-vector min/max
+    // eat the rest of the naive 4x). 500 rows over 16 list files is all
+    // parquet framing, so measure on a 20x deterministically-perturbed
+    // corpus. The perturbation must be PER-DIMENSION: SQ8 codes are
+    // invariant under affine maps x → a·x + b (vmin/vmax rescale with the
+    // data), so pure-scale copies would emit identical code words that
+    // dictionary-collapse and fake a huge ratio
+    val big = spark.range(20).crossJoin(embs).select(
+      (col("vec_id") + col("id") * 1000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x * (lit(1.0f) + col("id").cast("float") * (i.cast("float") + lit(1.0f))
+          / lit(2048.0f))).cast("float"))
+        .as("embedding"))
+    val bigRaw = tmpDir("ivf-raw-big").resolve("index").toString
+    val bigSq8 = tmpDir("ivf-sq8-big").resolve("index").toString
+    Similarity.writeIvfIndex(big, bigRaw, nLists = 16)
+    Similarity.writeIvfIndexSq8(big, bigSq8, nLists = 16)
+    val ratio = dirBytes(java.nio.file.Paths.get(bigRaw)).toDouble /
+      dirBytes(java.nio.file.Paths.get(bigSq8))
+    assert(ratio >= 2.5, f"SQ8 index must be far smaller than raw (got $ratio%.2f x)")
+
+    // incremental appends follow the index's recorded quantization and the
+    // frozen-codebook result still matches the raw twin built the same way
+    val h1 = embs.filter(col("vec_id") % 2 === 0)
+    val h2 = embs.filter(col("vec_id") % 2 === 1)
+    val rawInc = tmpDir("ivf-raw-inc").resolve("index").toString
+    val sq8Inc = tmpDir("ivf-sq8-inc").resolve("index").toString
+    Similarity.writeIvfIndex(h1, rawInc, nLists = 16)
+    Similarity.appendToIvfIndex(h2, rawInc)
+    Similarity.writeIvfIndexSq8(h1, sq8Inc, nLists = 16)
+    Similarity.appendToIvfIndex(h2, sq8Inc)
+    val rawI = Similarity.ivfTopKIndexed(spark, rawInc, qids, k = 3, nprobe = 4)
+    val sq8I = Similarity.ivfTopKIndexedSq8(spark, sq8Inc, embs, qids, k = 3, nprobe = 4)
+    assert(sq8I.collect().map(_.toString).sorted
+      .sameElements(rawI.collect().map(_.toString).sorted))
+
+    // retrain cadence on an SQ8 index demands the raw source (training on
+    // decoded codes would compound quantization error into the codebook)
+    intercept[IllegalArgumentException] {
+      Similarity.maybeRebuildIvfIndex(spark, sq8Inc, growthFactor = 0.5)
+    }
+    val rebuilt = Similarity.maybeRebuildIvfIndex(spark, sq8Inc,
+      growthFactor = 0.5, source = Some(embs))
+    assert(rebuilt.isDefined, "cadence must fire: appended half >= 0.5x trained half")
+    // rebuild == from-scratch SQ8 index over the same rows, bit for bit
+    val scratch = tmpDir("ivf-sq8-scratch").resolve("index").toString
+    Similarity.writeIvfIndexSq8(embs, scratch, nLists = 16)
+    val a = Similarity.ivfTopKIndexedSq8(spark, sq8Inc, embs, qids, k = 3, nprobe = 4)
+    val b = Similarity.ivfTopKIndexedSq8(spark, scratch, embs, qids, k = 3, nprobe = 4)
+    assert(a.collect().map(_.toString).sorted.sameElements(b.collect().map(_.toString).sorted))
+  }
+
   test("sharded centroid literal: assignment and probes equal the single-literal path") {
     // force sharding: budget of 3 centroids' worth of doubles per literal →
     // a 16-list codebook splits into 6 shards (none exceeding the budget)

@@ -521,6 +521,18 @@ object SparkEntry {
     "doc_ngram_neardup" -> ((s, dir) =>
       DedupOps.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.6)),
 
+    // the TUNED scale variant: the df ceiling is derived from a corpus
+    // sample (tuneMaxDf) with the prune observable. On a corpus without a
+    // viral-boilerplate population the derived ceiling clears every real
+    // shingle (the cap separates pathology from the normal population —
+    // OpsSpec proves it engages when boilerplate exists), so the exact
+    // oracle grades the tuned path end to end
+    "doc_ngram_tuned" -> ((s, dir) => {
+      val (pairs, _, _) = DedupOps.ngramJaccardPairsTuned(
+        t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.6)
+      pairs
+    }),
+
     // MinHash-LSH near-dup pairs (band join + exact verify) — the scale path
     "doc_minhash_neardup" -> ((s, dir) =>
       DedupOps.minhashNearDups(t(s, dir, "documents"), "text", "doc_id",
@@ -575,6 +587,18 @@ object SparkEntry {
     "emb_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L, 3L, 4L),
         k = 3, nLists = 16, nprobe = 4, md5Seeding = true)),
+
+    // SQ8-quantized inverted file + EXACT re-rank: same codebook and final
+    // top-k as emb_ivf_topk (the approximate SQ8 cosine only SELECTS the
+    // re-rank pool; exact cosine over raw vectors scores the answer), so the
+    // same SQL oracle grades the whole quantized path end to end
+    "emb_ivf_sq8_topk" -> ((s, dir) => {
+      val embsT = t(s, dir, "embeddings")
+      val idx = Files.createTempDirectory("graft-ivfsq8").resolve("index").toString
+      Similarity.writeIvfIndexSq8(embsT, idx, nLists = 16, md5Seeding = true)
+      Similarity.ivfTopKIndexedSq8(s, idx, embsT,
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 3, nprobe = 4)
+    }),
 
     // INCREMENTAL ANN: train the coarse codebook on half the corpus, persist
     // the inverted file, append the other half with the FROZEN codebook
@@ -1011,6 +1035,22 @@ object SparkEntry {
         |FROM p JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
         |WHERE CAST(inter AS DOUBLE) / CAST(x.n + y.n - inter AS DOUBLE) >= 0.6""".stripMargin,
 
+    // the tuned variant's derived ceiling clears every shingle on this
+    // corpus (no viral-boilerplate population), so its result is the exact
+    // pair set — same oracle as the uncapped baseline
+    "doc_ngram_tuned" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(trim(text), '[^ \t\n\r]+') ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+        |         i -> array_to_string(ws[i:i+2], ' ')))) s
+        |       FROM w WHERE len(ws) >= 3),
+        |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id id1, b.doc_id id2, count(*) inter
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id1, id2,
+        |  round(CAST(inter AS DOUBLE) / CAST(x.n + y.n - inter AS DOUBLE), 4) AS jaccard
+        |FROM p JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+        |WHERE CAST(inter AS DOUBLE) / CAST(x.n + y.n - inter AS DOUBLE) >= 0.6""".stripMargin,
+
     "emb_norm_stats" ->
       """SELECT label, count(*) AS cnt,
         |  min(round(sqrt(list_dot_product(embedding, embedding)), 4)) AS min_norm,
@@ -1032,6 +1072,45 @@ object SparkEntry {
     // re-assign → nprobe=4 probes per query → top-3 by (cos desc, id).
     // Dots fold float→double in index order, matching the kernels.
     "emb_ivf_topk" ->
+      """WITH v AS (SELECT vec_id, embedding FROM embeddings),
+        |rk AS (SELECT vec_id, md5('s|' || vec_id) r FROM v),
+        |seeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY r, vec_id) - 1 AS INTEGER) list
+        |          FROM rk QUALIFY row_number() OVER (ORDER BY r, vec_id) <= 16),
+        |cents0 AS (SELECT s.list, v.embedding::DOUBLE[] c FROM seeds s JOIN v USING (vec_id)),
+        |dots0 AS (SELECT v.vec_id, c0.list, list_dot_product(v.embedding::DOUBLE[], c0.c) d
+        |          FROM v CROSS JOIN cents0 c0),
+        |assign0 AS (SELECT vec_id, list FROM (
+        |  SELECT vec_id, list, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, list DESC) rn
+        |  FROM dots0) WHERE rn = 1),
+        |pos AS (SELECT CAST(unnest(range(1, 65)) AS INTEGER) p),
+        |sums AS (SELECT a.list, p.p, sum(v.embedding[p.p]::DOUBLE) s, count(*) c
+        |         FROM assign0 a JOIN v USING (vec_id) CROSS JOIN pos p GROUP BY 1, 2),
+        |refined AS (SELECT c0.list, list(coalesce(s.s / s.c, c0.c[p.p]) ORDER BY p.p) c
+        |            FROM cents0 c0 CROSS JOIN pos p
+        |            LEFT JOIN sums s ON s.list = c0.list AND s.p = p.p
+        |            GROUP BY c0.list),
+        |dots1 AS (SELECT v.vec_id, r.list, list_dot_product(v.embedding::DOUBLE[], r.c) d
+        |          FROM v CROSS JOIN refined r),
+        |assign1 AS (SELECT vec_id, list FROM (
+        |  SELECT vec_id, list, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, list DESC) rn
+        |  FROM dots1) WHERE rn = 1),
+        |probes AS (SELECT vec_id query_id, list FROM (
+        |  SELECT vec_id, list, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, list DESC) rn
+        |  FROM dots1 WHERE vec_id IN (0,1,2,3,4)) WHERE rn <= 4),
+        |cand AS (SELECT p.query_id, a.vec_id neighbor_id
+        |         FROM probes p JOIN assign1 a ON a.list = p.list AND a.vec_id <> p.query_id),
+        |cosv AS (SELECT c.query_id, c.neighbor_id,
+        |  round(list_dot_product(vq.embedding, vn.embedding) /
+        |    (sqrt(list_dot_product(vq.embedding, vq.embedding)) *
+        |     sqrt(list_dot_product(vn.embedding, vn.embedding))), 4) cos
+        |  FROM cand c JOIN v vq ON vq.vec_id = c.query_id JOIN v vn ON vn.vec_id = c.neighbor_id)
+        |SELECT query_id, neighbor_id, cos, CAST(rnk AS INTEGER) rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rnk
+        |  FROM cosv) WHERE rnk <= 3""".stripMargin,
+
+    // the SQ8 path re-ranks its pool with EXACT cosine, so its final top-k
+    // equals the raw IVF pipeline's — identical oracle to emb_ivf_topk
+    "emb_ivf_sq8_topk" ->
       """WITH v AS (SELECT vec_id, embedding FROM embeddings),
         |rk AS (SELECT vec_id, md5('s|' || vec_id) r FROM v),
         |seeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY r, vec_id) - 1 AS INTEGER) list

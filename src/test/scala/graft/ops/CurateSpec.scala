@@ -527,4 +527,90 @@ class CurateSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("curated stream across an ALTER TABLE widen: replay-invariant vs unevolved control") {
+    // north-rule replay invariance applied to the newest composition: the
+    // same change log curated (a) straight into a current-schema table and
+    // (b) with the v1 era ingested under schema v1, an evolve (add lang,
+    // widen content_len) mid-stream, then the v2 era — final table state
+    // byte-identical (incl. extracted text) and the near-dup index equal.
+    val p = GenProfile.evolving().copy(partitions = 2, eventsPerPartition = 1500)
+    val boundary = (p.eventsPerPartition * p.v2FromFraction).toLong // 600/partition
+    val staged = tmpDir("sevstage")
+    // segmentEvents divides the era boundary, so era files split cleanly;
+    // maxEventsPerBatch=600 over symmetric backlogs cuts 300/partition per
+    // micro-batch — identical batch boundaries in both runs (increment spans
+    // must align or the two indexes legitimately hold different doc VERSIONS)
+    ChangeEventGen.writeSegments(p, staged, segmentEvents = 300)
+    val rx = """p\d{5}-(\d{12})\..*""".r
+    def copyEra(dst: java.nio.file.Path, pred: Long => Boolean): Unit = {
+      java.nio.file.Files.createDirectories(dst)
+      java.nio.file.Files.list(staged).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .foreach { f =>
+          f.getFileName.toString match {
+            case rx(off) if pred(off.toLong) =>
+              java.nio.file.Files.copy(f, dst.resolve(f.getFileName.toString)): Unit
+            case _ =>
+          }
+        }
+    }
+    val params = LshIndex.Params(n = 3, bands = 4, rowsPerBand = 2, shards = 8)
+
+    // CONTROL: current-schema table, whole log in one uninterrupted stream
+    val ctlBl = tmpDir("sevctlbl"); copyEra(ctlBl, _ => true)
+    val ctlIdx = tmpDir("sevctlidx"); LshIndex.create(ctlIdx, params)
+    val ctlRoot = tmpDir("sevctltbl")
+    Curate.startCuratedStream(spark, ctlBl.toString, ctlRoot,
+      tmpDir("sevctlck").toString, ctlIdx, maxEventsPerBatch = 600, nBuckets = 8)
+      .awaitTermination()
+
+    // EVOLVED: v1 table ← v1 era, ALTER (evolveSchema), restart ← v2 era
+    val bl = tmpDir("sevbl"); copyEra(bl, _ < boundary)
+    val idx = tmpDir("sevidx"); LshIndex.create(idx, params)
+    val root = tmpDir("sevtbl")
+    LakeTable.create(root, nBuckets = 8, schemaVersion = 1)
+    val ckpt = tmpDir("sevck").toString
+    Curate.startCuratedStream(spark, bl.toString, root, ckpt, idx,
+      maxEventsPerBatch = 600, nBuckets = 8).awaitTermination()
+    val table = LakeTable.load(root)
+    assert(table.currentSnapshot.files.nonEmpty &&
+      table.currentSnapshot.files.map(_.schemaVersion).toSet == Set(1))
+    table.evolveSchema(2)
+    copyEra(bl, _ >= boundary)
+    Curate.startCuratedStream(spark, bl.toString, root, ckpt, idx,
+      maxEventsPerBatch = 600, nBuckets = 8).awaitTermination()
+
+    // the evolved table still holds genuine v1 files under the v2 logical
+    // schema (MOR appends never rewrote them)
+    val evolved = LakeTable.load(root)
+    assert(evolved.currentSnapshot.files.map(_.schemaVersion).toSet == Set(1, 2))
+
+    // final state byte-identical: url → (ts, text, html bytes, len, lang)
+    def state(t: LakeTable): Map[String, (Long, String, Seq[Byte], Any, Any)] =
+      t.read(spark).select(col("url"), unix_micros(col("warc_ts")),
+          col("text"), col("html"), col("content_len"), col("lang"))
+        .collect().map { r =>
+          val html = Option(r.getAs[Array[Byte]](3)).map(_.toSeq).getOrElse(Seq.empty[Byte])
+          r.getString(0) -> ((r.getLong(1), r.getString(2), html, r.get(4), r.get(5)))
+        }.toMap
+    val ctlState = state(LakeTable.load(ctlRoot))
+    val evoState = state(evolved)
+    assert(evoState.keySet == ctlState.keySet)
+    val diff = ctlState.collect { case (u, v) if evoState(u) != v => u }
+    assert(diff.isEmpty, s"rows differ across the widen for ${diff.take(5)}")
+
+    // near-dup sets identical: the index holds the same (doc, band, bucket,
+    // sig) rows regardless of span tags, and probing the final live docs
+    // returns the same pairs
+    def rows(d: java.nio.file.Path) = spark.read.parquet(d.resolve("bands").toString)
+      .select(col("id"), col("band"), col("bucket"), col("sig"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows(idx) == rows(ctlIdx))
+    val live = evolved.read(spark).filter(col("text").isNotNull)
+      .select(col("url"), col("text"))
+    def probe(d: java.nio.file.Path) =
+      LshIndex.nearDupsOf(spark, live, "text", "url", d)
+        .collect().map(_.toString).sorted.toSeq
+    assert(probe(idx) == probe(ctlIdx))
+  }
 }

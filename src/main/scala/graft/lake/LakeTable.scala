@@ -473,15 +473,26 @@ object LakeTable {
     require(owner.forall(c => c.isLetterOrDigit || c == '_'),
       s"pin owner tag must match [A-Za-z0-9_]*, got '$owner'")
 
-  /** Create an empty table with an initial snapshot 0. */
+  /** Create an empty table with an initial snapshot 0.
+    *
+    * Both metadata files publish via tmp + atomic rename — the same
+    * discipline as [[LakeTable.commit]] — because [[exists]] keys on the
+    * VERSION file: a concurrent poller doing `exists → load →
+    * currentSnapshot` (the live-maintenance threads in RebucketLiveSpec /
+    * TortureSpec, or any second pipeline watching for the table to appear)
+    * must never observe a created-but-empty VERSION. */
   def create(root: Path, nBuckets: Int, schemaVersion: Int = TableSchemas.current): LakeTable = {
-    Files.createDirectories(root.resolve("meta"))
+    val meta = root.resolve("meta")
+    Files.createDirectories(meta)
     Files.createDirectories(root.resolve("data"))
     val t = new LakeTable(root)
     val snap0 = Snapshot(0L, -1L, schemaVersion, nBuckets, Vector.empty, Vector.empty, 0L)
-    Files.write(root.resolve("meta").resolve("snap-0.json"),
-      snap0.toJson.getBytes(StandardCharsets.UTF_8))
-    Files.write(root.resolve("meta").resolve("VERSION"), "0".getBytes(StandardCharsets.UTF_8))
+    val sTmp = meta.resolve(".snap-0.json.tmp")
+    Files.write(sTmp, snap0.toJson.getBytes(StandardCharsets.UTF_8))
+    Files.move(sTmp, meta.resolve("snap-0.json"), StandardCopyOption.ATOMIC_MOVE)
+    val vTmp = meta.resolve(".VERSION.0.tmp")
+    Files.write(vTmp, "0".getBytes(StandardCharsets.UTF_8))
+    Files.move(vTmp, meta.resolve("VERSION"), StandardCopyOption.ATOMIC_MOVE)
     t
   }
 

@@ -27,8 +27,9 @@ import graft.lake.{Resolve, TableSchemas}
   * partition)` (source columns `partition`/`offset` are used when present,
   * else 0 — duplicate urls within one merge then tie-break arbitrarily on
   * equal warc_ts, as documented). Each MERGE commits as one exactly-once
-  * batch (id = max committed + 1) with an empty lineage (SQL merges carry no
-  * binlog offsets).
+  * batch with an empty lineage (SQL merges carry no binlog offsets); ids are
+  * allocated in the reserved SQL domain ([[GraftRowLevel.SqlBatchIdBit]]) so
+  * they can never collide with a stream's checkpoint-epoch ids.
   *
   * Registered either at runtime ([[GraftSql.enable]]) or declaratively via
   * `spark.sql.extensions=graft.sql.GraftExtensions`.
@@ -204,7 +205,7 @@ final case class GraftMergeExec(
       (if (cols.contains("html")) col("html") else lit(null)).cast("binary").as("html"),
       (if (cols.contains("lang")) col("lang") else lit(null)).cast("string").as("lang"))
     val lake = table.lake
-    val batchId = lake.currentSnapshot.batches.map(_.batchId).maxOption.getOrElse(-1L) + 1L
+    val batchId = GraftRowLevel.nextSqlBatchId(lake)
     Merge(spark, lake, changelog, batchId, lineage = Nil, mode = GraftSql.mergeModeFor(spark)): Unit
   }
 
@@ -255,6 +256,25 @@ private[sql] object GraftRowLevel {
   private[sql] def maybeCapture(df: DataFrame): Unit =
     if (captureMatchedNext) { captureMatchedNext = false; lastMatched = df }
 
+  /** RESERVED batch-id domain for SQL-committed batches. Batch ids are the
+    * table's exactly-once replay key (`Snapshot.committedBatchIds`), and the
+    * two streaming writers allocate theirs from Spark's per-checkpoint epoch
+    * counter (0, 1, 2, …). A SQL command that allocated `max(existing) + 1`
+    * would claim EXACTLY the id an ingest stream's next epoch will use — the
+    * stream would then treat its own next batch as an already-durable replay
+    * and silently drop it (data loss in mixed SQL + streaming usage). Same
+    * discipline as [[SqlEnvelopeOffsetBit]]: SQL ids live above bit 62,
+    * epoch-derived ids never reach it. */
+  val SqlBatchIdBit: Long = 1L << 62
+
+  /** Next batch id in the reserved SQL domain: max over previously committed
+    * SQL batches + 1 (still monotonic for chained SQL commands), disjoint
+    * from every possible streaming epoch. */
+  def nextSqlBatchId(lake: graft.lake.LakeTable): Long =
+    lake.currentSnapshot.batches.map(_.batchId)
+      .filter(id => (id & SqlBatchIdBit) != 0L)
+      .maxOption.getOrElse(SqlBatchIdBit - 1L) + 1L
+
   /** RESERVED envelope domain for SQL-synthesized events: row-level commands
     * re-emit the stored winner's envelope advanced by one offset, and setting
     * this high offset bit keeps the synthesized envelope OUTSIDE the space
@@ -278,7 +298,7 @@ private[sql] object GraftRowLevel {
     * merge batch (the GraftMergeExec tail). */
   def commitChangelog(spark: SparkSession, lake: graft.lake.LakeTable,
       changelog: DataFrame): Unit = {
-    val batchId = lake.currentSnapshot.batches.map(_.batchId).maxOption.getOrElse(-1L) + 1L
+    val batchId = GraftRowLevel.nextSqlBatchId(lake)
     Merge(spark, lake, changelog, batchId, lineage = Nil, mode = GraftSql.mergeModeFor(spark)): Unit
   }
 }

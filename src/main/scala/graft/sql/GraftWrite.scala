@@ -45,7 +45,7 @@ final class GraftBatchWrite(lake: LakeTable,
         .filter(d => Files.isDirectory(Paths.get(d))).distinct.toSeq
         .filter(d => graft.binlog.Layout.listUnder(Paths.get(d), graft.binlog.Layout.Flat).nonEmpty)
       if (dirs.nonEmpty) {
-        val batchId = lake.currentSnapshot.batches.map(_.batchId).maxOption.getOrElse(-1L) + 1L
+        val batchId = GraftRowLevel.nextSqlBatchId(lake)
         val df = dirs.map(d => graft.binlog.BinlogRead.all(spark, d)).reduce(_.unionByName(_))
         graft.cdc.Merge(spark, lake, df, batchId, lineage = Nil,
           mode = GraftSql.mergeModeFor(spark)): Unit

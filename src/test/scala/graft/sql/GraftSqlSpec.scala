@@ -65,13 +65,15 @@ class GraftSqlSpec extends SparkSpec {
     val t = after2.find(_.getString(0) == "u1").map(_.getString(1))
     assert(t.contains("doc 81"))
 
-    // exactly-once markers: two SQL merges → two batches
+    // exactly-once markers: two SQL merges → two batches, ids in the
+    // reserved SQL domain (disjoint from streaming checkpoint epochs)
     val lake = new GraftCatalog {
       initialize("graft", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
         java.util.Map.of("warehouse", wh)))
     }.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, "pages"))
       .asInstanceOf[GraftSqlTable].lake
-    assert(lake.currentSnapshot.batches.map(_.batchId) == Seq(0L, 1L))
+    assert(lake.currentSnapshot.batches.map(_.batchId) ==
+      Seq(GraftRowLevel.SqlBatchIdBit, GraftRowLevel.SqlBatchIdBit + 1L))
   }
 
   test("MERGE shape validation: non-canonical merges are rejected, not mis-executed") {
@@ -489,12 +491,71 @@ class GraftSqlSpec extends SparkSpec {
     // text/content_len are engine-derived from html (extraction ran)
     val cl = spark.sql("SELECT content_len FROM graft.ins WHERE url = 'w3'").head().getLong(0)
     assert(cl == "<i>v2-3</i>".length)
-    // each INSERT committed as one exactly-once batch
+    // each INSERT committed as one exactly-once batch in the SQL id domain
     val lake = graft.lake.LakeTable.load(java.nio.file.Paths.get(wh, "ins"))
-    assert(lake.currentSnapshot.batches.map(_.batchId) == Seq(0L, 1L))
+    assert(lake.currentSnapshot.batches.map(_.batchId) ==
+      Seq(GraftRowLevel.SqlBatchIdBit, GraftRowLevel.SqlBatchIdBit + 1L))
     // staging cleaned up
     assert(!java.nio.file.Files.isDirectory(lake.root.resolve("staging")) ||
       { val s = java.nio.file.Files.list(lake.root.resolve("staging"))
         try !s.findFirst().isPresent finally s.close() })
+  }
+
+  test("SQL commands between stream batches use a reserved batch-id domain") {
+    // A SQL command committed between two runs of an ingest stream must NOT
+    // claim the id the stream's next foreachBatch epoch will use: batch ids
+    // are the exactly-once replay key, so a collision makes the stream treat
+    // its own NEXT batch as an already-durable replay and silently drop it.
+    enable()
+    spark.sql("""CREATE TABLE graft.mixed (url STRING, warc_ts TIMESTAMP,
+                |  html BINARY, text STRING, content_len BIGINT, lang STRING)
+                |USING graft TBLPROPERTIES('buckets'='4')""".stripMargin)
+    val root = java.nio.file.Paths.get(wh, "mixed")
+    val binlog = tmpDir("mixed-binlog")
+    val ckpt = tmpDir("mixed-ckpt").toString
+    val p = graft.binlog.GenProfile.uniformSmall()
+      .copy(partitions = 2, eventsPerPartition = 2000, urlPoolPerPartition = 1400)
+    val pHalf = p.copy(eventsPerPartition = 1000)
+    graft.binlog.ChangeEventGen.writeSegments(pHalf, binlog, segmentEvents = 500)
+    graft.cdc.Ingest.startStream(spark, binlog.toString, root, ckpt,
+      maxEventsPerBatch = 600, nBuckets = 4).awaitTermination()
+
+    // one row-level SQL command between stream runs — commits its own batch
+    val victim = spark.sql("SELECT url FROM graft.mixed ORDER BY url LIMIT 1")
+      .head().getString(0)
+    spark.sql(s"DELETE FROM graft.mixed WHERE url = '$victim'")
+    val lake = graft.lake.LakeTable.load(root)
+    val sqlIds = lake.currentSnapshot.batches.map(_.batchId)
+      .filter(id => (id & GraftRowLevel.SqlBatchIdBit) != 0L)
+    assert(sqlIds == Seq(GraftRowLevel.SqlBatchIdBit),
+      s"SQL batch id must carry the reserved bit, got ${lake.currentSnapshot.batches.map(_.batchId)}")
+
+    // more binlog arrives; the stream restarts from its checkpoint
+    (0 until p.partitions).foreach { part =>
+      var off = 1000L
+      val w = new graft.binlog.SegmentWriter(binlog, part, off)
+      while (off < p.eventsPerPartition) {
+        w.writeEvent(graft.binlog.ChangeEventGen.event(p, part, off),
+          graft.binlog.EventCodec.V2)
+        off += 1
+      }
+      w.close()
+    }
+    graft.cdc.Ingest.startStream(spark, binlog.toString, root, ckpt,
+      maxEventsPerBatch = 600, nBuckets = 4).awaitTermination()
+
+    // every post-SQL stream epoch committed: per-partition lineage coverage
+    // is gap-free over all 2000 offsets (a collision drops one whole batch)
+    val snap = graft.lake.LakeTable.load(root).currentSnapshot
+    (0 until p.partitions).foreach { part =>
+      val chain = snap.batches.flatMap(_.lineage.filter(_.partition == part))
+        .sortBy(_.startOffset)
+      assert(chain.map(_.count).sum == p.eventsPerPartition,
+        s"p$part covered ${chain.map(_.count).sum} of ${p.eventsPerPartition} events — a stream batch was dropped")
+      chain.sliding(2).foreach {
+        case Seq(a, b) => assert(b.startOffset == a.startOffset + a.count)
+        case _ =>
+      }
+    }
   }
 }

@@ -33,11 +33,9 @@ object SparkEntry {
   /** Runs the REAL pipeline (Dedup + Merge + LakeTable) over a changelog
     * derived from the events table, split into 3 microbatches to exercise
     * cross-batch LWW + tombstones, then reads the final table back. */
-  private def cdcMergeFinalState(s: SparkSession, dir: String,
-      mode: graft.cdc.MergeMode = graft.cdc.Cow,
-      opts: graft.cdc.MergeOptions = graft.cdc.MergeOptions()): DataFrame = {
-    val ev = t(s, dir, "events")
-    val changelog = ev.select(
+  /** The canonical events→changelog mapping shared by the merge queries. */
+  private def eventsChangelog(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
       pmod(col("user_id"), lit(4)).cast("int").as("partition"),
       col("event_id").as("offset"),
       when(col("event_type") === "error", "delete").otherwise("upsert").as("op"),
@@ -46,6 +44,12 @@ object SparkEntry {
       when(col("event_type") === "error", lit(null).cast("binary"))
         .otherwise(to_binary(col("props"), lit("utf-8"))).as("html"),
       lit("en").as("lang"))
+
+  private def cdcMergeFinalState(s: SparkSession, dir: String,
+      mode: graft.cdc.MergeMode = graft.cdc.Cow,
+      opts: graft.cdc.MergeOptions = graft.cdc.MergeOptions()): DataFrame = {
+    val ev = t(s, dir, "events")
+    val changelog = eventsChangelog(s, dir)
     val root = Files.createTempDirectory("graft-q-lake")
     val table = graft.lake.LakeTable.create(root, nBuckets = 8)
     // one derivation scan for all three batch slices (the slices re-read it)
@@ -86,6 +90,33 @@ object SparkEntry {
     // per-call MergeOptions, not the process-global toggle
     "cdc_merge_latemat" -> ((s, dir) => cdcMergeFinalState(s, dir,
       opts = graft.cdc.MergeOptions(lateMaterialize = true))),
+
+    // INITIAL-SNAPSHOT BOOTSTRAP → full-overlap handoff: the prefix's LWW
+    // live state loads as the reserved (−1,−1)-envelope batch, then the FULL
+    // changelog replays over it — the identical oracle to a from-scratch
+    // replay PROVES the handoff convergence contract (every dump row's
+    // source event is present and strictly beats its snapshot copy)
+    "cdc_bootstrap_handoff" -> ((s, dir) => {
+      val changelog = eventsChangelog(s, dir)
+      val bounds = t(s, dir, "events").agg(min("event_id"), max("event_id")).head()
+      val cut = (bounds.getLong(0) + bounds.getLong(1)) / 2
+      val pre = changelog.filter(col("offset") < cut)
+      val seq = struct(col("warc_ts"), col("offset"), col("partition"))
+      val dump = pre.groupBy(col("url"))
+        .agg(max_by(struct(col("warc_ts"), col("html"), col("lang"), col("op")), seq).as("w"))
+        .filter(col("w.op") =!= "delete")
+        .select(col("url"), col("w.warc_ts").as("warc_ts"),
+          col("w.html").as("html"), col("w.lang").as("lang"))
+      val root = Files.createTempDirectory("graft-q-bootstrap")
+      val table = graft.cdc.Ingest.bootstrap(s, root, dump, nBuckets = 8)
+      graft.cdc.Ingest.applyBatch(s, table)(changelog.filter(col("offset") < cut), 0L)
+      graft.cdc.Ingest.applyBatch(s, table)(changelog.filter(col("offset") >= cut), 1L)
+      table.read(s).select(
+        col("url"),
+        unix_micros(col("warc_ts")).as("warc_us"),
+        col("text"),
+        col("content_len"))
+    }),
 
     // the SQL surface end-to-end: CREATE TABLE … USING graft, MERGE INTO
     // driving the engine's Merge operator, SELECT via the catalog's
@@ -626,6 +657,17 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
 
     "cdc_merge_final_state" ->
+      """WITH ranked AS (
+        |  SELECT user_id, ts, event_id, event_type, props,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT 'u' || CAST(user_id AS VARCHAR) AS url, epoch_us(ts) AS warc_us,
+        |       props AS text, CAST(strlen(props) AS BIGINT) AS content_len
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    // bootstrap + full-overlap replay converges to the plain-replay state
+    // exactly — the oracle IS cdc_merge_final_state's
+    "cdc_bootstrap_handoff" ->
       """WITH ranked AS (
         |  SELECT user_id, ts, event_id, event_type, props,
         |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn

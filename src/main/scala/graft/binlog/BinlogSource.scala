@@ -111,9 +111,19 @@ final class BinlogScan(rootPath: String, options: CaseInsensitiveStringMap)
       new BinlogReaderFactory(excludeUrlContains, codecSpec)
   }
 
+  // Streaming handoff anchor (Ingest.bootstrap): "p:offset,p:offset" — the
+  // FIRST offset to read per partition when the checkpoint is empty. Only
+  // initialOffset consults it; once a checkpoint exists it wins, exactly
+  // like Kafka's startingOffsets.
+  private def startOffsets: Map[Int, Long] =
+    Option(options.get("startOffsets")).filter(_.nonEmpty).map(_.split(",").map { kv =>
+      val Array(p, o) = kv.split(":")
+      p.trim.toInt -> o.trim.toLong
+    }.toMap).getOrElse(Map.empty)
+
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new BinlogMicroBatchStream(path, maxEventsPerBatch, eventsPerTask,
-      partitionFilter, excludeUrlContains, lineageToken, codecSpec)
+      partitionFilter, excludeUrlContains, lineageToken, codecSpec, startOffsets)
 }
 
 /** Offset = per-partition next-offset-to-read map, JSON-serialized into the
@@ -166,7 +176,8 @@ object BinlogOffsets {
 
 final class BinlogMicroBatchStream(path: String, maxEventsPerBatch: Long, eventsPerTask: Long,
     partitionFilter: Option[Set[Int]] = None, excludeUrlContains: Seq[String] = Nil,
-    lineageToken: Option[String] = None, codecSpec: CodecSpec = CodecSpec())
+    lineageToken: Option[String] = None, codecSpec: CodecSpec = CodecSpec(),
+    startOffsets: Map[Int, Long] = Map.empty)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private def lineageKey: String = lineageToken.getOrElse(path)
@@ -184,10 +195,14 @@ final class BinlogMicroBatchStream(path: String, maxEventsPerBatch: Long, events
   override def initialOffset(): Offset = {
     // earliest AVAILABLE offset per partition (not 0): an archive whose head
     // was GC'd, or segments anchored at a large base offset, must not plan
-    // the void below their first record
+    // the void below their first record. A caller-provided handoff anchor
+    // (`startOffsets` — Ingest.bootstrap's snapshot cut) raises the base
+    // further: events below the cut are already in the table via the
+    // bootstrap batch, so re-reading them is pure replay cost.
     val starts = BinlogOffsets.startOffsets(Segment.listAll(Paths.get(path)))
       .filter { case (p, _) => partitionFilter.forall(_.contains(p)) }
-    BinlogOffset(listEnds().map { case (p, _) => p -> starts.getOrElse(p, 0L) })
+    BinlogOffset(listEnds().map { case (p, _) =>
+      p -> math.max(starts.getOrElse(p, 0L), startOffsets.getOrElse(p, 0L)) })
   }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxEventsPerBatch)

@@ -104,6 +104,71 @@ object Ingest {
     }
   }
 
+  /** RESERVED batch id for [[bootstrap]]'s initial-load batch: disjoint from
+    * streaming checkpoint epochs (small naturals) and from the SQL command
+    * domain (bit 62, [[graft.sql.GraftRowLevel.SqlBatchIdBit]]), so the
+    * bootstrap marker can never collide with either writer's exactly-once
+    * key — and re-running bootstrap is an idempotent no-op. */
+  val BootstrapBatchId: Long = 1L << 61
+
+  /** INITIAL-SNAPSHOT BOOTSTRAP — the "snapshot, then stream" handoff the
+    * reference leaves to the operator (kafka-connect-s3 only tails the
+    * topic; loading pre-existing data is out of its scope): load an existing
+    * corpus dump as ONE exactly-once merge batch, then tail the binlog with
+    * [[startStream]].
+    *
+    * `snapshot` must carry `url`, `warc_ts`, `html` (and optionally `lang`);
+    * `text`/`content_len` are re-derived from `html` by the merge itself, so
+    * the byte-identical-extraction invariant holds for bootstrapped rows
+    * exactly as for streamed ones. Urls are expected unique (a dump IS a
+    * resolved table state); duplicates resolve by warc_ts with arbitrary
+    * ties, like SQL merges without offsets.
+    *
+    * HANDOFF CONTRACT — bootstrap rows get the reserved envelope
+    * `(partition, offset) = (−1, −1)`, BELOW every envelope a binlog reader
+    * (byte offsets ≥ 0), streaming sink epoch (`epochId<<32`) or SQL command
+    * (bit 62) can assign. So at an equal `warc_ts` any replayed change event
+    * beats the snapshot copy of itself, which gives exact convergence:
+    *
+    *  - FULL OVERLAP (binlog retained from before the dump's cut): replaying
+    *    everything yields a final table state identical to a from-scratch
+    *    replay — bit for bit, ties included — because every dump row's source
+    *    event is present and strictly beats it.
+    *  - SKIP (pass the dump's per-partition cut offsets as `startOffsets` to
+    *    [[startStream]]): only post-cut events are read — O(delta), not
+    *    O(log), the 10¹⁰-scale path. Convergence is exact except for an
+    *    EXACT `warc_ts` tie between a pre-cut winner and a post-cut event in
+    *    a DIFFERENT partition (the dump dropped the pre-cut envelope that
+    *    would have won the tie) — the operator chooses cut consistency
+    *    exactly as with Kafka `startingOffsets`.
+    *
+    * Requires a fresh table (no committed batches beyond a prior bootstrap):
+    * bootstrapping over live history would silently lose to every stored
+    * row and is almost certainly operator error. */
+  def bootstrap(spark: SparkSession, tableRoot: Path, snapshot: DataFrame,
+      nBuckets: Int = 32, mode: MergeMode = Cow,
+      opts: MergeOptions = MergeOptions()): LakeTable = {
+    val table =
+      if (LakeTable.exists(tableRoot)) LakeTable.load(tableRoot)
+      else LakeTable.create(tableRoot, nBuckets)
+    val prior = table.currentSnapshot.batches.map(_.batchId).filterNot(_ == BootstrapBatchId)
+    require(prior.isEmpty,
+      s"bootstrap requires a fresh table; found committed batches $prior")
+    val cols = snapshot.columns.toSet
+    require(Set("url", "warc_ts", "html").subsetOf(cols),
+      s"bootstrap snapshot needs url, warc_ts, html; got ${snapshot.columns.mkString(",")}")
+    val changelog = snapshot.select(
+      lit(-1).cast("int").as("partition"),
+      lit(-1L).cast("long").as("offset"),
+      lit("upsert").as("op"),
+      col("url"),
+      col("warc_ts").cast("timestamp").as("warc_ts"),
+      col("html").cast("binary").as("html"),
+      (if (cols.contains("lang")) col("lang") else lit(null)).cast("string").as("lang"))
+    Merge(spark, table, changelog, BootstrapBatchId, lineage = Nil, mode, opts): Unit
+    table
+  }
+
   /** Start the streaming ingest from a binlog directory.
     *
     * `expireEveryBatches` > 0 runs snapshot expiry (keeping the newest
@@ -124,7 +189,8 @@ object Ingest {
       growBucketsTargetBytes: Long = 0L,
       expirePinHorizonMs: Long = Long.MaxValue,
       afterBatch: (LakeTable, Long) => Unit = (_, _) => (),
-      opts: MergeOptions = MergeOptions()): StreamingQuery = {
+      opts: MergeOptions = MergeOptions(),
+      startOffsets: Map[Int, Long] = Map.empty): StreamingQuery = {
     val table =
       if (LakeTable.exists(tableRoot)) LakeTable.load(tableRoot)
       else LakeTable.create(tableRoot, nBuckets)
@@ -132,12 +198,16 @@ object Ingest {
     // (Spark forbids checkpoint sharing), stable across restarts — other
     // queries tailing the same directory cannot clobber our planned ranges.
     val lineageToken = s"ingest:$checkpointDir"
-    val stream = spark.readStream
+    val reader = spark.readStream
       .format("graft.binlog.BinlogSourceProvider")
       .option("path", binlogDir)
       .option("maxEventsPerBatch", maxEventsPerBatch)
       .option("lineageToken", lineageToken)
-      .load()
+    // handoff anchor after a [[bootstrap]]: first offsets to read when the
+    // checkpoint is empty (once a checkpoint exists, it wins)
+    if (startOffsets.nonEmpty) reader.option("startOffsets",
+      startOffsets.toSeq.sortBy(_._1).map { case (p, o) => s"$p:$o" }.mkString(",")): Unit
+    val stream = reader.load()
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

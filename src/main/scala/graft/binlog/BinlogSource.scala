@@ -108,7 +108,26 @@ final class BinlogScan(rootPath: String, options: CaseInsensitiveStringMap)
       BinlogOffsets.splitRanges(path, ranges, eventsPerTask)
     }
     override def createReaderFactory(): PartitionReaderFactory =
-      new BinlogReaderFactory(excludeUrlContains, codecSpec)
+      new BinlogReaderFactory(excludeUrlContains, codecSpec, deadLetterDir)
+  }
+
+  // Kafka-Connect `errors.tolerance` semantics: "none" (default — a corrupt
+  // record fails the task, the reference's behavior) or "all" (quarantine
+  // the poisoned chunk's remainder to the REQUIRED dead-letter directory
+  // and resync at the next chunk — a poison pill cannot wedge a 10¹⁰-event
+  // ingest, and the skip is never silent).
+  private def deadLetterDir: Option[String] = {
+    val tol = Option(options.get("errorsTolerance")).getOrElse("none")
+    val dlq = Option(options.get("deadLetterDir")).filter(_.nonEmpty)
+    tol match {
+      case "none" => None
+      case "all" =>
+        require(dlq.isDefined,
+          "errorsTolerance=all requires deadLetterDir (skips must be observable)")
+        dlq
+      case other => throw new IllegalArgumentException(
+        s"errorsTolerance must be none|all, got '$other'")
+    }
   }
 
   // Streaming handoff anchor (Ingest.bootstrap): "p:offset,p:offset" — the
@@ -123,7 +142,8 @@ final class BinlogScan(rootPath: String, options: CaseInsensitiveStringMap)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new BinlogMicroBatchStream(path, maxEventsPerBatch, eventsPerTask,
-      partitionFilter, excludeUrlContains, lineageToken, codecSpec, startOffsets)
+      partitionFilter, excludeUrlContains, lineageToken, codecSpec, startOffsets,
+      deadLetterDir)
 }
 
 /** Offset = per-partition next-offset-to-read map, JSON-serialized into the
@@ -177,7 +197,8 @@ object BinlogOffsets {
 final class BinlogMicroBatchStream(path: String, maxEventsPerBatch: Long, eventsPerTask: Long,
     partitionFilter: Option[Set[Int]] = None, excludeUrlContains: Seq[String] = Nil,
     lineageToken: Option[String] = None, codecSpec: CodecSpec = CodecSpec(),
-    startOffsets: Map[Int, Long] = Map.empty)
+    startOffsets: Map[Int, Long] = Map.empty,
+    deadLetterDir: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private def lineageKey: String = lineageToken.getOrElse(path)
@@ -269,7 +290,7 @@ final class BinlogMicroBatchStream(path: String, maxEventsPerBatch: Long, events
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BinlogReaderFactory(excludeUrlContains, codecSpec)
+    new BinlogReaderFactory(excludeUrlContains, codecSpec, deadLetterDir)
   override def deserializeOffset(json: String): Offset = BinlogOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = BinlogLineage.clear(lineageKey)
@@ -296,11 +317,11 @@ object BinlogLineage {
 }
 
 final class BinlogReaderFactory(excludeUrlContains: Seq[String] = Nil,
-    codecSpec: CodecSpec = CodecSpec())
+    codecSpec: CodecSpec = CodecSpec(), deadLetterDir: Option[String] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[BinlogInputPartition]
-    new BinlogPartitionReader(p, excludeUrlContains, codecSpec)
+    new BinlogPartitionReader(p, excludeUrlContains, codecSpec, deadLetterDir)
   }
 }
 
@@ -309,9 +330,14 @@ final class BinlogReaderFactory(excludeUrlContains: Seq[String] = Nil,
   * no Row → InternalRow conversion on the hot path. The key-exclude
   * anti-filter runs here, before any shuffle (≙ `S3FilesReader.java:344-384`). */
 final class BinlogPartitionReader(p: BinlogInputPartition,
-    excludeUrlContains: Seq[String] = Nil, codecSpec: CodecSpec = CodecSpec())
+    excludeUrlContains: Seq[String] = Nil, codecSpec: CodecSpec = CodecSpec(),
+    deadLetterDir: Option[String] = None)
     extends PartitionReader[InternalRow] {
-  private val base = Segment.readRange(Paths.get(p.path), p.partition, p.from, p.until, codecSpec.codec)
+  private val base = deadLetterDir match {
+    case Some(dlq) => Segment.readRangeTolerant(Paths.get(p.path), p.partition,
+      p.from, p.until, codecSpec.codec, DeadLetter.report(Paths.get(dlq), _))
+    case None => Segment.readRange(Paths.get(p.path), p.partition, p.from, p.until, codecSpec.codec)
+  }
   private val it =
     if (excludeUrlContains.isEmpty) base
     else base.filter(e => !excludeUrlContains.exists(e.url.contains))
@@ -331,6 +357,31 @@ final class BinlogPartitionReader(p: BinlogInputPartition,
     r
   }
   override def close(): Unit = ()
+}
+
+/** Dead-letter reports for `errorsTolerance=all`: one JSON file per
+  * quarantined offset range, named by (segment, fromOffset) so task retries
+  * and speculative twins overwrite the identical file — the report channel
+  * is exactly-once by construction, like every other side artifact here. */
+object DeadLetter {
+  def report(dlqDir: java.nio.file.Path, cr: Segment.CorruptRange): Unit = {
+    java.nio.file.Files.createDirectories(dlqDir)
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+                  case '\r' => "\\r"; case '\t' => "\\t"
+                  case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
+    val json = s"""{"segment":"${esc(cr.segment.getFileName.toString)}",""" +
+      s""""partition":${cr.partition},"fromOffset":${cr.fromOffset},""" +
+      s""""untilOffset":${cr.untilOffset},"error":"${esc(cr.error)}"}"""
+    val name = s"${cr.segment.getFileName}.${cr.fromOffset}.dlq.json"
+    val tmp = dlqDir.resolve(s".$name.tmp-${Thread.currentThread().getId}")
+    java.nio.file.Files.write(tmp, json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, dlqDir.resolve(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    System.err.println(s"[binlog] QUARANTINED ${cr.segment.getFileName} " +
+      s"offsets [${cr.fromOffset}, ${cr.untilOffset}): ${cr.error}")
+  }
 }
 
 /** Batch-read helpers over the binlog store. */

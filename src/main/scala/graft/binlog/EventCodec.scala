@@ -90,10 +90,20 @@ object EventCodec {
       got += r
     }
     val keyLen = ((b0 & 0xff) << 24) | ((hdr(0) & 0xff) << 16) | ((hdr(1) & 0xff) << 8) | (hdr(2) & 0xff)
+    // plausibility guard: a flipped bit in a length prefix must fail as a
+    // corrupt record, not as a multi-GB allocation (or a negative-size
+    // crash) — the decoder's equivalent of the reference's DataException
+    def checkLen(len: Int, what: String): Unit =
+      if (len < -1 || len > MaxFrameBytes) throw new java.io.IOException(
+        s"Corrupt record at $where: implausible $what length $len")
+    checkLen(keyLen, "key")
     val din = new DataInputStream(in)
     try {
       val key = if (keyLen == -1) null else { val k = new Array[Byte](keyLen); din.readFully(k); k }
       val valLen = din.readInt()
+      // the value is never null on the wire: -1 is corrupt here, not a marker
+      if (valLen < 0 || valLen > MaxFrameBytes) throw new java.io.IOException(
+        s"Corrupt record at $where: implausible value length $valLen")
       val v = new Array[Byte](valLen)
       din.readFully(v)
       (key, v)
@@ -101,4 +111,8 @@ object EventCodec {
       case _: EOFException => throw new java.io.IOException(s"Corrupt record at $where: truncated body")
     }
   }
+
+  /** Upper bound on a single framed key/value (256 MB — far above any web
+    * page, far below an executor heap). */
+  val MaxFrameBytes: Int = 256 * 1024 * 1024
 }

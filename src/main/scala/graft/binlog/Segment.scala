@@ -206,7 +206,18 @@ object Segment {
         nextEvt = null
         while (nextEvt == null && offset < untilOffset && !closed) {
           val fr = codec.readFrame(in, s"${f.path.getFileName}:$offset")
-          if (fr == null) { closeOnce() }
+          if (fr == null) {
+            // EOF must land exactly at the index's nextOffset: a corrupted
+            // mid-segment gzip member header makes GZIPInputStream report
+            // CLEAN EOF at the member boundary (concatenated-member
+            // semantics treat unreadable trailing bytes as garbage), which
+            // would otherwise SILENTLY truncate the read — records the
+            // chunk index promises would just never arrive
+            if (offset < math.min(untilOffset, idx.nextOffset))
+              throw new java.io.IOException(
+                s"Truncated segment ${f.path.getFileName}: EOF at offset $offset, index promises ${idx.nextOffset}")
+            closeOnce()
+          }
           else {
             val o = offset
             offset += 1
@@ -230,5 +241,70 @@ object Segment {
     segs.iterator
       .filter(s => s.endOffset > fromOffset && s.startOffset < untilOffset)
       .flatMap(s => read(s, fromOffset, untilOffset, codec))
+  }
+
+  /** One quarantined offset range: the records of [fromOffset, untilOffset)
+    * in this segment could not be decoded and were SKIPPED. */
+  final case class CorruptRange(segment: Path, partition: Int,
+      fromOffset: Long, untilOffset: Long, error: String)
+
+  /** [[read]] with Kafka-Connect `errors.tolerance=all` semantics: a decode
+    * failure quarantines the poisoned CHUNK's unread remainder (reported via
+    * `onCorrupt` — never silent) and the read RESYNCS at the next chunk,
+    * which is its own gzip member and independently decodable. Records
+    * decoded before the failure are kept — re-decoding the same bytes is
+    * deterministic, so retries emit the identical prefix and the identical
+    * quarantine ranges. Each failure strictly advances the resume offset,
+    * so the loop always terminates. */
+  def readTolerant(f: SegmentFile, fromOffset: Long, untilOffset: Long,
+      codec: RecordCodec = FramedCodec,
+      onCorrupt: CorruptRange => Unit): Iterator[ChangeEvent] = {
+    val idx = f.index
+    new Iterator[ChangeEvent] {
+      private var resumeFrom = math.max(fromOffset, f.startOffset)
+      private var lastEmitted = resumeFrom - 1
+      private var cur: Iterator[ChangeEvent] = read(f, resumeFrom, untilOffset, codec)
+      private var done = false
+      private var nextEvt: ChangeEvent = _
+
+      private def advance(): Unit = {
+        nextEvt = null
+        while (nextEvt == null && !done) {
+          try {
+            if (cur.hasNext) { nextEvt = cur.next(); lastEmitted = nextEvt.offset }
+            else done = true
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              val bad = lastEmitted + 1
+              val next = idx.chunks.find(_.firstRecordOffset > bad)
+                .map(_.firstRecordOffset).getOrElse(idx.nextOffset)
+              onCorrupt(CorruptRange(f.path, f.partition, bad,
+                math.min(next, untilOffset), e.toString))
+              if (next >= untilOffset || next >= idx.nextOffset) done = true
+              else {
+                resumeFrom = next // strictly > bad: progress guaranteed
+                // advance the emit floor too: if the NEXT chunk also fails
+                // before emitting anything, `bad` must start from it — not
+                // from the previous chunk — or the resync would loop forever
+                lastEmitted = next - 1
+                cur = read(f, resumeFrom, untilOffset, codec)
+              }
+          }
+        }
+      }
+      advance()
+      override def hasNext: Boolean = nextEvt != null
+      override def next(): ChangeEvent = { val e = nextEvt; advance(); e }
+    }
+  }
+
+  /** [[readRange]] with quarantine-and-resync tolerance (see [[readTolerant]]). */
+  def readRangeTolerant(dir: Path, partition: Int, fromOffset: Long, untilOffset: Long,
+      codec: RecordCodec = FramedCodec,
+      onCorrupt: CorruptRange => Unit): Iterator[ChangeEvent] = {
+    val segs = list(dir, partition)
+    segs.iterator
+      .filter(s => s.endOffset > fromOffset && s.startOffset < untilOffset)
+      .flatMap(s => readTolerant(s, fromOffset, untilOffset, codec, onCorrupt))
   }
 }

@@ -190,7 +190,8 @@ object Ingest {
       expirePinHorizonMs: Long = Long.MaxValue,
       afterBatch: (LakeTable, Long) => Unit = (_, _) => (),
       opts: MergeOptions = MergeOptions(),
-      startOffsets: Map[Int, Long] = Map.empty): StreamingQuery = {
+      startOffsets: Map[Int, Long] = Map.empty,
+      deadLetterDir: Option[String] = None): StreamingQuery = {
     val table =
       if (LakeTable.exists(tableRoot)) LakeTable.load(tableRoot)
       else LakeTable.create(tableRoot, nBuckets)
@@ -207,6 +208,10 @@ object Ingest {
     // checkpoint is empty (once a checkpoint exists, it wins)
     if (startOffsets.nonEmpty) reader.option("startOffsets",
       startOffsets.toSeq.sortBy(_._1).map { case (p, o) => s"$p:$o" }.mkString(",")): Unit
+    // poison-pill tolerance (Kafka-Connect errors.tolerance=all): quarantine
+    // corrupt chunks to this dir instead of failing the stream
+    deadLetterDir.foreach(d =>
+      reader.option("errorsTolerance", "all").option("deadLetterDir", d): Unit)
     val stream = reader.load()
     stream.writeStream
       .option("checkpointLocation", checkpointDir)

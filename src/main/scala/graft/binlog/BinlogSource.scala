@@ -135,10 +135,16 @@ final class BinlogScan(rootPath: String, options: CaseInsensitiveStringMap)
   // initialOffset consults it; once a checkpoint exists it wins, exactly
   // like Kafka's startingOffsets.
   private def startOffsets: Map[Int, Long] =
-    Option(options.get("startOffsets")).filter(_.nonEmpty).map(_.split(",").map { kv =>
-      val Array(p, o) = kv.split(":")
-      p.trim.toInt -> o.trim.toLong
-    }.toMap).getOrElse(Map.empty)
+    Option(options.get("startOffsets")).filter(_.nonEmpty).map { s =>
+      try s.split(",").map { kv =>
+        val Array(p, o) = kv.split(":")
+        p.trim.toInt -> o.trim.toLong
+      }.toMap
+      catch { case scala.util.control.NonFatal(_) =>
+        throw new IllegalArgumentException(
+          s"malformed startOffsets '$s': expected 'partition:offset[,partition:offset…]'")
+      }
+    }.getOrElse(Map.empty)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new BinlogMicroBatchStream(path, maxEventsPerBatch, eventsPerTask,
@@ -220,10 +226,8 @@ final class BinlogMicroBatchStream(path: String, maxEventsPerBatch: Long, events
     // (`startOffsets` — Ingest.bootstrap's snapshot cut) raises the base
     // further: events below the cut are already in the table via the
     // bootstrap batch, so re-reading them is pure replay cost.
-    val starts = BinlogOffsets.startOffsets(Segment.listAll(Paths.get(path)))
-      .filter { case (p, _) => partitionFilter.forall(_.contains(p)) }
-    BinlogOffset(listEnds().map { case (p, _) =>
-      p -> math.max(starts.getOrElse(p, 0L), startOffsets.getOrElse(p, 0L)) })
+    val starts = listStarts()
+    BinlogOffset(listEnds().map { case (p, _) => p -> starts.getOrElse(p, 0L) })
   }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxEventsPerBatch)
@@ -245,6 +249,12 @@ final class BinlogMicroBatchStream(path: String, maxEventsPerBatch: Long, events
   private def listStarts(): Map[Int, Long] =
     BinlogOffsets.startOffsets(Segment.listAll(Paths.get(path)))
       .filter { case (p, _) => partitionFilter.forall(_.contains(p)) }
+      // the handoff anchor (`startOffsets`) raises the base HERE, not only in
+      // initialOffset: a partition whose first segment lands after the stream
+      // starts is discovered through this map, and without the anchor it
+      // would replay its entire pre-cut history — the O(log) read the skip
+      // variant exists to avoid
+      .map { case (p, s) => p -> math.max(s, startOffsets.getOrElse(p, 0L)) }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val cur = start.asInstanceOf[BinlogOffset].parts
@@ -366,13 +376,14 @@ final class BinlogPartitionReader(p: BinlogInputPartition,
 object DeadLetter {
   def report(dlqDir: java.nio.file.Path, cr: Segment.CorruptRange): Unit = {
     java.nio.file.Files.createDirectories(dlqDir)
-    def esc(s: String): String =
-      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-                  case '\r' => "\\r"; case '\t' => "\\t"
-                  case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
-    val json = s"""{"segment":"${esc(cr.segment.getFileName.toString)}",""" +
-      s""""partition":${cr.partition},"fromOffset":${cr.fromOffset},""" +
-      s""""untilOffset":${cr.untilOffset},"error":"${esc(cr.error)}"}"""
+    val m = new ObjectMapper()
+    val node = m.createObjectNode()
+    node.put("segment", cr.segment.getFileName.toString)
+    node.put("partition", cr.partition)
+    node.put("fromOffset", cr.fromOffset)
+    node.put("untilOffset", cr.untilOffset)
+    node.put("error", cr.error)
+    val json = m.writeValueAsString(node)
     val name = s"${cr.segment.getFileName}.${cr.fromOffset}.dlq.json"
     val tmp = dlqDir.resolve(s".$name.tmp-${Thread.currentThread().getId}")
     java.nio.file.Files.write(tmp, json.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -69,6 +69,11 @@ object EventCodec {
   /** Frame one record: [keyLen][key][valLen][val], big-endian int32 prefixes. */
   def frame(key: Array[Byte], value: Array[Byte]): Array[Byte] = {
     val kl = if (key == null) 0 else key.length
+    // the read-side plausibility bound must be enforced symmetrically at
+    // write time: a larger frame would commit durably and then be
+    // permanently unreadable as a "corrupt record"
+    require(kl <= MaxFrameBytes && value.length <= MaxFrameBytes,
+      s"frame exceeds MaxFrameBytes ($MaxFrameBytes): key=$kl value=${value.length}")
     val buf = java.nio.ByteBuffer.allocate(8 + kl + value.length)
     if (key == null) buf.putInt(-1) else { buf.putInt(kl); buf.put(key) }
     buf.putInt(value.length)

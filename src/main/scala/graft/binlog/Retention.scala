@@ -32,7 +32,18 @@ object Retention {
   /** Per-partition contiguous applied prefix of a table's lineage chain:
     * the first offset NOT yet durably applied, i.e. everything below it is
     * replay-dead for this consumer. Runs are folded from the chain's own
-    * head (not 0 — bootstrapped/handoff tables start above the cut). */
+    * head (not 0 — bootstrapped/handoff tables start above the cut).
+    *
+    * CONTRACT: valid only for a table whose lineage comes from ONE binlog
+    * directory — the engine's single-streaming-writer-per-table rule (two
+    * streams on one table would collide on checkpoint-epoch batch ids; SQL
+    * commands and bootstrap sit in reserved id domains and commit lineage
+    * = Nil, so they never pollute the horizon). A table fed by library-level
+    * `applyBatch` calls with caller-synthesized envelopes, or by the
+    * `graft-lake` sink (epoch-anchored synthetic offsets), has lineage in a
+    * DIFFERENT offset space: computing a horizon from it and expiring some
+    * unrelated directory would delete unread segments. Pass such tables'
+    * horizons only for the directory their envelopes actually index. */
   def appliedHorizon(table: LakeTable): Map[Int, Long] =
     table.currentSnapshot.batches.flatMap(_.lineage)
       .groupBy(_.partition).map { case (p, rs) =>

@@ -194,7 +194,17 @@ object Segment {
     val ch = Files.newByteChannel(f.path)
     ch.position(chunk.byteOffset) // range read: skip preceding chunks entirely
     val raw = new BufferedInputStream(java.nio.channels.Channels.newInputStream(ch), 1 << 16)
-    val in = new GZIPInputStream(raw, 1 << 16) // gzip members concatenate; stream reads across them
+    // the constructor parses the first member's gzip HEADER eagerly: a
+    // corrupt header at the seek target must release the channel and fail
+    // as a corrupt record, not leak the fd behind a ZipException
+    val in =
+      try new GZIPInputStream(raw, 1 << 16) // gzip members concatenate; stream reads across them
+      catch {
+        case e: java.io.IOException =>
+          ch.close()
+          throw new java.io.IOException(
+            s"Corrupt chunk header in ${f.path.getFileName} at byte ${chunk.byteOffset}: $e")
+      }
 
     var offset = chunk.firstRecordOffset
     var closed = false
@@ -204,25 +214,31 @@ object Segment {
       private var nextEvt: ChangeEvent = _
       private def advance(): Unit = {
         nextEvt = null
-        while (nextEvt == null && offset < untilOffset && !closed) {
-          val fr = codec.readFrame(in, s"${f.path.getFileName}:$offset")
-          if (fr == null) {
-            // EOF must land exactly at the index's nextOffset: a corrupted
-            // mid-segment gzip member header makes GZIPInputStream report
-            // CLEAN EOF at the member boundary (concatenated-member
-            // semantics treat unreadable trailing bytes as garbage), which
-            // would otherwise SILENTLY truncate the read — records the
-            // chunk index promises would just never arrive
-            if (offset < math.min(untilOffset, idx.nextOffset))
-              throw new java.io.IOException(
-                s"Truncated segment ${f.path.getFileName}: EOF at offset $offset, index promises ${idx.nextOffset}")
-            closeOnce()
+        try {
+          while (nextEvt == null && offset < untilOffset && !closed) {
+            val fr = codec.readFrame(in, s"${f.path.getFileName}:$offset")
+            if (fr == null) {
+              // EOF must land exactly at the index's nextOffset: a corrupted
+              // mid-segment gzip member header makes GZIPInputStream report
+              // CLEAN EOF at the member boundary (concatenated-member
+              // semantics treat unreadable trailing bytes as garbage), which
+              // would otherwise SILENTLY truncate the read — records the
+              // chunk index promises would just never arrive
+              if (offset < math.min(untilOffset, idx.nextOffset))
+                throw new java.io.IOException(
+                  s"Truncated segment ${f.path.getFileName}: EOF at offset $offset, index promises ${idx.nextOffset}")
+              closeOnce()
+            }
+            else {
+              val o = offset
+              offset += 1
+              if (o >= from) nextEvt = EventCodec.decodeValue(f.partition, o, fr._2)
+            }
           }
-          else {
-            val o = offset
-            offset += 1
-            if (o >= from) nextEvt = EventCodec.decodeValue(f.partition, o, fr._2)
-          }
+        } catch {
+          // a failed read must not leak the channel: close before the error
+          // propagates (the tolerant wrapper abandons this iterator)
+          case scala.util.control.NonFatal(e) => closeOnce(); throw e
         }
         if (nextEvt == null) closeOnce()
       }
@@ -263,7 +279,10 @@ object Segment {
     new Iterator[ChangeEvent] {
       private var resumeFrom = math.max(fromOffset, f.startOffset)
       private var lastEmitted = resumeFrom - 1
-      private var cur: Iterator[ChangeEvent] = read(f, resumeFrom, untilOffset, codec)
+      // opened LAZILY inside the try: Segment.read parses the seek target's
+      // gzip header eagerly, so a corrupt CHUNK HEADER throws at open — that
+      // failure must land in the same quarantine path as a mid-chunk one
+      private var cur: Iterator[ChangeEvent] = _
       private var done = false
       private var nextEvt: ChangeEvent = _
 
@@ -271,10 +290,12 @@ object Segment {
         nextEvt = null
         while (nextEvt == null && !done) {
           try {
+            if (cur == null) cur = read(f, resumeFrom, untilOffset, codec)
             if (cur.hasNext) { nextEvt = cur.next(); lastEmitted = nextEvt.offset }
             else done = true
           } catch {
             case scala.util.control.NonFatal(e) =>
+              cur = null // the failed reader closed its own channel
               val bad = lastEmitted + 1
               val next = idx.chunks.find(_.firstRecordOffset > bad)
                 .map(_.firstRecordOffset).getOrElse(idx.nextOffset)
@@ -287,7 +308,6 @@ object Segment {
                 // before emitting anything, `bad` must start from it — not
                 // from the previous chunk — or the resync would loop forever
                 lastEmitted = next - 1
-                cur = read(f, resumeFrom, untilOffset, codec)
               }
           }
         }

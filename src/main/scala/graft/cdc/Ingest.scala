@@ -120,9 +120,12 @@ object Ingest {
     * `snapshot` must carry `url`, `warc_ts`, `html` (and optionally `lang`);
     * `text`/`content_len` are re-derived from `html` by the merge itself, so
     * the byte-identical-extraction invariant holds for bootstrapped rows
-    * exactly as for streamed ones. Urls are expected unique (a dump IS a
-    * resolved table state); duplicates resolve by warc_ts with arbitrary
-    * ties, like SQL merges without offsets.
+    * exactly as for streamed ones. Urls MUST be unique — a dump IS a
+    * resolved table state — and this is ENFORCED (one cheap aggregation over
+    * a once-ever input): duplicates would share the one reserved envelope,
+    * and identical envelopes break every winner-resolution path that keys on
+    * them (the late-materialized admission join would attach one duplicate's
+    * payload to another's metadata).
     *
     * HANDOFF CONTRACT — bootstrap rows get the reserved envelope
     * `(partition, offset) = (−1, −1)`, BELOW every envelope a binlog reader
@@ -157,6 +160,11 @@ object Ingest {
     val cols = snapshot.columns.toSet
     require(Set("url", "warc_ts", "html").subsetOf(cols),
       s"bootstrap snapshot needs url, warc_ts, html; got ${snapshot.columns.mkString(",")}")
+    val dup = snapshot.groupBy(col("url")).count()
+      .filter(col("count") > 1).select(col("url")).limit(1).collect()
+    require(dup.isEmpty,
+      s"bootstrap snapshot has duplicate urls (e.g. '${dup.headOption.map(_.getString(0)).getOrElse("")}'): " +
+        "a dump must be a resolved state with one row per url")
     val changelog = snapshot.select(
       lit(-1).cast("int").as("partition"),
       lit(-1L).cast("long").as("offset"),

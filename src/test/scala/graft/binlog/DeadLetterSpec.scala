@@ -95,6 +95,26 @@ class DeadLetterSpec extends SparkSpec {
     assert(got2 == got && ranges2 == ranges)
   }
 
+  test("tolerant read survives a corrupt chunk HEADER at the open/resync target") {
+    // Segment.read parses the seek target's gzip header EAGERLY in the
+    // GZIPInputStream constructor — this failure shape must quarantine, not
+    // escape tolerance (and must not leak the channel)
+    val (p, dir) = gen(800)
+    val f = Segment.listAll(dir).head
+    assert(f.index.chunks.size >= 4)
+    zeroChunkMagic(f, 0) // the very OPEN target of a from-0 read
+    zeroChunkMagic(f, 2) // and a later member boundary (clean-EOF shape)
+    var ranges = Vector.empty[Segment.CorruptRange]
+    val got = Segment.readTolerant(f, 0L, Long.MaxValue, onCorrupt = ranges :+= _)
+      .map(_.offset).toVector
+    assert(ranges.nonEmpty)
+    val quarantined = ranges.flatMap(r => r.fromOffset until r.untilOffset).toSet
+    val expected = (0L until p.eventsPerPartition).filterNot(quarantined)
+    assert(got == expected, s"emitted ${got.size}, expected ${expected.size}")
+    // chunk 0 really was quarantined (open-target failure handled)
+    assert(quarantined.contains(0L))
+  }
+
   test("streaming ingest with a dead-letter dir survives a poison pill") {
     val (p, dir) = gen(1000)
     val f = Segment.listAll(dir).head

@@ -95,12 +95,52 @@ class BootstrapSpec extends SparkSpec {
     }
   }
 
+  test("startOffsets anchors partitions DISCOVERED after the stream starts") {
+    // partition 1's first segment lands only after the first run: discovery
+    // goes through the running stream's base map, which must honor the
+    // handoff anchor — without it the whole pre-cut history replays
+    val p = graft.binlog.GenProfile.uniformSmall().copy(partitions = 2,
+      eventsPerPartition = 1200, urlPoolPerPartition = 900,
+      tieRatio = 0.0, lateRatio = 0.0)
+    val binlog = tmpDir("bs4-binlog")
+    graft.binlog.ChangeEventGen.writeSegments(p.copy(partitions = 1), binlog, segmentEvents = 400)
+    val cut = 800L
+    val root = tmpDir("bs4-tbl")
+    val ckpt = tmpDir("bs4-ckpt").toString
+    val anchors = Map(0 -> cut, 1 -> cut)
+    Ingest.startStream(spark, binlog.toString, root, ckpt, maxEventsPerBatch = 500,
+      nBuckets = 4, startOffsets = anchors).awaitTermination()
+    // partition 1 appears now, with full history on disk
+    var off = 0L
+    val w = new graft.binlog.SegmentWriter(binlog, 1, off)
+    while (off < p.eventsPerPartition) {
+      w.writeEvent(graft.binlog.ChangeEventGen.event(p, 1, off), graft.binlog.EventCodec.V2)
+      off += 1
+    }
+    w.close()
+    Ingest.startStream(spark, binlog.toString, root, ckpt, maxEventsPerBatch = 500,
+      nBuckets = 4, startOffsets = anchors).awaitTermination()
+    val snap = graft.lake.LakeTable.load(root).currentSnapshot
+    Seq(0, 1).foreach { part =>
+      val chain = snap.batches.flatMap(_.lineage.filter(_.partition == part))
+        .sortBy(_.startOffset)
+      assert(chain.head.startOffset == cut,
+        s"p$part read below the cut: ${chain.head.startOffset}")
+      assert(chain.map(_.count).sum == p.eventsPerPartition - cut)
+    }
+  }
+
   test("bootstrap is idempotent; non-fresh tables are rejected") {
     import spark.implicits._
     val dump = Seq(
       ("u1", new java.sql.Timestamp(1700000000000L), "<p>one</p>".getBytes, "en"),
       ("u2", new java.sql.Timestamp(1700000001000L), "<p>two</p>".getBytes, "de"))
       .toDF("url", "warc_ts", "html", "lang")
+    // a dump with duplicate urls is rejected (duplicates would share the one
+    // reserved envelope and break envelope-keyed winner resolution)
+    val dupDump = dump.union(dump.limit(1))
+    intercept[IllegalArgumentException](
+      Ingest.bootstrap(spark, tmpDir("bs3-dup"), dupDump, nBuckets = 2))
     val root = tmpDir("bs3-tbl")
     val t = Ingest.bootstrap(spark, root, dump, nBuckets = 2)
     val snapAfter = t.currentSnapshotId

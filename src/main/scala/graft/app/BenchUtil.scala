@@ -80,6 +80,23 @@ object BenchUtil {
 
   /** One timed CDC ingest of the binlog into a fresh LakeTable via the
     * streaming pipeline. Returns (events, seconds, events/sec). */
+  /** `n` deterministically-perturbed copies of an embeddings frame — the
+    * corpus-scaling fixture for storage A/Bs. The perturbation is
+    * PER-DIMENSION: SQ8 codes are invariant under affine maps `x → a·x + b`
+    * (vmin/vmax rescale with the data), so pure-scale copies would emit
+    * identical code words that dictionary-collapse and fake the ratio. One
+    * definition serves IvfBytesAB and the specs — a future change to the
+    * perturbation cannot leave one copy measuring a faked ratio. */
+  def perturbedCopies(embs: org.apache.spark.sql.DataFrame, n: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    embs.sparkSession.range(n).crossJoin(embs).select(
+      (col(idCol) + col("id") * 1000000L).as(idCol),
+      transform(col(vecCol), (x, i) =>
+        (x * (lit(1.0f) + col("id").cast("float") * (i.cast("float") + lit(1.0f))
+          / lit(2048.0f))).cast("float")).as(vecCol))
+  }
+
   /** Total bytes of regular files under `p` (on-disk footprint A/Bs). */
   def dirBytes(p: Path): Long = {
     val w = Files.walk(p)

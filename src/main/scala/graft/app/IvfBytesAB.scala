@@ -17,17 +17,10 @@ object IvfBytesAB {
     val spark = BenchUtil.newSession(8, shufflePartitions = 8)
     import org.apache.spark.sql.functions._
     // 40x deterministically-perturbed copies: enough rows that parquet
-    // framing stops dominating. The perturbation is PER-DIMENSION — SQ8
-    // codes are invariant under affine maps x → a·x + b (vmin/vmax rescale
-    // with the data), so pure-scale copies would emit identical code words
-    // that dictionary-collapse and fake the ratio
-    val embs = spark.range(40).crossJoin(
-        spark.read.parquet(s"$sfDir/embeddings.parquet"))
-      .select((col("vec_id") + col("id") * 1000000L).as("vec_id"),
-        transform(col("embedding"), (x, i) =>
-          (x * (lit(1.0f) + col("id").cast("float") * (i.cast("float") + lit(1.0f))
-            / lit(2048.0f))).cast("float"))
-          .as("embedding"))
+    // framing stops dominating (see BenchUtil.perturbedCopies for why the
+    // perturbation must be per-dimension)
+    val embs = BenchUtil.perturbedCopies(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"), 40)
 
     import BenchUtil.dirBytes
     val work = java.nio.file.Files.createTempDirectory(

@@ -487,12 +487,18 @@ object LakeTable {
     Files.createDirectories(root.resolve("data"))
     val t = new LakeTable(root)
     val snap0 = Snapshot(0L, -1L, schemaVersion, nBuckets, Vector.empty, Vector.empty, 0L)
+    // REPLACE_EXISTING like commit(): a crashed-then-retried create (or two
+    // racing creators of the same empty table) must land on the identical
+    // content, not throw FileAlreadyExists on filesystems where ATOMIC_MOVE
+    // alone refuses to overwrite
     val sTmp = meta.resolve(".snap-0.json.tmp")
     Files.write(sTmp, snap0.toJson.getBytes(StandardCharsets.UTF_8))
-    Files.move(sTmp, meta.resolve("snap-0.json"), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(sTmp, meta.resolve("snap-0.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     val vTmp = meta.resolve(".VERSION.0.tmp")
     Files.write(vTmp, "0".getBytes(StandardCharsets.UTF_8))
-    Files.move(vTmp, meta.resolve("VERSION"), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(vTmp, meta.resolve("VERSION"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     t
   }
 

@@ -85,6 +85,14 @@ object DedupOps {
   /** Caps derived from the corpus itself (see [[tuneCaps]]). */
   final case class TunedCaps(maxBucketSize: Int, maxDf: Int)
 
+  /** Sample-quantile → full-corpus cap: quantile × headroom in the sample
+    * domain (floor applied there too), scaled by 1/sampleFraction — a hot
+    * key's count grows linearly with corpus size while the p≪hot quantile
+    * tracks the normal population. ONE formula for every tuned cap
+    * (bucket sizes, shingle dfs): a future correction applies everywhere. */
+  private def scaleCap(q: Double, headroom: Double, floorCap: Int, f: Double): Int =
+    math.ceil(math.max(floorCap.toDouble, math.ceil(q * headroom)) / f).toInt
+
   /** Derive `maxBucketSize` / `maxDf` from a corpus SAMPLE instead of fixed
     * defaults: a high quantile of the observed band-bucket-size and
     * shingle-df distributions, a headroom factor so genuine near-dup
@@ -111,12 +119,12 @@ object DedupOps {
       val keys = bandKeysOf(sample, textCol, idCol, n, bands, rowsPerBand)
       val qb = keys.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("size"))
         .stat.approxQuantile("size", Array(quantile), 0.001).headOption.getOrElse(1.0)
-      val maxBucket = math.ceil(math.max(floorCap.toDouble, math.ceil(qb * headroom)) / f).toInt
+      val maxBucket = scaleCap(qb, headroom, floorCap, f)
       val qd = sample
         .select(explode(array_distinct(TextOps.shingles(col(textCol), n))).as("s"))
         .groupBy(col("s")).agg(count(lit(1)).as("df"))
         .stat.approxQuantile("df", Array(quantile), 0.001).headOption.getOrElse(1.0)
-      val maxDf = math.ceil(math.max(floorCap.toDouble, math.ceil(qd * headroom)) / f).toInt
+      val maxDf = scaleCap(qd, headroom, floorCap, f)
       TunedCaps(maxBucket, maxDf)
     } finally { sample.unpersist(): Unit }
   }
@@ -178,6 +186,12 @@ object DedupOps {
     // intersections through dropped shingles (jaccard becomes a lower
     // bound → possible false negatives, never false positives). Keep 0 for
     // the exact oracle baseline; set it when running as a scale operator.
+    // the audit rides the df aggregate the prune computes: with NO prune
+    // there is no df pass to observe, and an unattached Observation would
+    // block its caller's .get FOREVER — reject the wiring error loudly
+    require(dfAudit.isEmpty || pruneUniqueShingles || maxDf > 0,
+      "dfAudit requires a prune (pruneUniqueShingles or maxDf > 0); " +
+        "without one the Observation would never resolve")
     val inv = {
       val needDf = pruneUniqueShingles || maxDf > 0
       if (!needDf) inv0
@@ -227,7 +241,7 @@ object DedupOps {
       .select(explode(array_distinct(TextOps.shingles(col(textCol), n))).as("s"))
       .groupBy(col("s")).agg(count(lit(1)).as("df"))
       .stat.approxQuantile("df", Array(quantile), 0.001).headOption.getOrElse(1.0)
-    math.ceil(math.max(floorCap.toDouble, math.ceil(qd * headroom)) / f).toInt
+    scaleCap(qd, headroom, floorCap, f)
   }
 
   /** [[ngramJaccardPairs]] as a SCALE operator: the df ceiling is derived

@@ -78,7 +78,11 @@ object LshIndex {
     * `a/b`, `a b`, and `a_b` onto one span directory, and a colliding tag
     * silently deletes another span's index rows. The ad-hoc accumulator tag
     * is reserved: a keyed append under it would OVERWRITE the whole
-    * accumulated un-keyed history. */
+    * accumulated un-keyed history. MIGRATION: a tree whose spans were
+    * written by the old lossy sanitizer (tags holding rewritten chars) can
+    * hold directories a replayed original tag no longer maps to — rebuild
+    * ([[rebuild]]) regenerates the tree under validated tags; curation's
+    * own span tags (`<from>_<to>` numerics) were always in the safe set. */
   private[ops] def validateTag(tag: String): Unit = {
     require(tag.nonEmpty &&
       tag.forall(c => c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),

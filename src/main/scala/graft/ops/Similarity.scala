@@ -327,16 +327,17 @@ object Similarity {
     val cents = readIvfCentroids(dir)
     val obs = org.apache.spark.sql.Observation()
     val assigned = assignToCentroids(vecs.select(col(idCol), col(vecCol)), cents, idCol, vecCol)
+    val meta = readTrainMeta(dir) // one read serves the dispatch AND the counter
     // storage dispatch follows the index's recorded quantization, so a batch
     // appended to an SQ8 index lands as codes — one index, one row layout
     val out =
-      if (readTrainMeta(dir).exists(_.quant == "sq8")) sq8Columns(assigned, idCol, vecCol)
+      if (meta.exists(_.quant == "sq8")) sq8Columns(assigned, idCol, vecCol)
       else assigned
     out.observe(obs, count(lit(1)).as("n"))
       .write.mode("append").partitionBy("list").parquet(dir)
     // drift counter (single-writer: appends are serialized by the caller,
     // as parquet `append` itself already requires)
-    readTrainMeta(dir).foreach(m => writeTrainMeta(dir,
+    meta.foreach(m => writeTrainMeta(dir,
       m.copy(appendedRows = m.appendedRows + obs.get("n").asInstanceOf[Long])))
   }
 
@@ -352,20 +353,24 @@ object Similarity {
       source: Option[DataFrame] = None): Option[Array[(Int, Array[Double])]] = {
     require(growthFactor > 0, "growthFactor must be positive")
     readTrainMeta(dir) match {
-      case Some(m) if m.appendedRows >= growthFactor * math.max(1L, m.trainedRows) =>
-        if (m.quant == "sq8")
-          // SQ8 lists hold codes, not vectors: retraining needs the raw
-          // source (training on decoded codes would compound quantization
-          // error into the codebook) — fail loudly rather than drift
-          Some(rebuildIvfIndexSq8(spark, dir, source.getOrElse(
-              throw new IllegalArgumentException(
-                s"SQ8 index at $dir needs the raw vector source to retrain")),
-            m.nLists, m.seed, idCol = m.idCol, vecCol = m.vecCol,
-            md5Seeding = m.md5Seeding))
-        else
-          Some(rebuildIvfIndex(spark, dir, m.nLists, m.seed,
-            idCol = m.idCol, vecCol = m.vecCol, md5Seeding = m.md5Seeding))
-      case _ => None
+      case Some(m) =>
+        // SQ8 lists hold codes, not vectors: retraining needs the raw source
+        // (training on decoded codes would compound quantization error into
+        // the codebook). Validate the wiring on EVERY call — a miswired
+        // maintenance loop must fail on its first run, not weeks later when
+        // the growth threshold happens to fire mid-production.
+        if (m.quant == "sq8") require(source.isDefined,
+          s"SQ8 index at $dir needs the raw vector source to retrain")
+        if (m.appendedRows >= growthFactor * math.max(1L, m.trainedRows))
+          Some(
+            if (m.quant == "sq8")
+              rebuildIvfIndexSq8(spark, dir, source.get, m.nLists, m.seed,
+                idCol = m.idCol, vecCol = m.vecCol, md5Seeding = m.md5Seeding)
+            else
+              rebuildIvfIndex(spark, dir, m.nLists, m.seed,
+                idCol = m.idCol, vecCol = m.vecCol, md5Seeding = m.md5Seeding))
+        else None
+      case None => None
     }
   }
 

@@ -163,16 +163,9 @@ class OpsSpec extends SparkSpec {
     // codes are byte-per-dim vs 4-byte floats (snappy + per-vector min/max
     // eat the rest of the naive 4x). 500 rows over 16 list files is all
     // parquet framing, so measure on a 20x deterministically-perturbed
-    // corpus. The perturbation must be PER-DIMENSION: SQ8 codes are
-    // invariant under affine maps x → a·x + b (vmin/vmax rescale with the
-    // data), so pure-scale copies would emit identical code words that
-    // dictionary-collapse and fake a huge ratio
-    val big = spark.range(20).crossJoin(embs).select(
-      (col("vec_id") + col("id") * 1000000L).as("vec_id"),
-      transform(col("embedding"), (x, i) =>
-        (x * (lit(1.0f) + col("id").cast("float") * (i.cast("float") + lit(1.0f))
-          / lit(2048.0f))).cast("float"))
-        .as("embedding"))
+    // corpus (BenchUtil.perturbedCopies — per-dimension, or SQ8's affine
+    // invariance would dictionary-collapse the codes and fake the ratio)
+    val big = graft.app.BenchUtil.perturbedCopies(embs, 20)
     val bigRaw = tmpDir("ivf-raw-big").resolve("index").toString
     val bigSq8 = tmpDir("ivf-sq8-big").resolve("index").toString
     Similarity.writeIvfIndex(big, bigRaw, nLists = 16)

@@ -86,4 +86,26 @@ object Retention {
     * everything `table` has durably applied. */
   def expireApplied(table: LakeTable, dir: Path): Int =
     expireSegments(dir, appliedHorizon(table))
+
+  /** [[expireSegments]] over an ARCHIVE tree in any layout (flat /
+    * grouped_by_date / grouped_by_topic): horizons are keyed by
+    * `(topic, partition)` because grouped_by_topic trees reuse partition
+    * numbers across topics — a partition-only horizon would cross-truncate.
+    * Same index-first unlink discipline; empty date/topic directories are
+    * left in place (cheap, and a concurrent writer may be about to reuse
+    * them). */
+  def expireArchive(root: Path, layout: Layout,
+      horizon: Map[(String, Int), Long]): Int = {
+    var n = 0
+    Layout.listUnder(root, layout).foreach { case (m, sf) =>
+      horizon.get((m.topic, m.partition)).foreach { h =>
+        if (sf.endOffset <= h) {
+          Files.deleteIfExists(sf.indexPath): Unit
+          Files.deleteIfExists(sf.path): Unit
+          n += 1
+        }
+      }
+    }
+    n
+  }
 }

@@ -48,6 +48,35 @@ class RetentionSpec extends SparkSpec {
     assert(Retention.minHorizon(Nil) == Map.empty[Int, Long])
   }
 
+  test("expireArchive truncates grouped layouts by (topic, partition) horizon") {
+    import spark.implicits._
+    val events = (0L until 300L).map { o =>
+      ((o % 2).toInt, o / 2, "upsert", s"https://x/${o / 2}",
+        new java.sql.Timestamp(1700000000000L + o), s"<p>$o</p>".getBytes, "en")
+    }
+    val df = events.toDF("partition", "offset", "op", "url", "warc_ts", "html", "lang")
+      .repartition(2)
+    val dest = tmpDir("ret3-arch")
+    Archive.archiveBatch(spark, dest, segmentEvents = 40, chunkThreshold = 1 << 20,
+      layout = Layout.GroupedByDate, topic = "pages", date = "2026-08-17")(df, 0L)
+    val before = Layout.listUnder(dest, Layout.GroupedByDate)
+    assert(before.size >= 6)
+    // truncate partition 0 below offset 100; partition 1 untouched
+    val n = Retention.expireArchive(dest, Layout.GroupedByDate,
+      Map(("pages", 0) -> 100L))
+    assert(n > 0)
+    val after = Layout.listUnder(dest, Layout.GroupedByDate)
+    assert(after.size == before.size - n)
+    assert(after.filter(_._1.partition == 0).forall { case (_, sf) => sf.endOffset > 100L })
+    assert(after.count(_._1.partition == 1) == before.count(_._1.partition == 1))
+    // idempotent; an unrelated topic key deletes nothing
+    assert(Retention.expireArchive(dest, Layout.GroupedByDate, Map(("pages", 0) -> 100L)) == 0)
+    assert(Retention.expireArchive(dest, Layout.GroupedByDate, Map(("other", 1) -> 999L)) == 0)
+    // the kept tail is still fully readable through the layout listing
+    val back = after.flatMap { case (_, sf) => Segment.read(sf, sf.startOffset) }
+    assert(back.nonEmpty && back.forall(e => e.partition == 1 || e.offset >= 80L))
+  }
+
   test("checkpointed stream survives full head truncation; new data continues") {
     val p = GenProfile.uniformSmall().copy(partitions = 2, eventsPerPartition = 1000,
       urlPoolPerPartition = 700)

@@ -199,7 +199,8 @@ object Ingest {
       afterBatch: (LakeTable, Long) => Unit = (_, _) => (),
       opts: MergeOptions = MergeOptions(),
       startOffsets: Map[Int, Long] = Map.empty,
-      deadLetterDir: Option[String] = None): StreamingQuery = {
+      deadLetterDir: Option[String] = None,
+      retainBinlogEveryBatches: Long = 0L): StreamingQuery = {
     val table =
       if (LakeTable.exists(tableRoot)) LakeTable.load(tableRoot)
       else LakeTable.create(tableRoot, nBuckets)
@@ -240,6 +241,14 @@ object Ingest {
           graft.lake.Maintain.buildBlooms(spark, table): Unit
         if (growBucketsTargetBytes > 0)
           graft.lake.Maintain.maybeGrowBuckets(spark, table, growBucketsTargetBytes): Unit
+        // binlog retention on the same cadence family: truncate the SOURCE
+        // below this table's applied horizon. Safe inside the batch loop —
+        // the horizon covers only batches whose commit is durable, and this
+        // hook runs after the current batch's reads finished. ONLY enable
+        // when this stream is the directory's sole consumer; shared
+        // directories need Retention.minHorizon across all their consumers.
+        if (retainBinlogEveryBatches > 0 && id > 0 && id % retainBinlogEveryBatches == 0)
+          graft.binlog.Retention.expireApplied(table, Paths.get(binlogDir)): Unit
         // post-commit hook (runs AFTER the batch is durable and after
         // maintenance): derived-state consumers — the CDC→curation loop
         // tails the table's change feed here, inside the exactly-once

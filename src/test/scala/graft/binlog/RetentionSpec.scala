@@ -48,6 +48,27 @@ class RetentionSpec extends SparkSpec {
     assert(Retention.minHorizon(Nil) == Map.empty[Int, Long])
   }
 
+  test("in-loop retention: the ingest stream truncates its own source as it goes") {
+    val p = GenProfile.uniformSmall().copy(partitions = 2, eventsPerPartition = 2000,
+      urlPoolPerPartition = 1400)
+    val binlog = tmpDir("ret4-binlog")
+    ChangeEventGen.writeSegments(p, binlog, segmentEvents = 250)
+    val root = tmpDir("ret4-tbl")
+    Ingest.startStream(spark, binlog.toString, root, tmpDir("ret4-ckpt").toString,
+      maxEventsPerBatch = 600, nBuckets = 4,
+      retainBinlogEveryBatches = 2).awaitTermination()
+    // the final state is still the exact oracle (retention never raced a read)
+    val oracle = Oracle.finalState(p)
+    val got = state(LakeTable.load(root))
+    assert(got.size == oracle.size)
+    oracle.foreach { case (url, (ts, text, _, _)) =>
+      assert(got(url) == ((ts, text)), s"divergence at $url") }
+    // and the source was truncated along the way (only a tail may remain)
+    val remaining = Segment.listAll(binlog)
+    assert(remaining.size < 16, s"expected most of 16 segments truncated, ${remaining.size} remain")
+    remaining.foreach(sf => assert(sf.endOffset > 1200L, s"stale head segment ${sf.path}"))
+  }
+
   test("expireArchive truncates grouped layouts by (topic, partition) horizon") {
     import spark.implicits._
     val events = (0L until 300L).map { o =>

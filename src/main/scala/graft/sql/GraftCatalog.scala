@@ -58,6 +58,18 @@ class GraftCatalog extends TableCatalog {
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // metadata tables: `t$snapshots` / `t$files` / `t$batches` resolve to a
+    // read-only view over the BASE table's snapshot state (quote the name in
+    // SQL: SELECT * FROM graft.`t$snapshots`). Never listed by SHOW TABLES.
+    val name = ident.name()
+    val dollar = name.lastIndexOf('$')
+    if (dollar > 0 && GraftMetaTable.Kinds.contains(name.substring(dollar + 1))) {
+      val base = Identifier.of(ident.namespace(), name.substring(0, dollar))
+      val root = rootOf(base)
+      if (!LakeTable.exists(root)) throw new NoSuchTableException(base)
+      return new GraftMetaTable(LakeTable.load(root), ident.toString,
+        name.substring(dollar + 1))
+    }
     val root = rootOf(ident)
     if (!LakeTable.exists(root)) throw new NoSuchTableException(ident)
     new GraftSqlTable(LakeTable.load(root), ident.toString)

@@ -501,6 +501,52 @@ class GraftSqlSpec extends SparkSpec {
         try !s.findFirst().isPresent finally s.close() })
   }
 
+  test("metadata tables: $snapshots / $files / $batches") {
+    enable()
+    spark.sql("""CREATE TABLE graft.meta1 (url STRING, warc_ts TIMESTAMP,
+                |  html BINARY, text STRING, content_len BIGINT, lang STRING)
+                |USING graft TBLPROPERTIES('buckets'='2')""".stripMargin)
+    spark.range(10).createOrReplaceTempView("mseed")
+    spark.sql("""MERGE INTO graft.meta1 t USING (
+                |  SELECT concat('u', id) AS url, timestamp_micros(1700000000000000 + id) AS warc_ts,
+                |    cast(concat('<p>', id, '</p>') AS BINARY) AS html,
+                |    CAST(NULL AS STRING) AS text, CAST(NULL AS BIGINT) AS content_len,
+                |    'en' AS lang, CAST(id AS LONG) AS offset, CAST(0 AS INT) AS partition,
+                |    'upsert' AS op
+                |  FROM mseed) s
+                |ON t.url = s.url
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql("DELETE FROM graft.meta1 WHERE url = 'u1'")
+
+    val snaps = spark.sql(
+      "SELECT snapshot_id, parent_id, total_rows FROM graft.`meta1$snapshots` ORDER BY snapshot_id")
+      .collect()
+    assert(snaps.length >= 3, s"create + merge + delete: got ${snaps.length}")
+    // parent chain is consistent and ids ascend
+    snaps.sliding(2).foreach {
+      case Array(a, b) => assert(b.getLong(1) == a.getLong(0) && b.getLong(0) > a.getLong(0))
+      case _ =>
+    }
+
+    val lake = graft.lake.LakeTable.load(java.nio.file.Paths.get(wh, "meta1"))
+    val files = spark.sql("SELECT path, bucket, row_count FROM graft.`meta1$files`").collect()
+    assert(files.length == lake.currentSnapshot.files.size)
+    assert(files.map(_.getLong(2)).sum == lake.currentSnapshot.files.map(_.rowCount).sum)
+
+    val batches = spark.sql("SELECT batch_id, partition FROM graft.`meta1$batches`").collect()
+    // two SQL commands, no lineage → one null-partition row each, ids in the
+    // reserved SQL domain
+    assert(batches.length == 2)
+    assert(batches.forall(r => r.isNullAt(1) &&
+      (r.getLong(0) & GraftRowLevel.SqlBatchIdBit) != 0L))
+
+    // deleted url is gone from the data but the tombstone batch is audited
+    assert(spark.sql("SELECT * FROM graft.meta1 WHERE url = 'u1'").count() == 0)
+    // unknown base table still errors
+    intercept[Exception](spark.sql("SELECT * FROM graft.`nope$snapshots`").collect())
+  }
+
   test("SQL commands between stream batches use a reserved batch-id domain") {
     // A SQL command committed between two runs of an ingest stream must NOT
     // claim the id the stream's next foreachBatch epoch will use: batch ids

@@ -71,10 +71,18 @@ object Curate {
       minMatchFrac: Double = 0.5): Increment = {
     val to = toSnapshotId.getOrElse(table.currentSnapshotId)
     val scored = scoredIncrement(spark, table, fromSnapshotId, Some(to))
+    // cache the increment: probe + append run THREE actions over it (shard
+    // list, candidate checkpoint, span write), and each would otherwise
+    // re-read the change span and re-run extraction + scoring — measured as
+    // the bulk of the curated stream's fixed per-batch cost. O(increment)
+    // rows by definition; dropped once the span's effects are durable.
     val kept = scored.filter(col("quality") >= minQuality && col("tokens") >= minTokens)
-    val (dups, n) = LshIndex.probeAndAppendCounted(spark, kept, "text", "url", lshDir,
-      minMatchFrac = minMatchFrac, span = Some(s"$fromSnapshotId-$to"))
-    Increment(kept, dups, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (dups, n) = LshIndex.probeAndAppendCounted(spark, kept, "text", "url", lshDir,
+        minMatchFrac = minMatchFrac, span = Some(s"$fromSnapshotId-$to"))
+      Increment(kept, dups, n)
+    } finally kept.unpersist(): Unit
   }
 
   /** An increment plus the snapshot span it covered — the replay key for

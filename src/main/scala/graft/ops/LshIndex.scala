@@ -200,17 +200,32 @@ object LshIndex {
     * action itself — no second pass); [[graft.ops.Curate]] accumulates it as
     * the growth counter driving its GC-rebuild cadence. */
   def append(docs: DataFrame, textCol: String, idCol: String, dir: Path,
-      span: Option[String] = None): Long = {
-    val p = loadChecked(dir)
-    val obs = org.apache.spark.sql.Observation()
-    val rows = bandRows(docs, textCol, idCol, p)
+      span: Option[String] = None): Long =
+    appendRows(probeRows(docs, textCol, idCol, loadChecked(dir)), dir, span)
+
+  /** [[bandRows]] plus the physical shard key — the index's stored row. */
+  private def probeRows(docs: DataFrame, textCol: String, idCol: String,
+      p: Params): DataFrame =
+    bandRows(docs, textCol, idCol, p)
       .withColumn("pb", pmod(hash(col("bucket")), lit(p.shards)))
-      .observe(obs, count(lit(1)).as("n"))
+
+  private def appendRows(rows: DataFrame, dir: Path,
+      span: Option[String]): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    val counted = rows.observe(obs, count(lit(1)).as("n"))
     val (mode, out) = span match {
       case Some(tag) => ("overwrite", spanDir(dir, tag))
       case None => ("append", adhocDir(dir))
     }
-    rows.write.mode(mode).partitionBy("pb").parquet(out.toString)
+    // ONE file per touched shard per span: without the pb clustering, every
+    // write task emits a file into every pb directory (tasks × shards files
+    // per span), and each subsequent probe re-lists and footer-reads all of
+    // them — measured as the curated stream's probe time growing linearly
+    // in span count. The clustering shuffle is O(increment) bytes; at the
+    // target scale one shard-file per span is also the layout you want
+    // (shards sized to a few GB each).
+    counted.repartition(col("pb"))
+      .write.mode(mode).partitionBy("pb").parquet(out.toString)
     obs.get("n").asInstanceOf[Long]
   }
 
@@ -231,8 +246,13 @@ object LshIndex {
       idCol: String, dir: Path, minMatchFrac: Double = 0.5,
       maxBucketSize: Int = 1000): DataFrame = {
     val p = loadChecked(dir)
-    val probes = bandRows(newDocs, textCol, idCol, p)
-      .withColumn("pb", pmod(hash(col("bucket")), lit(p.shards)))
+    nearDupsOfProbes(spark, probeRows(newDocs, textCol, idCol, p), p, dir,
+      minMatchFrac, maxBucketSize)
+  }
+
+  private def nearDupsOfProbes(spark: SparkSession, probes: DataFrame,
+      p: Params, dir: Path, minMatchFrac: Double,
+      maxBucketSize: Int): DataFrame = {
     // empty corpus: no candidates — schema derived from the probe's id type
     // (callers key by url strings or numeric ids alike)
     if (!hasData(dir))
@@ -243,7 +263,19 @@ object LshIndex {
     val pbs = probes.select(col("pb")).distinct().collect().map(_.getInt(0)).toSeq
     val idx0 = spark.read.parquet(bandsDir(dir).toString)
       .filter(col("pb").isInCollection(pbs))
-    val idx = capBucketsPruned(idx0, maxBucketSize)
+    // Narrow to the PROBED (band, bucket) keys BEFORE the bucket-size cap:
+    // the cap's count_distinct is a shuffle aggregation, and running it over
+    // the whole index made every increment cost O(corpus) — the exact
+    // growth curve the incremental index exists to avoid (measured: probe
+    // time growing 0.15 → 5 s across 16 batches while the index grew).
+    // Semantics are unchanged: a bucket the probe never touches can never
+    // produce a candidate, and for touched buckets the semi-join keeps ALL
+    // their member rows, so the distinct-id count still sees the full
+    // bucket. The index scan itself stays map-only (broadcast semi).
+    val relevant = idx0.join(
+      broadcast(probes.select(col("band"), col("bucket")).distinct()),
+      Seq("band", "bucket"), "left_semi")
+    val idx = capBucketsPruned(relevant, maxBucketSize)
     val joined = idx.alias("o").join(
       broadcast(probes.select(col("id"), col("sig"), col("band"), col("bucket")).alias("nw")),
       col("o.band") === col("nw.band") && col("o.bucket") === col("nw.bucket"))
@@ -334,9 +366,30 @@ object LshIndex {
   def probeAndAppendCounted(spark: SparkSession, batch: DataFrame,
       textCol: String, idCol: String, dir: Path, minMatchFrac: Double = 0.5,
       maxBucketSize: Int = 1000, span: Option[String] = None): (DataFrame, Long) = {
-    val out = nearDupsOf(spark, batch, textCol, idCol, dir, minMatchFrac, maxBucketSize)
-      .localCheckpoint(true)
-    val n = append(batch, textCol, idCol, dir, span)
-    (out, n)
+    val timing = sys.env.contains("GRAFT_TIMING")
+    var tMark = System.nanoTime()
+    def mark(what: String): Unit = if (timing) {
+      val now = System.nanoTime()
+      System.err.println(f"[timing]   lsh/$what ${(now - tMark) / 1e9}%.2f s")
+      tMark = now
+    }
+    val p = loadChecked(dir)
+    // Compute the signature pipeline ONCE per batch: probe + append drive
+    // FOUR actions over the band rows (shard-list collect, two broadcast
+    // builds, span write), and the minhash kernel (k md5 chains over every
+    // shingle) re-ran for each — measured as most of the curated stream's
+    // flat ~4 s/batch probe cost. Caching rows (not docs) is safe against
+    // the recacheByPath hazard below: the rows' lineage never reads the
+    // index path, so the append cannot refresh them.
+    val rows = probeRows(batch, textCol, idCol, p)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val out = nearDupsOfProbes(spark, rows, p, dir, minMatchFrac, maxBucketSize)
+        .localCheckpoint(true)
+      mark("probe")
+      val n = appendRows(rows, dir, span)
+      mark("append")
+      (out, n)
+    } finally rows.unpersist(): Unit
   }
 }

@@ -243,6 +243,33 @@ object Curate {
     }
   }
 
+  /** SPAN-COUNT cadence (the LSM fold for the index's append-only span
+    * log): every increment adds one `span=<tag>` directory and every probe
+    * re-lists all of them, so an INSERT-heavy curator — where the
+    * staleness-driven [[maybeRebuildIndex]] rarely fires — would grow probe
+    * listing cost without bound. Once the index holds more than `maxSpans`
+    * span dirs, fold them ALL into one ([[LshIndex.compactSpans]] — a
+    * parquet-only copy, no re-shingling, no table read; amortized
+    * O(rows/maxSpans) per increment, the same doubling bound as the table's
+    * tiered folds). Safe only for spans the cursor covers, so it declines
+    * without a cursor; in [[startCuratedStream]] it runs right after the
+    * cursor bump, where every span is covered. The output tag
+    * `cmp-<cursor>-<g>` picks the first free generation `g`: deterministic
+    * for a replayed fold, never self-reading, and a crashed fold's leftover
+    * duplicates are exact-row dups the next fold's `distinct` removes.
+    * Returns the folded (doc, band) row count when compaction ran. */
+  def maybeCompactSpans(spark: SparkSession, lshDir: Path,
+      maxSpans: Int = 64): Option[Long] = {
+    require(maxSpans >= 2, "maxSpans must be at least 2")
+    val tags = LshIndex.spanTags(lshDir)
+    if (tags.size <= maxSpans) return None
+    curatedHead(lshDir).map { head =>
+      val out = Iterator.from(0).map(g => s"cmp-$head-$g")
+        .find(t => !tags.contains(t)).get
+      LshIndex.compactSpans(spark, lshDir, tags, out)
+    }
+  }
+
   /** The whole CDC→curation loop as ONE streaming query: binlog tail →
     * exactly-once LWW MERGE into the LakeTable ([[Ingest.startStream]]) →
     * per-batch [[curateToHead]] increment (change feed → score → LSH
@@ -268,7 +295,11 @@ object Curate {
     *
     * `gcStaleFactor` > 0 additionally runs [[maybeRebuildIndex]] after each
     * increment — index GC rides the batch loop, serialized with ingest and
-    * curation (the rebuild's single-maintenance requirement, for free). */
+    * curation (the rebuild's single-maintenance requirement, for free) —
+    * and `maxSpans` > 0 (the default) folds the index's span directories
+    * whenever they exceed the threshold ([[maybeCompactSpans]]), bounding
+    * probe listing cost on insert-heavy streams the staleness cadence
+    * never triggers on. */
   def startCuratedStream(spark: SparkSession, binlogDir: String,
       tableRoot: Path, checkpointDir: String, lshDir: Path,
       maxEventsPerBatch: Long = 1000000L,
@@ -277,6 +308,7 @@ object Curate {
       keepSnapshots: Int = 10,
       minQuality: Double = 0.0, minTokens: Int = 3, minMatchFrac: Double = 0.5,
       gcStaleFactor: Double = 0.0, expirePinHorizonMs: Long = Long.MaxValue,
+      maxSpans: Int = 64,
       onIncrement: SpanIncrement => Unit = _ => ()): StreamingQuery = {
     // lease owner tag: stable across restarts of THIS query (checkpoint dir
     // is unique per query), so a restart can GC its crashed predecessors'
@@ -332,6 +364,10 @@ object Curate {
               maybeRebuildIndex(spark, table, lshDir, gcStaleFactor,
                 minQuality, minTokens, pinOwner = owner)
                 .foreach(swapPinTo(table, _))
+            // span-count fold after the cursor bump (every span covered) —
+            // and after a possible rebuild, which already left one span
+            if (maxSpans > 0)
+              maybeCompactSpans(spark, lshDir, maxSpans): Unit
           case None => pin.foreach(_.touch()) // idle: heartbeat the lease
         }
       })

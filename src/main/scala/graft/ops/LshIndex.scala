@@ -306,6 +306,80 @@ object LshIndex {
         "left_semi")
     }
 
+  /** Tags of the span directories currently in the index (the ad-hoc
+    * accumulator included), lexicographically sorted. Driver-side list:
+    * O(spans). */
+  def spanTags(dir: Path): Seq[String] = {
+    val b = bandsDir(dir)
+    if (!Files.isDirectory(b)) return Seq.empty
+    val s = Files.list(b)
+    try {
+      val it = s.iterator()
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val name = it.next().getFileName.toString
+        if (name.startsWith("span=")) out += name.stripPrefix("span=")
+      }
+      out.toSeq.sorted
+    } finally s.close()
+  }
+
+  /** COMPACT closed spans: fold the rows of `tags`' span directories into
+    * ONE fresh span (`span=<outTag>`) and delete the inputs — the LSM fold
+    * for the index's append-only span log. Every append adds a directory,
+    * and each probe re-lists all of them, so an insert-heavy curator (where
+    * the staleness-driven [[rebuild]] cadence rarely fires) would otherwise
+    * grow probe listing cost without bound; compaction is the cheap lever —
+    * a parquet-only copy of O(folded rows), no re-shingling, no table read.
+    *
+    * Exact full-row `distinct` runs inside the fold: crash-replay artifacts
+    * (a retried fold reading a previous half-deleted attempt) are exact
+    * duplicate rows, and dropping only EXACT duplicates can never pick
+    * among a doc's genuinely different signatures. Crash anywhere →
+    * duplicates at worst, never loss: the output span is fully written
+    * before any input is deleted, duplicate rows are semantically inert
+    * (bucket caps count DISTINCT ids; candidate pairs are `distinct`ed),
+    * and the next fold removes them. `outTag` must not be an input (a
+    * parquet overwrite deletes its target before reading — self-read):
+    * callers derive a fresh generation tag, see [[graft.ops.Curate]].
+    * Single-maintenance like [[rebuild]]: run from the writer's own loop.
+    * Returns the folded (doc, band) row count. */
+  def compactSpans(spark: SparkSession, dir: Path, tags: Seq[String],
+      outTag: String): Long = {
+    loadChecked(dir): Unit
+    validateTag(outTag)
+    require(!tags.contains(outTag), s"output span '$outTag' is also an input")
+    require(tags.nonEmpty, "no spans to compact")
+    val all = tags.map { t =>
+      val d = if (t == AdhocTag) adhocDir(dir) else spanDir(dir, t)
+      require(Files.isDirectory(d), s"span '$t' not found at $d")
+      d
+    }
+    // an empty-batch append leaves a span dir with no parquet leaf — it
+    // contributes nothing and would break schema inference as a read root
+    val (ins, empty) = all.partition { d =>
+      val w = Files.walk(d)
+      try w.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
+      finally w.close()
+    }
+    empty.foreach(graft.lake.SinkIO.rmDir)
+    if (ins.isEmpty) return 0L
+    val obs = org.apache.spark.sql.Observation()
+    // one read per input span with basePath pinned to the span dir: a single
+    // multi-root read would try to infer one partitioning across roots whose
+    // shared parent also holds the other span= dirs, and fail
+    ins.map(d => spark.read.option("basePath", d.toString).parquet(d.toString))
+      .reduce(_ unionByName _)
+      .distinct()
+      .observe(obs, count(lit(1)).as("n"))
+      .repartition(col("pb"))
+      .write.mode("overwrite").partitionBy("pb")
+      .parquet(spanDir(dir, outTag).toString)
+    val n = obs.get("n").asInstanceOf[Long]
+    ins.foreach(graft.lake.SinkIO.rmDir)
+    n
+  }
+
   /** REBUILD the index from a corpus snapshot — the GC lever for stale
     * entries: appends only ever ADD rows, so a deleted document's bands and
     * an updated document's previous-content signatures stay in the index

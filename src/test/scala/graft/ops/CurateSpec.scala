@@ -215,6 +215,50 @@ class CurateSpec extends SparkSpec {
     assert(table.read(spark).count() == ctlTable.read(spark).count())
   }
 
+  test("curated stream span folds: bounded span dirs, curation equal to the no-fold control") {
+    // insert-heavy streams never trip the staleness GC, so span dirs (and
+    // probe listing cost) would grow one-per-batch forever — the in-loop
+    // span-count fold must bound them WITHOUT changing what gets curated
+    val p = GenProfile.uniformSmall().copy(partitions = 2, eventsPerPartition = 1200)
+    val binlog = tmpDir("sf_bl")
+    ChangeEventGen.writeSegments(p, binlog, segmentEvents = 400)
+    val params = LshIndex.Params(n = 3, bands = 4, rowsPerBand = 2, shards = 8)
+
+    val ctlIdx = tmpDir("sf_ctlidx"); LshIndex.create(ctlIdx, params)
+    Curate.startCuratedStream(spark, binlog.toString, tmpDir("sf_ctltbl"),
+      tmpDir("sf_ctlck").toString, ctlIdx, maxEventsPerBatch = 300, nBuckets = 4,
+      maxSpans = 0).awaitTermination()
+    val ctlSpans = LshIndex.spanTags(ctlIdx).size
+    assert(ctlSpans >= 6, s"control must accumulate spans (got $ctlSpans)")
+
+    val idx = tmpDir("sf_idx"); LshIndex.create(idx, params)
+    val tblRoot = tmpDir("sf_tbl")
+    Curate.startCuratedStream(spark, binlog.toString, tblRoot,
+      tmpDir("sf_ck").toString, idx, maxEventsPerBatch = 300, nBuckets = 4,
+      maxSpans = 2).awaitTermination()
+    assert(LshIndex.spanTags(idx).size <= 2,
+      s"folds must bound span dirs (got ${LshIndex.spanTags(idx)})")
+    assert(Curate.curatedHead(idx) == Curate.curatedHead(ctlIdx))
+
+    // identical curated CONTENT: distinct logical rows (a fold's distinct may
+    // drop exact duplicates a multi-span layout keeps — they are inert) and
+    // identical probe behavior against both indexes
+    def logicalRows(d: java.nio.file.Path) =
+      spark.read.parquet(d.resolve("bands").toString)
+        .select(col("id"), col("sig"), col("band"), col("bucket"))
+        .distinct().collect().map(_.toString).sorted.toSeq
+    assert(logicalRows(idx) == logicalRows(ctlIdx),
+      "folded index must hold exactly the control's logical rows")
+    val probe = LakeTable.load(tblRoot).read(spark)
+      .filter(col("text").isNotNull).limit(40)
+      .select(col("url"), col("text"))
+    def probeHits(d: java.nio.file.Path) =
+      LshIndex.nearDupsOf(spark, probe, "text", "url", d, minMatchFrac = 0.0)
+        .collect().map(_.toString).sorted.toSeq
+    assert(probeHits(idx) == probeHits(ctlIdx),
+      "probing the folded index must behave exactly like the control")
+  }
+
   test("curated stream under aggressive expiry: pinned cursor keeps every span readable") {
     // expiry runs BEFORE afterBatch in the batch loop — the curator's pin
     // (leased at each increment's `to`, heartbeated when idle) is the only

@@ -192,6 +192,39 @@ class LshIndexSpec extends SparkSpec {
     assert(LshIndex.nearDupsOf(spark, one, "text", "doc_id", idx).count() >= 0L)
   }
 
+  test("span compaction: one span out, probes unchanged, exact dups removed") {
+    val idx = tmpDir("lshcmp")
+    LshIndex.create(idx, P)
+    (0 until 4).foreach { b =>
+      LshIndex.append(docs.filter(pmod(col("doc_id"), lit(4)) === b),
+        "text", "doc_id", idx, span = Some(s"$b-${b + 1}")): Unit
+    }
+    val probe = docs.filter(col("doc_id") < 50)
+    def hits() = LshIndex.nearDupsOf(spark, probe, "text", "doc_id", idx,
+      minMatchFrac = 0.0).collect().map(_.toString).sorted.toSeq
+    val before = hits()
+    val rowsBefore = spark.read.parquet(idx.resolve("bands").toString).count()
+    assert(LshIndex.spanTags(idx).size == 4)
+    // self-read guard: the output span must not be an input
+    intercept[IllegalArgumentException] {
+      LshIndex.compactSpans(spark, idx, LshIndex.spanTags(idx), "0-1")
+    }
+    val n = LshIndex.compactSpans(spark, idx, LshIndex.spanTags(idx), "cmp-4-0")
+    assert(n == rowsBefore, s"fold must keep every row (got $n, want $rowsBefore)")
+    assert(LshIndex.spanTags(idx) == Seq("cmp-4-0"), "inputs deleted, one span left")
+    assert(hits() == before, "probe results must be unchanged by compaction")
+    // a crashed fold's leftovers are EXACT duplicate rows across two spans —
+    // the fold's full-row distinct removes them (and only them)
+    val dupDocs = docs.filter(col("doc_id") < 100)
+    val nA = LshIndex.append(dupDocs, "text", "doc_id", idx, span = Some("dup-a"))
+    LshIndex.append(dupDocs, "text", "doc_id", idx, span = Some("dup-b")): Unit
+    // an empty span dir (all docs gated out) folds away without breaking the read
+    LshIndex.append(dupDocs.limit(0), "text", "doc_id", idx, span = Some("dup-e")): Unit
+    val n2 = LshIndex.compactSpans(spark, idx, Seq("dup-a", "dup-b", "dup-e"), "cmp-5-0")
+    assert(n2 == nA, s"exact dup rows must fold to one copy (got $n2, want $nA)")
+    assert(LshIndex.spanTags(idx) == Seq("cmp-4-0", "cmp-5-0"))
+  }
+
   test("legacy-layout index: writes and probes fail fast; rebuild migrates") {
     import spark.implicits._
     // forge a pre-versioning index: params.json without `layout` (old trees

@@ -69,20 +69,35 @@ object Curate {
       fromSnapshotId: Long, toSnapshotId: Option[Long] = None,
       minQuality: Double = 0.0, minTokens: Int = 3,
       minMatchFrac: Double = 0.5): Increment = {
+    val (inc, release) = curateIncrementCached(spark, table, lshDir,
+      fromSnapshotId, toSnapshotId, minQuality, minTokens, minMatchFrac)
+    release()
+    inc
+  }
+
+  /** [[curateIncrement]] with `kept` still PERSISTED when it returns — the
+    * caller runs its own actions over the increment (a downstream
+    * `onIncrement` sink) and then calls `release`. Cache the increment
+    * because probe + append drive several actions over it (shard-list
+    * collect, candidate checkpoint, span write), and each would otherwise
+    * re-read the change span and re-run extraction + scoring — measured as
+    * the bulk of the curated stream's fixed per-batch cost. O(increment)
+    * rows by definition. */
+  private def curateIncrementCached(spark: SparkSession, table: LakeTable,
+      lshDir: Path, fromSnapshotId: Long, toSnapshotId: Option[Long],
+      minQuality: Double, minTokens: Int,
+      minMatchFrac: Double): (Increment, () => Unit) = {
     val to = toSnapshotId.getOrElse(table.currentSnapshotId)
     val scored = scoredIncrement(spark, table, fromSnapshotId, Some(to))
-    // cache the increment: probe + append run THREE actions over it (shard
-    // list, candidate checkpoint, span write), and each would otherwise
-    // re-read the change span and re-run extraction + scoring — measured as
-    // the bulk of the curated stream's fixed per-batch cost. O(increment)
-    // rows by definition; dropped once the span's effects are durable.
     val kept = scored.filter(col("quality") >= minQuality && col("tokens") >= minTokens)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val (dups, n) = LshIndex.probeAndAppendCounted(spark, kept, "text", "url", lshDir,
         minMatchFrac = minMatchFrac, span = Some(s"$fromSnapshotId-$to"))
-      Increment(kept, dups, n)
-    } finally kept.unpersist(): Unit
+      (Increment(kept, dups, n), () => { kept.unpersist(): Unit })
+    } catch {
+      case t: Throwable => kept.unpersist(); throw t
+    }
   }
 
   /** An increment plus the snapshot span it covered — the replay key for
@@ -169,21 +184,25 @@ object Curate {
     val from = prev.map(_.curatedSnapshotId).getOrElse(initialFromSnapshotId)
     val to = table.currentSnapshotId
     if (to <= from) return None
-    val inc = curateIncrement(spark, table, lshDir, from, Some(to),
-      minQuality = minQuality, minTokens = minTokens, minMatchFrac = minMatchFrac)
-    val si = SpanIncrement(from, to, inc)
-    onIncrement(si)
-    // lease-before-cursor: if prePin throws, the cursor is not advanced and
-    // the span replays — span-keyed effects above are replay-idempotent
-    prePin(to)
-    // growth accounting is replay-idempotent with the span: a crashed span
-    // never bumped the cursor, so its re-run re-reads the same `prev`
-    writeCursor(lshDir, prev match {
-      case Some(m) => m.copy(curatedSnapshotId = to,
-        rowsSinceRebuild = m.rowsSinceRebuild + inc.appendedRows)
-      case None => CursorMeta(to, 0L, inc.appendedRows) // first increment seeds the GC baseline
-    })
-    Some(si)
+    // the cached variant keeps `kept` persisted THROUGH onIncrement — the
+    // documented downstream consumer runs its own actions over the increment
+    val (inc, release) = curateIncrementCached(spark, table, lshDir, from,
+      Some(to), minQuality, minTokens, minMatchFrac)
+    try {
+      val si = SpanIncrement(from, to, inc)
+      onIncrement(si)
+      // lease-before-cursor: if prePin throws, the cursor is not advanced and
+      // the span replays — span-keyed effects above are replay-idempotent
+      prePin(to)
+      // growth accounting is replay-idempotent with the span: a crashed span
+      // never bumped the cursor, so its re-run re-reads the same `prev`
+      writeCursor(lshDir, prev match {
+        case Some(m) => m.copy(curatedSnapshotId = to,
+          rowsSinceRebuild = m.rowsSinceRebuild + inc.appendedRows)
+        case None => CursorMeta(to, 0L, inc.appendedRows) // first increment seeds the GC baseline
+      })
+      Some(si)
+    } finally release()
   }
 
   /** GC/REBUILD the curation index from the LIVE table — the periodic
@@ -248,25 +267,34 @@ object Curate {
     * re-lists all of them, so an INSERT-heavy curator — where the
     * staleness-driven [[maybeRebuildIndex]] rarely fires — would grow probe
     * listing cost without bound. Once the index holds more than `maxSpans`
-    * span dirs, fold them ALL into one ([[LshIndex.compactSpans]] — a
-    * parquet-only copy, no re-shingling, no table read; amortized
-    * O(rows/maxSpans) per increment, the same doubling bound as the table's
-    * tiered folds). Safe only for spans the cursor covers, so it declines
-    * without a cursor; in [[startCuratedStream]] it runs right after the
-    * cursor bump, where every span is covered. The output tag
-    * `cmp-<cursor>-<g>` picks the first free generation `g`: deterministic
-    * for a replayed fold, never self-reading, and a crashed fold's leftover
-    * duplicates are exact-row dups the next fold's `distinct` removes.
-    * Returns the folded (doc, band) row count when compaction ran. */
+    * span dirs, fold the SMALLEST ones (by on-disk bytes) down to
+    * `maxSpans/2` dirs ([[LshIndex.compactSpans]] — a parquet-only copy, no
+    * re-shingling, no table read). Smallest-first is the size-tiered
+    * discipline that keeps write amplification logarithmic: a folded span
+    * is only re-folded once it's again among the smallest half, so tiers
+    * form geometrically and each row is rewritten O(log corpus) times over
+    * the index's life — folding EVERYTHING each time would rewrite the
+    * whole corpus every maxSpans increments (quadratic total writes, and a
+    * multi-TB stall inside the batch loop at the 10¹⁰ target). Safe only
+    * for spans the cursor covers, so it declines without a cursor; in
+    * [[startCuratedStream]] it runs right after the cursor bump, where
+    * every span is covered. The output tag `cmp-<cursor>-<g>` picks the
+    * first free generation `g`: deterministic for a replayed fold, never
+    * self-reading, and a crashed fold's leftovers (a staged-only output
+    * dir, or duplicates from half-deleted inputs) are folded away by the
+    * next run. Returns the folded (doc, band) row count when compaction
+    * ran. */
   def maybeCompactSpans(spark: SparkSession, lshDir: Path,
       maxSpans: Int = 64): Option[Long] = {
     require(maxSpans >= 2, "maxSpans must be at least 2")
-    val tags = LshIndex.spanTags(lshDir)
-    if (tags.size <= maxSpans) return None
+    val sizes = LshIndex.spanSizes(lshDir)
+    if (sizes.size <= maxSpans) return None
     curatedHead(lshDir).map { head =>
+      val tags = sizes.map(_._1)
+      val fold = sizes.sortBy(_._2).take(sizes.size - maxSpans / 2).map(_._1)
       val out = Iterator.from(0).map(g => s"cmp-$head-$g")
         .find(t => !tags.contains(t)).get
-      LshIndex.compactSpans(spark, lshDir, tags, out)
+      LshIndex.compactSpans(spark, lshDir, fold, out)
     }
   }
 
@@ -310,6 +338,10 @@ object Curate {
       gcStaleFactor: Double = 0.0, expirePinHorizonMs: Long = Long.MaxValue,
       maxSpans: Int = 64,
       onIncrement: SpanIncrement => Unit = _ => ()): StreamingQuery = {
+    // fail fast: maybeCompactSpans would reject this on the FIRST non-idle
+    // batch, killing the query after it already merged and indexed the batch
+    require(maxSpans == 0 || maxSpans >= 2,
+      "maxSpans must be 0 (off) or at least 2")
     // lease owner tag: stable across restarts of THIS query (checkpoint dir
     // is unique per query), so a restart can GC its crashed predecessors'
     // leases without touching other readers' pins on the same snapshots.

@@ -97,17 +97,37 @@ object LshIndex {
 
   private def adhocDir(dir: Path) = bandsDir(dir).resolve(s"span=$AdhocTag")
 
+  /** Does `root` hold any parquet file SPARK CAN SEE? Matching Spark's
+    * hidden-path rule matters, not just existence: a crashed write leaves
+    * committer staging (parquet under `_temporary`) that a plain file walk
+    * finds but `spark.read` filters out — classifying such a tree as non-empty
+    * makes the subsequent read fail schema inference on every retry (a
+    * permanent wedge where the contract promises crash-anywhere recovery).
+    * Driver-side recursive list skipping `_`/`.`-prefixed names,
+    * short-circuiting on the first visible leaf. */
+  private def hasVisibleParquet(root: Path): Boolean = {
+    def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
+    def go(d: Path): Boolean = {
+      val s = Files.list(d)
+      try {
+        val it = s.iterator()
+        var found = false
+        while (!found && it.hasNext) {
+          val p = it.next()
+          val n = p.getFileName.toString
+          if (!hidden(n))
+            found = if (Files.isDirectory(p)) go(p) else n.endsWith(".parquet")
+        }
+        found
+      } finally s.close()
+    }
+    Files.isDirectory(root) && go(root)
+  }
+
   /** Does the index hold any data file yet? (A freshly created index — or one
     * whose only appended spans were empty batches — has no parquet leaves;
-    * reading it would fail schema inference.) Driver-side walk with
-    * short-circuit: O(first match), worst case O(files) on a truly empty
-    * index. */
-  private def hasData(dir: Path): Boolean = {
-    if (!Files.isDirectory(bandsDir(dir))) return false
-    val walk = Files.walk(bandsDir(dir))
-    try walk.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
-    finally walk.close()
-  }
+    * reading it would fail schema inference.) */
+  private def hasData(dir: Path): Boolean = hasVisibleParquet(bandsDir(dir))
 
   /** Current on-disk layout: 2 = span-keyed append dirs
     * (`bands/span=<tag>/pb=<shard>`) with truncated `array<long>` sigs.
@@ -200,8 +220,10 @@ object LshIndex {
     * action itself — no second pass); [[graft.ops.Curate]] accumulates it as
     * the growth counter driving its GC-rebuild cadence. */
   def append(docs: DataFrame, textCol: String, idCol: String, dir: Path,
-      span: Option[String] = None): Long =
-    appendRows(probeRows(docs, textCol, idCol, loadChecked(dir)), dir, span)
+      span: Option[String] = None): Long = {
+    val p = loadChecked(dir)
+    appendRows(probeRows(docs, textCol, idCol, p), p, dir, span)
+  }
 
   /** [[bandRows]] plus the physical shard key — the index's stored row. */
   private def probeRows(docs: DataFrame, textCol: String, idCol: String,
@@ -209,7 +231,7 @@ object LshIndex {
     bandRows(docs, textCol, idCol, p)
       .withColumn("pb", pmod(hash(col("bucket")), lit(p.shards)))
 
-  private def appendRows(rows: DataFrame, dir: Path,
+  private def appendRows(rows: DataFrame, p: Params, dir: Path,
       span: Option[String]): Long = {
     val obs = org.apache.spark.sql.Observation()
     val counted = rows.observe(obs, count(lit(1)).as("n"))
@@ -217,15 +239,22 @@ object LshIndex {
       case Some(tag) => ("overwrite", spanDir(dir, tag))
       case None => ("append", adhocDir(dir))
     }
-    // ONE file per touched shard per span: without the pb clustering, every
+    // FEW files per touched shard per span: without the pb clustering, every
     // write task emits a file into every pb directory (tasks × shards files
     // per span), and each subsequent probe re-lists and footer-reads all of
     // them — measured as the curated stream's probe time growing linearly
-    // in span count. The clustering shuffle is O(increment) bytes; at the
-    // target scale one shard-file per span is also the layout you want
-    // (shards sized to a few GB each).
-    counted.repartition(col("pb"))
-      .write.mode(mode).partitionBy("pb").parquet(out.toString)
+    // in span count. The clustering shuffle is O(increment) bytes. The salt
+    // keeps the write as parallel as the cluster when cores exceed shards
+    // (a rebuild funnels the WHOLE corpus through here — clustering by pb
+    // alone would serialize it into at most `shards` write tasks); locally
+    // (cores ≤ shards) it degenerates to exactly one file per shard.
+    val filesPerShard = math.max(1,
+      rows.sparkSession.sparkContext.defaultParallelism / p.shards)
+    val clustered =
+      if (filesPerShard == 1) counted.repartition(col("pb"))
+      else counted.repartition(col("pb"),
+        pmod(hash(col("id")), lit(filesPerShard)))
+    clustered.write.mode(mode).partitionBy("pb").parquet(out.toString)
     obs.get("n").asInstanceOf[Long]
   }
 
@@ -246,18 +275,27 @@ object LshIndex {
       idCol: String, dir: Path, minMatchFrac: Double = 0.5,
       maxBucketSize: Int = 1000): DataFrame = {
     val p = loadChecked(dir)
-    nearDupsOfProbes(spark, probeRows(newDocs, textCol, idCol, p), p, dir,
+    val probes = probeRows(newDocs, textCol, idCol, p)
+    if (!hasData(dir)) return emptyResult(probes)
+    // eager checkpoint: the probe plan drives THREE actions over the band
+    // rows (shard-list collect + two broadcast builds) — without it the
+    // minhash kernel re-runs per action ([[probeAndAppendCounted]] passes
+    // persisted rows for the same reason; here the result outlives the
+    // call, so a try/finally unpersist can't be used)
+    nearDupsOfProbes(spark, probes.localCheckpoint(true), p, dir,
       minMatchFrac, maxBucketSize)
   }
+
+  /** No-candidates result with the probe's id type (callers key by url
+    * strings or numeric ids alike). */
+  private def emptyResult(probes: DataFrame): DataFrame =
+    probes.select(col("id").as("new_id"), col("id").as("old_id"),
+      lit(null).cast("double").as("match_frac")).limit(0)
 
   private def nearDupsOfProbes(spark: SparkSession, probes: DataFrame,
       p: Params, dir: Path, minMatchFrac: Double,
       maxBucketSize: Int): DataFrame = {
-    // empty corpus: no candidates — schema derived from the probe's id type
-    // (callers key by url strings or numeric ids alike)
-    if (!hasData(dir))
-      return probes.select(col("id").as("new_id"), col("id").as("old_id"),
-        lit(null).cast("double").as("match_frac")).limit(0)
+    if (!hasData(dir)) return emptyResult(probes)
     // probe batches are increments — small relative to the corpus; their
     // distinct shard list prunes the index read (driver list ≤ shards)
     val pbs = probes.select(col("pb")).distinct().collect().map(_.getInt(0)).toSeq
@@ -324,6 +362,33 @@ object LshIndex {
     } finally s.close()
   }
 
+  /** `(tag, visible parquet bytes)` per span — the fold policy's input
+    * ([[graft.ops.Curate.maybeCompactSpans]] folds smallest-first, the
+    * size-tiered discipline that keeps write amplification logarithmic).
+    * Driver-side walk: O(files), and spans hold one file per touched
+    * shard. */
+  def spanSizes(dir: Path): Seq[(String, Long)] = spanTags(dir).map { t =>
+    val d = if (t == AdhocTag) adhocDir(dir) else spanDir(dir, t)
+    def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
+    def go(x: Path): Long = {
+      val s = Files.list(x)
+      try {
+        val it = s.iterator()
+        var bytes = 0L
+        while (it.hasNext) {
+          val p = it.next()
+          val n = p.getFileName.toString
+          if (!hidden(n))
+            bytes += (if (Files.isDirectory(p)) go(p)
+                      else if (n.endsWith(".parquet")) Files.size(p)
+                      else 0L)
+        }
+        bytes
+      } finally s.close()
+    }
+    (t, if (Files.isDirectory(d)) go(d) else 0L)
+  }
+
   /** COMPACT closed spans: fold the rows of `tags`' span directories into
     * ONE fresh span (`span=<outTag>`) and delete the inputs — the LSM fold
     * for the index's append-only span log. Every append adds a directory,
@@ -355,13 +420,11 @@ object LshIndex {
       require(Files.isDirectory(d), s"span '$t' not found at $d")
       d
     }
-    // an empty-batch append leaves a span dir with no parquet leaf — it
-    // contributes nothing and would break schema inference as a read root
-    val (ins, empty) = all.partition { d =>
-      val w = Files.walk(d)
-      try w.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
-      finally w.close()
-    }
+    // a span dir with no VISIBLE parquet leaf — an empty-batch append, or a
+    // crashed fold's output holding only `_temporary` staging — contributes
+    // nothing and would break schema inference as a read root; drop it (the
+    // crashed-fold case is the self-heal the contract promises)
+    val (ins, empty) = all.partition(hasVisibleParquet)
     empty.foreach(graft.lake.SinkIO.rmDir)
     if (ins.isEmpty) return 0L
     val obs = org.apache.spark.sql.Observation()
@@ -461,7 +524,7 @@ object LshIndex {
       val out = nearDupsOfProbes(spark, rows, p, dir, minMatchFrac, maxBucketSize)
         .localCheckpoint(true)
       mark("probe")
-      val n = appendRows(rows, dir, span)
+      val n = appendRows(rows, p, dir, span)
       mark("append")
       (out, n)
     } finally rows.unpersist(): Unit

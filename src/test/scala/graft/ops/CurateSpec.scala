@@ -250,13 +250,21 @@ class CurateSpec extends SparkSpec {
     assert(logicalRows(idx) == logicalRows(ctlIdx),
       "folded index must hold exactly the control's logical rows")
     val probe = LakeTable.load(tblRoot).read(spark)
-      .filter(col("text").isNotNull).limit(40)
+      .filter(col("text").isNotNull)
+      .orderBy(col("url")).limit(40) // deterministic across separate actions
       .select(col("url"), col("text"))
     def probeHits(d: java.nio.file.Path) =
       LshIndex.nearDupsOf(spark, probe, "text", "url", d, minMatchFrac = 0.0)
         .collect().map(_.toString).sorted.toSeq
     assert(probeHits(idx) == probeHits(ctlIdx),
       "probing the folded index must behave exactly like the control")
+  }
+
+  test("startCuratedStream rejects maxSpans=1 at startup, not inside the batch loop") {
+    intercept[IllegalArgumentException] {
+      Curate.startCuratedStream(spark, tmpDir("ms_bl").toString, tmpDir("ms_tbl"),
+        tmpDir("ms_ck").toString, tmpDir("ms_idx"), maxSpans = 1)
+    }
   }
 
   test("curated stream under aggressive expiry: pinned cursor keeps every span readable") {

@@ -225,6 +225,39 @@ class LshIndexSpec extends SparkSpec {
     assert(LshIndex.spanTags(idx) == Seq("cmp-4-0", "cmp-5-0"))
   }
 
+  test("crashed-fold leftovers self-heal: staged-only dirs are invisible and fold away") {
+    import java.nio.file.Files
+    // a fold that crashes mid-write leaves its output span holding ONLY
+    // committer staging (_temporary/**.parquet) — Spark reads filter those
+    // out, so the emptiness checks must match Spark's visibility rule, not
+    // Files.walk: misclassifying the dir as non-empty wedges every retry
+    def forgeStaged(idx: java.nio.file.Path, tag: String): Unit = {
+      val d = idx.resolve(s"bands/span=$tag/_temporary/0")
+      Files.createDirectories(d)
+      Files.write(d.resolve("part-0.parquet"), Array[Byte](1, 2, 3)): Unit
+    }
+    val probe = docs.filter(col("doc_id") < 25)
+    // fresh index whose ONLY span is staged-only: probes must take the
+    // empty-corpus path, not fail schema inference
+    val idx0 = tmpDir("lshstage0")
+    LshIndex.create(idx0, P)
+    forgeStaged(idx0, "cmp-1-0")
+    assert(LshIndex.nearDupsOf(spark, probe, "text", "doc_id", idx0).count() == 0)
+    // populated index + staged-only leftover: probes ignore it, and a fold
+    // with it among the inputs removes it and proceeds
+    val idx = tmpDir("lshstage")
+    LshIndex.create(idx, P)
+    LshIndex.append(docs.filter(col("doc_id") < 200), "text", "doc_id", idx,
+      span = Some("0-1")): Unit
+    forgeStaged(idx, "cmp-1-0")
+    assert(LshIndex.nearDupsOf(spark, probe, "text", "doc_id", idx,
+      minMatchFrac = 0.0).count() > 0)
+    val n = LshIndex.compactSpans(spark, idx, Seq("0-1", "cmp-1-0"), "cmp-1-1")
+    assert(n > 0)
+    assert(LshIndex.spanTags(idx) == Seq("cmp-1-1"),
+      s"staged-only dir must fold away (got ${LshIndex.spanTags(idx)})")
+  }
+
   test("legacy-layout index: writes and probes fail fast; rebuild migrates") {
     import spark.implicits._
     // forge a pre-versioning index: params.json without `layout` (old trees

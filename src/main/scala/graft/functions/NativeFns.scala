@@ -202,21 +202,25 @@ object NativeKernels {
 
   private def md5Hex(md: java.security.MessageDigest, s: String): String = {
     md.reset()
-    val dg = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val out = new Array[Char](32)
-    var i = 0
-    while (i < 16) {
-      out(2 * i) = hexDigits((dg(i) >> 4) & 0xf)
-      out(2 * i + 1) = hexDigits(dg(i) & 0xf)
-      i += 1
-    }
-    new String(out)
+    hexOf(md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
   }
+
+  // "0|" … "k-1|" prefixes, pre-encoded: the hot loop below digests
+  // prefixBytes(s) ++ shingleBytes — byte-identical to md5("s|" + shingle)
+  // without building and UTF-8-encoding k strings per shingle
+  private val minhashPrefixes: Array[Array[Byte]] =
+    Array.tabulate(64)(s => (s.toString + "|")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** k MinHashes in one pass; see [[NativeFns.minhashSig]]. Identical to
     * `min(md5("i|" ++ shingle))` over the shingle set: hex strings compare
-    * lexicographically == md5 bytes compare unsigned. */
+    * lexicographically == md5 bytes compare unsigned. The shingle is
+    * UTF-8-encoded ONCE and fed to the digest after the pre-encoded `"s|"`
+    * prefix — the same bytes md5("s|" + shingle) hashes, at k× fewer string
+    * builds and encodings (measured as part of the curated stream's
+    * per-batch signature cost). */
   def minhashUTF8(text: UTF8String, n: Int, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    require(k <= minhashPrefixes.length, s"k must be <= ${minhashPrefixes.length}")
     val words = text.toString.trim.split("[ \t\n\r]+").filter(_.nonEmpty)
     if (words.length < n) return null
     val md = md5Digest.get()
@@ -231,10 +235,14 @@ object NativeKernels {
         sb.append(words(i + j))
         j += 1
       }
-      val shingle = sb.toString
+      val shingleBytes =
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       var s = 0
       while (s < k) {
-        val hex = md5Hex(md, s.toString + "|" + shingle)
+        md.reset()
+        md.update(minhashPrefixes(s))
+        md.update(shingleBytes)
+        val hex = hexOf(md.digest())
         if (mins(s) == null || hex.compareTo(mins(s)) < 0) mins(s) = hex
         s += 1
       }
@@ -242,6 +250,17 @@ object NativeKernels {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       mins.map(m => UTF8String.fromString(m): Any))
+  }
+
+  private def hexOf(dg: Array[Byte]): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((dg(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(dg(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   /** Low-64 truncation of each hex-md5 element; see [[NativeFns.sigLow64]]. */

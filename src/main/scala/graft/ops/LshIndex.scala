@@ -323,8 +323,11 @@ object LshIndex {
     joined
       .select(col("nw.id").as("new_id"), col("o.id").as("old_id"),
         round(matches.cast("double") / lit(p.k.toDouble), 4).as("match_frac"))
-      .distinct() // a pair matching in several bands is one candidate
+      // filter BEFORE the distinct: match_frac is deterministic per pair, so
+      // the result is identical, and sub-threshold candidates (the bulk of
+      // band collisions) never enter the dedup shuffle
       .filter(col("match_frac") >= minMatchFrac)
+      .distinct() // a pair matching in several bands is one candidate
   }
 
   /** Cap by DISTINCT ids per (band, bucket): replay artifacts (ad-hoc
@@ -521,6 +524,10 @@ object LshIndex {
     val rows = probeRows(batch, textCol, idCol, p)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      if (timing) { // attribution only: materialize the kernel separately
+        val n = rows.count()
+        mark(s"sig(rows=$n,parts=${rows.rdd.getNumPartitions})")
+      }
       val out = nearDupsOfProbes(spark, rows, p, dir, minMatchFrac, maxBucketSize)
         .localCheckpoint(true)
       mark("probe")

@@ -244,6 +244,56 @@ final class LakeTable(val root: Path) {
       }
     }
 
+  /** ROLL BACK to a retained snapshot — the incident-recovery lever (a
+    * poisoned SQL UPDATE, a bad upstream batch): commits a NEW snapshot
+    * whose data files, schema version, bucket layout, AND exactly-once
+    * batch markers are exactly the target's. A pure metadata commit: no
+    * data file is touched, history is preserved (the rolled-back head and
+    * every intermediate snapshot stay readable via time travel until
+    * expiry), and the normal CAS serializes it against concurrent writers.
+    *
+    * MARKER SEMANTICS (the part that composes with streaming): state and
+    * exactly-once bookkeeping move TOGETHER — batches committed after the
+    * target are no longer marked applied. A running stream's checkpoint is
+    * NOT rewound by this call: it continues from its own offsets, so
+    * rolled-back events stay rolled back and only NEW binlog data lands.
+    * To RE-INGEST the rolled-back span instead, also rewind/delete the
+    * stream checkpoint — the replay then re-applies exactly the
+    * post-target events (pre-target batches no-op on their carried
+    * markers, the usual replay discipline). Binlog retention
+    * ([[graft.binlog.Retention.appliedHorizon]]) folds the CURRENT
+    * snapshot's lineage, so after a rollback the horizon recedes with the
+    * markers and the to-be-replayed span is protected from truncation.
+    *
+    * Derived state: an incremental consumer whose cursor is PAST the
+    * target (a curated stream) sees the rollback as a change-feed entry
+    * re-adding the target's files — it may re-curate rolled-back-to
+    * content under a new span (inert duplicates) and keeps index entries
+    * for rolled-back docs; run the index GC ([[graft.ops.Curate
+    * .rebuildIndex]]) after an incident rollback to restore index ≡ live
+    * corpus exactly.
+    *
+    * Fails loudly when the target snapshot is expired (rollback cannot
+    * resurrect GC'd files) or unknown. */
+  def rollbackTo(snapshotId: Long): Snapshot =
+    LakeTable.commitLock(root).synchronized {
+      val cur = currentSnapshot
+      require(snapshotId != cur.snapshotId,
+        s"table is already at snapshot $snapshotId")
+      val target =
+        try snapshot(snapshotId)
+        catch {
+          case e: java.nio.file.NoSuchFileException =>
+            throw new IllegalArgumentException(
+              s"snapshot $snapshotId is not retained (expired or never " +
+                s"existed) — have ${snapshotIds.mkString(", ")}", e)
+        }
+      val next = target.copy(snapshotId = cur.snapshotId + 1,
+        parentId = cur.snapshotId)
+      commit(next)
+      next
+    }
+
   /** Evolve the table's logical schema (add column / widen type): a pure
     * metadata commit — no data files touched. Old files keep their physical
     * schema and are aligned at read time; subsequent MERGEs write the new

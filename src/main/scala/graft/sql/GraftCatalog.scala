@@ -30,7 +30,8 @@ import graft.lake.{LakeTable, TableSchemas}
   * (`/root/reference/common/src/main/java/com/spredfast/kafka/connect/s3/Configure.java:125-165`):
   * a user drives the engine by names and properties, not library calls.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: Path = _
 
@@ -45,6 +46,15 @@ class GraftCatalog extends TableCatalog {
 
   private def rootOf(ident: Identifier): Path =
     warehouse.resolve((ident.namespace() :+ ident.name()).mkString("/"))
+
+  /** `CALL graft.system.<proc>(…)` — see [[GraftProcedures]]. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(ident, warehouse)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(GraftProcedures.Namespace)) GraftProcedures.idents
+    else Array.empty
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = namespace.foldLeft(warehouse)(_.resolve(_))

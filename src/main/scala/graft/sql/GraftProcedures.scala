@@ -1,0 +1,116 @@
+package graft.sql
+
+import java.nio.file.Path
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.lake.{LakeTable, Maintain}
+
+/** SQL-callable maintenance procedures (`CALL graft.system.<proc>(…)`) —
+  * the operational tier exposed the way Iceberg exposes its stored
+  * procedures, so an operator never needs JVM access for day-2 actions:
+  *
+  * {{{
+  *   CALL graft.system.rollback_to_snapshot(`table` => 't', snapshot_id => 7)
+  *   CALL graft.system.expire_snapshots(`table` => 't', keep_last => 10)
+  *   CALL graft.system.compact(`table` => 't')
+  * }}}
+  *
+  * Each returns a one-row result describing what happened. Procedures are
+  * driver-side orchestration over the same public API the engine uses
+  * ([[graft.lake.LakeTable.rollbackTo]], [[graft.lake.Maintain]]), so the
+  * SQL surface cannot drift from the library behavior.
+  *
+  * Reference analog: none (the reference delegates operations to Kafka
+  * Connect tooling) — this is engine-tier operability. */
+object GraftProcedures {
+
+  val Namespace: Array[String] = Array("system")
+
+  def idents: Array[Identifier] =
+    Array("rollback_to_snapshot", "expire_snapshots", "compact")
+      .map(Identifier.of(Namespace, _))
+
+  def load(ident: Identifier, warehouse: Path): UnboundProcedure = {
+    require(ident.namespace().sameElements(Namespace),
+      s"unknown procedure namespace ${ident.namespace().mkString(".")}")
+    def root(tableArg: String): Path = {
+      val r = tableArg.split('.').foldLeft(warehouse)(_ resolve _)
+      require(LakeTable.exists(r), s"no graft table '$tableArg' under $warehouse")
+      r
+    }
+    ident.name() match {
+      case "rollback_to_snapshot" => proc("rollback_to_snapshot",
+        "Roll the table back to a retained snapshot (new commit, history kept)",
+        Seq(in("table", StringType), in("snapshot_id", LongType)),
+        Seq("previous_snapshot_id" -> LongType, "current_snapshot_id" -> LongType),
+        args => {
+          val t = LakeTable.load(root(args.getUTF8String(0).toString))
+          val prev = t.currentSnapshotId
+          val next = t.rollbackTo(args.getLong(1))
+          Array[Any](prev, next.snapshotId)
+        })
+      case "expire_snapshots" => proc("expire_snapshots",
+        "Expire snapshots beyond keep_last and delete their orphaned files",
+        Seq(in("table", StringType), in("keep_last", LongType)),
+        Seq("expired_snapshots" -> LongType, "deleted_files" -> LongType),
+        args => {
+          val t = LakeTable.load(root(args.getUTF8String(0).toString))
+          val (snaps, files) = Maintain.expireSnapshots(t, args.getLong(1).toInt)
+          Array[Any](snaps.toLong, files.toLong)
+        })
+      case "compact" => proc("compact",
+        "Fold merge-on-read deltas and rewrite buckets (maintenance commit)",
+        Seq(in("table", StringType)),
+        Seq("snapshot_id" -> LongType, "files" -> LongType),
+        args => {
+          val t = LakeTable.load(root(args.getUTF8String(0).toString))
+          val snap = Maintain.compact(SparkSession.active, t)
+          Array[Any](snap.snapshotId, snap.files.size.toLong)
+        })
+      case other =>
+        throw new IllegalArgumentException(s"unknown procedure 'system.$other'")
+    }
+  }
+
+  private def in(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+
+  /** One side-effecting, one-result-row procedure. `body` receives the
+    * argument row ALIGNED to `params` order (Spark binds named/positional
+    * CALL arguments before invoking) and returns the result row's values. */
+  private def proc(procName: String, doc: String,
+      params: Seq[ProcedureParameter], resultCols: Seq[(String, DataType)],
+      body: InternalRow => Array[Any]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = doc
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = procName
+        override def description(): String = doc
+        override def parameters(): Array[ProcedureParameter] = params.toArray
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val out = body(input)
+          val schema = resultCols.foldLeft(new StructType()) {
+            case (s, (n, dt)) => s.add(n, dt, nullable = false)
+          }
+          val row = InternalRow.fromSeq(out.toSeq.map {
+            case s: String => UTF8String.fromString(s)
+            case v => v
+          })
+          java.util.List.of[Scan](new LocalScan {
+            override def rows(): Array[InternalRow] = Array(row)
+            override def readSchema(): StructType = schema
+            override def description(): String = s"graft.system.$procName result"
+          }).iterator()
+        }
+      }
+    }
+}

@@ -56,6 +56,44 @@ class LakeTableSpec extends SparkSpec {
     assert(umin <= "https://a.org/2" && umax >= "https://c.org/3")
   }
 
+  test("rollbackTo: state and markers as-of target, history kept, replay composes") {
+    val root = tmpDir("lakerb")
+    val t = LakeTable.create(root, nBuckets = 4)
+    def f(n: String) = DataFile(s"data/$n.parquet", 0, 10, "a", "z",
+      TableSchemas.current, 1L)
+    def m(b: Long) = BatchMarker(b, Seq(PartLineage(0, (b - 1) * 10, 10, 10)), 10, 0)
+    val s1 = t.commitAppend(Seq(f("b1")), Some(m(1)))
+    val s2 = t.commitAppend(Seq(f("b2")), Some(m(2)))
+    assert(t.currentSnapshot.committedBatchIds == Set(1L, 2L))
+
+    // the rollback is a NEW commit carrying exactly the target's state —
+    // files, markers, row count — with history preserved behind it
+    val rb = t.rollbackTo(s1.snapshotId)
+    assert(rb.snapshotId == s2.snapshotId + 1 && rb.parentId == s2.snapshotId)
+    assert(rb.files == s1.files && rb.batches == s1.batches &&
+      rb.totalRows == s1.totalRows)
+    assert(t.currentSnapshotId == rb.snapshotId)
+    assert(t.snapshot(s2.snapshotId).files.map(_.path).contains("data/b2.parquet"),
+      "rolled-back head must stay time-travel readable")
+
+    // exactly-once composes: a PRE-target batch replays as a no-op (its
+    // marker rode along), the ROLLED-BACK batch re-applies (its marker is
+    // gone — the re-ingest path after a checkpoint rewind)
+    val r1 = t.commitAppend(Seq(f("b1-replay")), Some(m(1)))
+    assert(r1.snapshotId == rb.snapshotId &&
+      !r1.files.map(_.path).contains("data/b1-replay.parquet"))
+    val r2 = t.commitAppend(Seq(f("b2-replay")), Some(m(2)))
+    assert(r2.files.map(_.path).contains("data/b2-replay.parquet") &&
+      r2.committedBatchIds == Set(1L, 2L))
+
+    // guards: current, unknown, and expired targets fail loudly
+    intercept[IllegalArgumentException](t.rollbackTo(t.currentSnapshotId))
+    intercept[IllegalArgumentException](t.rollbackTo(999L))
+    Maintain.expireSnapshots(t, keepLast = 1)
+    val e = intercept[IllegalArgumentException](t.rollbackTo(s2.snapshotId))
+    assert(e.getMessage.contains("not retained"))
+  }
+
   test("snapshot JSON round-trip including markers and lineage") {
     val s = Snapshot(7, 6, 2, 16,
       Vector(DataFile("data/s7/bucket=3/x.parquet", 3, 100, "a", "z", 2, 12345)),

@@ -12,6 +12,59 @@ class GraftSqlSpec extends SparkSpec {
 
   private def enable(): Unit = GraftSql.enable(spark, wh)
 
+  test("CALL graft.system procedures: rollback_to_snapshot, compact, expire_snapshots") {
+    enable()
+    spark.sql("CREATE TABLE graft.prc (url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, content_len BIGINT, lang STRING) USING graft TBLPROPERTIES('buckets'='4')")
+    spark.range(50).createOrReplaceTempView("prc_seed")
+    spark.sql(
+      """MERGE INTO graft.prc t USING (
+        |  SELECT concat('u', id) AS url, timestamp_micros(1700000000000000 + id) AS warc_ts,
+        |    cast(concat('<p>', id, '</p>') AS BINARY) AS html,
+        |    CAST(NULL AS STRING) AS text, CAST(NULL AS BIGINT) AS content_len,
+        |    'en' AS lang, CAST(id AS LONG) AS offset, CAST(0 AS INT) AS partition,
+        |    'upsert' AS op FROM prc_seed) s
+        |ON t.url = s.url
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val lake = graft.lake.LakeTable.load(java.nio.file.Paths.get(wh).resolve("prc"))
+    val good = lake.currentSnapshotId
+    def state() = spark.sql("SELECT url, lang FROM graft.prc ORDER BY url")
+      .collect().map(_.toString).toSeq
+    val cleanState = state()
+
+    // the incident: a whole-table UPDATE poisons lang
+    spark.sql("UPDATE graft.prc SET lang = 'xx'")
+    val poisoned = lake.currentSnapshotId
+    assert(state() != cleanState && poisoned > good)
+
+    // CALL rollback: one result row (previous, current); state restored;
+    // the poisoned head stays time-travel readable
+    val r = spark.sql(s"CALL graft.system.rollback_to_snapshot('prc', $good)").collect()
+    assert(r.length == 1 && r.head.getLong(0) == poisoned &&
+      r.head.getLong(1) == poisoned + 1, s"got ${r.toSeq}")
+    assert(state() == cleanState, "rollback must restore the pre-incident state")
+    assert(spark.sql(s"SELECT lang FROM graft.prc VERSION AS OF $poisoned")
+      .collect().forall(_.getString(0) == "xx"))
+
+    // CALL compact: maintenance commit, state unchanged
+    val c = spark.sql("CALL graft.system.compact('prc')").collect()
+    assert(c.length == 1 && c.head.getLong(0) == lake.currentSnapshotId)
+    assert(state() == cleanState)
+
+    // CALL expire_snapshots: history trimmed; rollback to an expired
+    // snapshot now fails loudly
+    val e = spark.sql("CALL graft.system.expire_snapshots('prc', 1)").collect()
+    assert(e.length == 1 && e.head.getLong(0) >= 1)
+    val err = intercept[Exception](
+      spark.sql(s"CALL graft.system.rollback_to_snapshot('prc', $good)").collect())
+    assert(err.getMessage.contains("not retained"))
+    // unknown table and unknown procedure fail loudly
+    intercept[Exception](
+      spark.sql("CALL graft.system.rollback_to_snapshot('nope', 1)").collect())
+    intercept[Exception](
+      spark.sql("CALL graft.system.frobnicate('prc')").collect())
+  }
+
   test("CREATE TABLE / SELECT empty / DROP round-trip") {
     enable()
     spark.sql("CREATE TABLE graft.t0 (url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, content_len BIGINT, lang STRING) USING graft TBLPROPERTIES('buckets'='4')")

@@ -20,6 +20,8 @@ import graft.lake.{LakeTable, Maintain}
   *   CALL graft.system.rollback_to_snapshot(`table` => 't', snapshot_id => 7)
   *   CALL graft.system.expire_snapshots(`table` => 't', keep_last => 10)
   *   CALL graft.system.compact(`table` => 't')
+  *   CALL graft.system.rebucket(`table` => 't', n_buckets => 128)
+  *   CALL graft.system.build_blooms(`table` => 't')
   * }}}
   *
   * Each returns a one-row result describing what happened. Procedures are
@@ -34,7 +36,8 @@ object GraftProcedures {
   val Namespace: Array[String] = Array("system")
 
   def idents: Array[Identifier] =
-    Array("rollback_to_snapshot", "expire_snapshots", "compact")
+    Array("rollback_to_snapshot", "expire_snapshots", "compact",
+      "rebucket", "build_blooms")
       .map(Identifier.of(Namespace, _))
 
   def load(ident: Identifier, warehouse: Path): UnboundProcedure = {
@@ -73,6 +76,24 @@ object GraftProcedures {
           val t = LakeTable.load(root(args.getUTF8String(0).toString))
           val snap = Maintain.compact(SparkSession.active, t)
           Array[Any](snap.snapshotId, snap.files.size.toLong)
+        })
+      case "rebucket" => proc("rebucket",
+        "Rewrite the table under a new url hash-bucket count (scale lever)",
+        Seq(in("table", StringType), in("n_buckets", LongType)),
+        Seq("snapshot_id" -> LongType, "n_buckets" -> LongType),
+        args => {
+          val t = LakeTable.load(root(args.getUTF8String(0).toString))
+          val snap = Maintain.rebucket(SparkSession.active, t,
+            args.getLong(1).toInt)
+          Array[Any](snap.snapshotId, snap.nBuckets.toLong)
+        })
+      case "build_blooms" => proc("build_blooms",
+        "Build missing url bloom sidecars for point-lookup pruning",
+        Seq(in("table", StringType)),
+        Seq("built" -> LongType),
+        args => {
+          val t = LakeTable.load(root(args.getUTF8String(0).toString))
+          Array[Any](Maintain.buildBlooms(SparkSession.active, t).toLong)
         })
       case other =>
         throw new IllegalArgumentException(s"unknown procedure 'system.$other'")

@@ -51,6 +51,14 @@ class GraftSqlSpec extends SparkSpec {
     assert(c.length == 1 && c.head.getLong(0) == lake.currentSnapshotId)
     assert(state() == cleanState)
 
+    // CALL rebucket: layout swap under a new bucket count, state unchanged
+    val rb = spark.sql("CALL graft.system.rebucket('prc', 8)").collect()
+    assert(rb.length == 1 && rb.head.getLong(1) == 8L)
+    assert(state() == cleanState)
+    // CALL build_blooms: point-lookup sidecars for the rewritten files
+    val bl = spark.sql("CALL graft.system.build_blooms('prc')").collect()
+    assert(bl.length == 1 && bl.head.getLong(0) >= 1L)
+
     // CALL expire_snapshots: history trimmed; rollback to an expired
     // snapshot now fails loudly
     val e = spark.sql("CALL graft.system.expire_snapshots('prc', 1)").collect()

@@ -115,9 +115,29 @@ object Bench {
     val (cev, csec, ceps) = steadyAttempts.collect { case (SCur, r) => r }.minBy(_._2)
     results("cdc_curated_16b") = csec
 
+    // chained-mirror hop (round 5): a destination table attaches to the 1M
+    // source table's change feed (full-state batch 0) and re-applies it
+    // through the exactly-once merge — the per-round signal for the
+    // graft-feed source + Mirror path. Untimed warm attempt, then best-of-2.
+    val mirrorSrc = {
+      val work = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(BenchUtil.scratch), "mirror-src")
+      graft.cdc.Ingest.replayBatch(spark, binlog.toString,
+        work.resolve("table"), eventsPerBatch = math.max(250000L, cdcEvents / 8),
+        nBuckets = 64, mode = graft.cdc.Mor)
+      work.resolve("table")
+    }
+    val feedRows = graft.lake.LakeTable.load(mirrorSrc).readRaw(spark).count()
+    mirrorReplay(spark, mirrorSrc, feedRows): Unit // warm — discarded
+    val (mrRows, mrSec, mrEps) =
+      Seq(mirrorReplay(spark, mirrorSrc, feedRows),
+        mirrorReplay(spark, mirrorSrc, feedRows)).minBy(_._2)
+    results("cdc_mirror_1m") = mrSec
+    graft.lake.SinkIO.rmDir(mirrorSrc.getParent)
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"cdc_events":$ev,"cdc_eps":${f"$eps%.0f"},"steady_events":$sev,"steady_eps":${f"$seps%.0f"},"steady_mor_events":$mev,"steady_mor_eps":${f"$meps%.0f"},"curated_events":$cev,"curated_eps":${f"$ceps%.0f"}}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"cdc_events":$ev,"cdc_eps":${f"$eps%.0f"},"steady_events":$sev,"steady_eps":${f"$seps%.0f"},"steady_mor_events":$mev,"steady_mor_eps":${f"$meps%.0f"},"curated_events":$cev,"curated_eps":${f"$ceps%.0f"},"mirror_rows":$mrRows,"mirror_rps":${f"$mrEps%.0f"}}""")
     spark.stop()
   }
 
@@ -158,5 +178,21 @@ object Bench {
     val sec = (System.nanoTime() - t0) / 1e9
     graft.lake.SinkIO.rmDir(work)
     (events, sec, events / sec)
+  }
+
+  /** One mirror attach: a fresh destination tails `srcRoot`'s change feed
+    * (full-state batch 0 — all `feedRows` physical winner rows) and applies
+    * it through the exactly-once merge. Throughput = feed rows consumed/s. */
+  private def mirrorReplay(spark: SparkSession, srcRoot: java.nio.file.Path,
+      feedRows: Long): (Long, Double, Double) = {
+    val work = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(BenchUtil.scratch), "mirror")
+    val t0 = System.nanoTime()
+    val q = graft.cdc.Mirror.startMirror(spark, srcRoot, work.resolve("table"),
+      work.resolve("ckpt").toString, nBuckets = 64, mode = graft.cdc.Mor)
+    q.awaitTermination()
+    val sec = (System.nanoTime() - t0) / 1e9
+    graft.lake.SinkIO.rmDir(work)
+    (feedRows, sec, feedRows / sec)
   }
 }

@@ -45,6 +45,28 @@ object SparkEntry {
         .otherwise(to_binary(col("props"), lit("utf-8"))).as("html"),
       lit("en").as("lang"))
 
+  /** A 3-batch MOR ingest of the events changelog into a fresh table —
+    * the change-feed queries' shared source (each snapshot's delta files
+    * are exactly that batch's post-dedup winners). */
+  private def morEventsTable(s: SparkSession, dir: String): java.nio.file.Path = {
+    // one derivation scan for all three batch slices (the slices re-read it)
+    val changelog = eventsChangelog(s, dir).persist()
+    val aRoot = Files.createTempDirectory("graft-q-feed-a")
+    val a = graft.lake.LakeTable.create(aRoot, nBuckets = 8)
+    try {
+      val bounds = t(s, dir, "events").agg(min("event_id"), max("event_id")).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val step = math.max(1L, (hi - lo + 1) / 3 + 1)
+      var (b, from) = (0L, lo)
+      while (from <= hi) {
+        graft.cdc.Ingest.applyBatch(s, a, mode = graft.cdc.Mor)(
+          changelog.filter(col("offset") >= from && col("offset") < from + step), b)
+        b += 1; from += step
+      }
+    } finally changelog.unpersist()
+    aRoot
+  }
+
   private def cdcMergeFinalState(s: SparkSession, dir: String,
       mode: graft.cdc.MergeMode = graft.cdc.Cow,
       opts: graft.cdc.MergeOptions = graft.cdc.MergeOptions()): DataFrame = {
@@ -116,6 +138,45 @@ object SparkEntry {
         unix_micros(col("warc_ts")).as("warc_us"),
         col("text"),
         col("content_len"))
+    }),
+
+    // CHAINED CDC PIPELINES: table A ingests the changelog, then table B
+    // tails A's change feed via the `graft-feed` streaming source (offsets
+    // = A's snapshot ids; batch 0 = A's full state, increments follow) and
+    // applies it through the same exactly-once merge. The oracle equals
+    // cdc_merge_final_state's — the mirror hop must be lossless, tombstones
+    // and ties included, with text re-derived bit-for-bit at the second hop
+    "cdc_changefeed_mirror" -> ((s, dir) => {
+      val aRoot = morEventsTable(s, dir)
+      val bRoot = Files.createTempDirectory("graft-q-feed-b")
+      graft.cdc.Mirror.startMirror(s, aRoot, bRoot, Files.createTempDirectory("graft-q-feed-ck").toString)
+        .awaitTermination()
+      graft.lake.LakeTable.load(bRoot).read(s).select(
+        col("url"),
+        unix_micros(col("warc_ts")).as("warc_us"),
+        col("text"),
+        col("content_len"))
+    }),
+
+    // BATCH CHANGE READ (the Delta `table_changes` shape): one DataFrame of
+    // every retained snapshot's winner rows WITH their envelopes +
+    // `_feed_snapshot`, no checkpoint. LWW-resolving the emitted changes
+    // client-side (the engine's own Resolve.lww total order) reproduces the
+    // table's final state exactly — the oracle equals
+    // cdc_merge_final_state's, proving the batch feed loses nothing
+    // (tombstones, ties, multi-batch rewrites included)
+    "cdc_table_changes" -> ((s, dir) => {
+      val aRoot = morEventsTable(s, dir)
+      val changes = s.read.format("graft-feed")
+        .option("path", aRoot.toString).load() // fromSnapshot defaults to genesis
+      graft.lake.Resolve.lww(changes,
+          changes.columns.toSeq.filterNot(_.startsWith("_")))
+        .filter(!col("_deleted"))
+        .select(
+          col("url"),
+          unix_micros(col("warc_ts")).as("warc_us"),
+          col("text"),
+          col("content_len"))
     }),
 
     // the SQL surface end-to-end: CREATE TABLE … USING graft, MERGE INTO
@@ -692,6 +753,28 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
 
     "cdc_merge_final_state" ->
+      """WITH ranked AS (
+        |  SELECT user_id, ts, event_id, event_type, props,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT 'u' || CAST(user_id AS VARCHAR) AS url, epoch_us(ts) AS warc_us,
+        |       props AS text, CAST(strlen(props) AS BIGINT) AS content_len
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    // the feed-mirrored table converges to the source's state exactly —
+    // the oracle IS cdc_merge_final_state's
+    "cdc_changefeed_mirror" ->
+      """WITH ranked AS (
+        |  SELECT user_id, ts, event_id, event_type, props,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT 'u' || CAST(user_id AS VARCHAR) AS url, epoch_us(ts) AS warc_us,
+        |       props AS text, CAST(strlen(props) AS BIGINT) AS content_len
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    // client-side LWW resolution of the batch change feed reproduces the
+    // table's final state exactly — the oracle IS cdc_merge_final_state's
+    "cdc_table_changes" ->
       """WITH ranked AS (
         |  SELECT user_id, ts, event_id, event_type, props,
         |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn

@@ -266,12 +266,16 @@ final class LakeTable(val root: Path) {
     * markers and the to-be-replayed span is protected from truncation.
     *
     * Derived state: an incremental consumer whose cursor is PAST the
-    * target (a curated stream) sees the rollback as a change-feed entry
-    * re-adding the target's files — it may re-curate rolled-back-to
-    * content under a new span (inert duplicates) and keeps index entries
-    * for rolled-back docs; run the index GC ([[graft.ops.Curate
-    * .rebuildIndex]]) after an incident rollback to restore index ≡ live
-    * corpus exactly.
+    * target (a curated stream, a `graft-feed` mirror) FAILS LOUDLY at its
+    * next increment — [[incrementFilesBySnapshot]] refuses to walk across
+    * a rollback snapshot, because state the consumer derived from the
+    * rolled-back span is not undone by re-emitting the target's files.
+    * Re-seed it: for the curation loop run [[graft.ops.Curate
+    * .rebuildIndex]] (rebuilds index ≡ live corpus from scratch and
+    * installs the cursor PAST the rollback, atomically); for a mirror,
+    * restart with a fresh checkpoint (`fromSnapshot=full` against a fresh
+    * destination, or the rollback snapshot id if the destination was
+    * itself rolled back in step).
     *
     * Fails loudly when the target snapshot is expired (rollback cannot
     * resurrect GC'd files) or unknown. */
@@ -356,10 +360,28 @@ final class LakeTable(val root: Path) {
   def readIncrement(spark: SparkSession, fromSnapshotId: Long,
       toSnapshotId: Option[Long] = None, skipMaintenance: Boolean = true): DataFrame = {
     val to = toSnapshotId.getOrElse(currentSnapshotId)
+    val added = incrementFilesBySnapshot(fromSnapshotId, to, skipMaintenance)
+      .flatMap(_._2)
+    readFiles(spark, snapshot(to), added)
+  }
+
+  /** The snapshot-chain walk under [[readIncrement]] and the `graft-feed`
+    * streaming source: files ADDED by each snapshot in `(fromSnapshotId,
+    * to]`, in chain order, as `(snapshotId, files)` pairs. Maintenance
+    * snapshots (no new batch markers — compaction, tier folds, blooms,
+    * expiry) rewrite rows without changing content and are skipped by
+    * default. Fails loudly when the span crosses an EXPIRED gap (the
+    * parent chain is broken) or a ROLLBACK snapshot (batch markers
+    * SHRANK): a rollback rewinds table state, so its ancestor files are
+    * not "changes" — an incremental consumer that crossed it silently
+    * would keep the rolled-back rows forever. Re-seed the consumer from
+    * the rollback snapshot instead (pass it as the new `from`). */
+  def incrementFilesBySnapshot(fromSnapshotId: Long, to: Long,
+      skipMaintenance: Boolean = true): Seq[(Long, Vector[DataFile])] = {
     require(to >= fromSnapshotId, s"$to < $fromSnapshotId")
     val ids = snapshotIds.filter(id => id > fromSnapshotId && id <= to)
     var prev = snapshot(fromSnapshotId)
-    val added = Vector.newBuilder[DataFile]
+    val added = Seq.newBuilder[(Long, Vector[DataFile])]
     ids.foreach { id =>
       val cur = snapshot(id)
       if (cur.parentId != prev.snapshotId) throw new IllegalStateException(
@@ -368,14 +390,20 @@ final class LakeTable(val root: Path) {
           s"snapshot is ${prev.snapshotId} — the intermediate snapshots were " +
           "garbage-collected (pin the from-snapshot and heartbeat the lease " +
           "to keep the span readable)")
+      if (cur.batches.size < prev.batches.size) throw new IllegalStateException(
+        s"incremental read $fromSnapshotId -> $to crosses a ROLLBACK at " +
+          s"snapshot $id (batch markers ${prev.batches.size} -> " +
+          s"${cur.batches.size}): downstream state derived from the " +
+          "rolled-back span must be re-seeded — restart the consumer from " +
+          s"snapshot $id")
       val isMaintenance = cur.batches.size == prev.batches.size
       if (!(skipMaintenance && isMaintenance)) {
         val prevPaths = prev.files.map(_.path).toSet
-        added ++= cur.files.filterNot(f => prevPaths.contains(f.path))
+        added += id -> cur.files.filterNot(f => prevPaths.contains(f.path))
       }
       prev = cur
     }
-    readFiles(spark, snapshot(to), added.result())
+    added.result()
   }
 
   /** Full physical read including tombstones, internal columns, and (under

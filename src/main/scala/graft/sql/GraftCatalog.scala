@@ -73,6 +73,19 @@ class GraftCatalog extends TableCatalog
     // SQL: SELECT * FROM graft.`t$snapshots`). Never listed by SHOW TABLES.
     val name = ident.name()
     val dollar = name.lastIndexOf('$')
+    // `t$changes` resolves to the table's change feed (graft.lake.FeedTable,
+    // the Delta `table_changes` shape): a DISTRIBUTED scan of every retained
+    // snapshot's winner rows with envelopes + `_feed_snapshot` — batch reads
+    // default to the full genesis span; `spark.readStream.table` tails it
+    // (the same DSv2 table serves MICRO_BATCH_READ). Unlike the driver-built
+    // metadata views below, changes are data-sized, so they go through the
+    // feed's parquet reader factory, never the driver.
+    if (dollar > 0 && name.substring(dollar + 1) == "changes") {
+      val base = Identifier.of(ident.namespace(), name.substring(0, dollar))
+      val root = rootOf(base)
+      if (!LakeTable.exists(root)) throw new NoSuchTableException(base)
+      return new graft.lake.FeedTable(root.toString)
+    }
     if (dollar > 0 && GraftMetaTable.Kinds.contains(name.substring(dollar + 1))) {
       val base = Identifier.of(ident.namespace(), name.substring(0, dollar))
       val root = rootOf(base)

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.binlog.{ChangeEventGen, EventCodec, GenProfile}
+import graft.binlog.{BinlogRead, ChangeEventGen, EventCodec, GenProfile}
 import graft.cdc.{Ingest, Mor}
 import graft.lake.LakeTable
 import graft.model.ChangeEvent
@@ -664,5 +664,49 @@ class CurateSpec extends SparkSpec {
       LshIndex.nearDupsOf(spark, live, "text", "url", d)
         .collect().map(_.toString).sorted.toSeq
     assert(probe(idx) == probe(ctlIdx))
+  }
+
+  test("incident rollback: curation fails loudly, rebuildIndex re-seeds, increments resume") {
+    // the rollbackTo derived-state contract: a cursor PAST the rollback
+    // target must fail its next increment (never silently keep rolled-back
+    // content), and rebuildIndex must restore index ≡ live corpus with the
+    // cursor installed past the rollback so the loop resumes
+    val p = GenProfile.uniformSmall().copy(partitions = 2, eventsPerPartition = 1200)
+    val binlog = tmpDir("rbbl")
+    ChangeEventGen.writeSegments(p, binlog, segmentEvents = 1000)
+    val params = LshIndex.Params(n = 3, bands = 4, rowsPerBand = 2, shards = 8)
+    val idx = tmpDir("rbidx")
+    LshIndex.create(idx, params)
+    val table = LakeTable.create(tmpDir("rbtbl"), nBuckets = 4)
+    Ingest.applyBatch(spark, table, mode = Mor)(
+      BinlogRead.range(spark, binlog.toString, 0L, 600L), 0L)
+    Curate.curateToHead(spark, table, idx): Unit
+    val target = table.currentSnapshotId
+    Ingest.applyBatch(spark, table, mode = Mor)(
+      BinlogRead.range(spark, binlog.toString, 600L, 900L), 1L)
+    Curate.curateToHead(spark, table, idx): Unit
+
+    table.rollbackTo(target): Unit
+    val e = intercept[IllegalStateException] {
+      Curate.curateToHead(spark, table, idx): Unit
+    }
+    assert(e.getMessage.contains("ROLLBACK"), s"wrong failure: $e")
+
+    Curate.rebuildIndex(spark, table, idx): Unit
+    assert(Curate.curateToHead(spark, table, idx).isEmpty,
+      "rebuild did not install the cursor at the rolled-back head")
+    // rebuilt ≡ from-scratch control at the same state
+    val ctl = tmpDir("rbctl")
+    LshIndex.create(ctl, params)
+    Curate.rebuildIndex(spark, table, ctl): Unit
+    def rows(d: java.nio.file.Path) =
+      spark.read.parquet(d.resolve("bands").toString)
+        .select(col("id"), col("band"), col("bucket"))
+        .collect().map(_.toString).sorted.toSeq
+    assert(rows(idx) == rows(ctl))
+    // and the loop resumes on post-recovery data
+    Ingest.applyBatch(spark, table, mode = Mor)(
+      BinlogRead.range(spark, binlog.toString, 900L, 1200L), 2L)
+    assert(Curate.curateToHead(spark, table, idx).nonEmpty)
   }
 }

@@ -608,6 +608,49 @@ class GraftSqlSpec extends SparkSpec {
     intercept[Exception](spark.sql("SELECT * FROM graft.`nope$snapshots`").collect())
   }
 
+  test("$changes metadata table: the change feed in SQL (table_changes shape)") {
+    enable()
+    spark.sql("""CREATE TABLE graft.chg1 (url STRING, warc_ts TIMESTAMP,
+                |  html BINARY, text STRING, content_len BIGINT, lang STRING)
+                |USING graft TBLPROPERTIES('buckets'='2')""".stripMargin)
+    def mergeSeed(n: Int, tsBase: Long, offBase: Long): Unit = {
+      spark.range(n).createOrReplaceTempView("cseed")
+      spark.sql(s"""MERGE INTO graft.chg1 t USING (
+                  |  SELECT concat('u', id) AS url, timestamp_micros($tsBase + id) AS warc_ts,
+                  |    cast(concat('<p>v$offBase-', id, '</p>') AS BINARY) AS html,
+                  |    CAST(NULL AS STRING) AS text, CAST(NULL AS BIGINT) AS content_len,
+                  |    'en' AS lang, CAST($offBase + id AS LONG) AS offset,
+                  |    CAST(0 AS INT) AS partition, 'upsert' AS op
+                  |  FROM cseed) s
+                  |ON t.url = s.url
+                  |WHEN MATCHED THEN UPDATE SET *
+                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    mergeSeed(10, 1700000000000000L, 0L)  // u0..u9 v1
+    mergeSeed(4, 1700000001000000L, 100L) // u0..u3 rewritten later
+    spark.sql("DELETE FROM graft.chg1 WHERE url = 'u5'")
+
+    val changes = spark.sql("SELECT * FROM graft.`chg1$changes`")
+    // the feed carries envelopes + the committing snapshot
+    assert(changes.columns.contains("_seq_offset") && changes.columns.contains("_feed_snapshot"))
+    // every retained change: rewrites and the tombstone are all present
+    assert(changes.count() > spark.table("graft.chg1").count())
+    assert(changes.filter(org.apache.spark.sql.functions.col("_deleted")).count() >= 1)
+    assert(changes.select("_feed_snapshot").distinct().count() >= 3)
+    // LWW over the emitted changes reproduces the live table exactly
+    val resolved = graft.lake.Resolve.lww(changes.drop("_feed_snapshot"),
+        changes.columns.toSeq.filterNot(_.startsWith("_")))
+      .filter(!org.apache.spark.sql.functions.col("_deleted"))
+      .selectExpr("url", "unix_micros(warc_ts) AS us", "content_len")
+      .collect().map(_.toString).sorted.toSeq
+    val live = spark.sql(
+        "SELECT url, unix_micros(warc_ts) AS us, content_len FROM graft.chg1")
+      .collect().map(_.toString).sorted.toSeq
+    assert(resolved == live, "LWW over $changes diverged from the live table")
+    // unknown base table still errors
+    intercept[Exception](spark.sql("SELECT * FROM graft.`nope$changes`").collect())
+  }
+
   test("SQL commands between stream batches use a reserved batch-id domain") {
     // A SQL command committed between two runs of an ingest stream must NOT
     // claim the id the stream's next foreachBatch epoch will use: batch ids

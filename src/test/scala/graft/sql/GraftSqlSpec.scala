@@ -649,6 +649,23 @@ class GraftSqlSpec extends SparkSpec {
     assert(resolved == live, "LWW over $changes diverged from the live table")
     // unknown base table still errors
     intercept[Exception](spark.sql("SELECT * FROM graft.`nope$changes`").collect())
+
+    // the same catalog table serves STREAMING: readStream.table tails the
+    // feed (full-state batch 0 under the default attach, increments follow)
+    val seen = new java.util.concurrent.atomic.AtomicLong
+    val q = spark.readStream.table("graft.`chg1$changes`")
+      .writeStream
+      .option("checkpointLocation", tmpDir("chgck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.addAndGet(df.count()): Unit
+      }
+      .start()
+    q.awaitTermination()
+    val raw = graft.lake.LakeTable.load(java.nio.file.Paths.get(wh, "chg1"))
+      .readRaw(spark).count()
+    assert(seen.get() == raw,
+      s"full-state attach batch should emit exactly the table's physical rows ($raw), got ${seen.get()}")
   }
 
   test("SQL commands between stream batches use a reserved batch-id domain") {

@@ -158,6 +158,23 @@ object SparkEntry {
         col("content_len"))
     }),
 
+    // SELECTIVE MIRROR: same hop, restricted to a url predicate — the
+    // destination converges to the source state filtered by pred(url)
+    // (tombstones included; the predicate is validated stable-key-only)
+    "cdc_mirror_filtered" -> ((s, dir) => {
+      val aRoot = morEventsTable(s, dir)
+      val bRoot = Files.createTempDirectory("graft-q-feed-fb")
+      graft.cdc.Mirror.startMirror(s, aRoot, bRoot,
+          Files.createTempDirectory("graft-q-feed-fck").toString,
+          where = Some("url LIKE 'u1%'"))
+        .awaitTermination()
+      graft.lake.LakeTable.load(bRoot).read(s).select(
+        col("url"),
+        unix_micros(col("warc_ts")).as("warc_us"),
+        col("text"),
+        col("content_len"))
+    }),
+
     // BATCH CHANGE READ (the Delta `table_changes` shape): one DataFrame of
     // every retained snapshot's winner rows WITH their envelopes +
     // `_feed_snapshot`, no checkpoint. LWW-resolving the emitted changes
@@ -771,6 +788,18 @@ object SparkEntry {
         |SELECT 'u' || CAST(user_id AS VARCHAR) AS url, epoch_us(ts) AS warc_us,
         |       props AS text, CAST(strlen(props) AS BIGINT) AS content_len
         |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    // selective mirror == the plain-replay final state restricted to the
+    // same url predicate
+    "cdc_mirror_filtered" ->
+      """WITH ranked AS (
+        |  SELECT user_id, ts, event_id, event_type, props,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT 'u' || CAST(user_id AS VARCHAR) AS url, epoch_us(ts) AS warc_us,
+        |       props AS text, CAST(strlen(props) AS BIGINT) AS content_len
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        |  AND ('u' || CAST(user_id AS VARCHAR)) LIKE 'u1%'""".stripMargin,
 
     // client-side LWW resolution of the batch change feed reproduces the
     // table's final state exactly — the oracle IS cdc_merge_final_state's

@@ -58,6 +58,43 @@ object Mirror {
     FeedBatchIdBit | (salt << 32) | epochId
   }
 
+  /** Validate a selective-mirror predicate and apply it to the feed.
+    *
+    * The predicate may reference ONLY the stable key column `url`: whether a
+    * row belongs to the mirror must be a pure function of its key, or the
+    * destination diverges — a row whose MUTABLE columns (warc_ts, html,
+    * lang, …) stop matching would never be deleted downstream (the filter
+    * drops the very event that should retract it), and tombstones carry
+    * null payloads so a payload predicate cannot even evaluate consistently
+    * on them. A url-only predicate keeps the contract exact: the
+    * destination IS the source state restricted to `pred(url)`, deletes
+    * included (tombstones carry their url). Nondeterministic predicates and
+    * subqueries are rejected for the same reason (replayed spans must
+    * re-select identical rows). */
+  private def applyWhere(feed: DataFrame, pred: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val filtered = feed.filter(expr(pred))
+    val cond = filtered.queryExecution.analyzed.collectFirst {
+      case f: Filter => f.condition
+    }.getOrElse(throw new IllegalArgumentException(
+      s"mirror filter '$pred' did not analyze to a Filter"))
+    require(cond.deterministic,
+      s"mirror filter must be deterministic (replayed spans must re-select " +
+        s"identical rows): '$pred'")
+    require(!cond.exists(_.isInstanceOf[SubqueryExpression]),
+      s"mirror filter must not contain subqueries (their result can change " +
+        s"between replays): '$pred'")
+    val refs = cond.references.map(_.name).toSet
+    val mutable = refs - "url"
+    require(mutable.isEmpty,
+      s"mirror filter may reference only the stable key column 'url' — a " +
+        s"predicate over mutable columns (${mutable.mkString(", ")}) would " +
+        s"strand destination rows when they stop matching and cannot " +
+        s"evaluate on tombstones: '$pred'")
+    filtered
+  }
+
   /** Feed rows → the raw change-event shape [[Merge]] consumes. Tombstones
     * become `delete` ops; `text`/`content_len` are dropped and re-derived
     * by the destination merge (bit-identical, same extractor). */
@@ -81,13 +118,23 @@ object Mirror {
     * Late-materialized merge is rejected: its winner-admission bitmap is
     * keyed by planned binlog offset ranges, and feed batches carry sparse
     * envelopes from a different domain (including bootstrap's shared
-    * (−1,−1)). The co-located COW/MOR paths are envelope-agnostic. */
+    * (−1,−1)). The co-located COW/MOR paths are envelope-agnostic.
+    *
+    * `where` makes the mirror SELECTIVE: the destination converges to the
+    * source state restricted to the predicate — a url-keyed subset
+    * replica (per-tenant/per-domain fan-out, the Debezium filter-SMT role).
+    * The predicate is validated to reference only the stable key column
+    * `url` (see [[applyWhere]] for why mutable-column predicates cannot be
+    * exact); it prunes each microbatch BEFORE the shuffle+merge, so a
+    * selective mirror's per-batch cost scales with the selected subset,
+    * not the source's change volume. */
   def startMirror(spark: SparkSession, srcRoot: Path, dstRoot: Path,
       checkpointDir: String, fromSnapshot: String = "full",
       maxSnapshotsPerBatch: Int = 0,
       trigger: Trigger = Trigger.AvailableNow(), nBuckets: Int = 32,
       mode: MergeMode = Mor, opts: MergeOptions = MergeOptions(),
       expireEveryBatches: Long = 0L, keepSnapshots: Int = 10,
+      where: Option[String] = None,
       afterBatch: (LakeTable, Long) => Unit = (_, _) => ()): StreamingQuery = {
     require(!opts.lateMaterialize,
       "mirror batches carry sparse non-binlog envelopes; use Cow or Mor " +
@@ -96,12 +143,16 @@ object Mirror {
       if (LakeTable.exists(dstRoot)) LakeTable.load(dstRoot)
       else LakeTable.create(dstRoot, nBuckets)
     val token = s"mirror:$checkpointDir"
-    val feed = spark.readStream.format("graft-feed")
+    val raw = spark.readStream.format("graft-feed")
       .option("path", srcRoot.toString)
       .option("fromSnapshot", fromSnapshot)
       .option("maxSnapshotsPerBatch", maxSnapshotsPerBatch.toString)
       .option("lineageToken", token)
       .load()
+    // the filter sits ABOVE the feed scan, so the lineage registry still
+    // records every planned span — a batch whose rows all filter away still
+    // marks its source snapshots applied (gap-free chain preserved)
+    val feed = where.map(applyWhere(raw, _)).getOrElse(raw)
     feed.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

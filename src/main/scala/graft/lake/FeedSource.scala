@@ -124,21 +124,30 @@ object FeedSource {
     }
 
   /** Driver-built parquet reader closures, one per known schema version ≤
-    * the pin (same discipline as GraftLakeScan.createReaderFactory). */
-  private[lake] def readerFactory(pinnedVersion: Int): FeedReaderFactory = {
+    * the pin (same discipline as GraftLakeScan.createReaderFactory).
+    * `required` is the PRUNED output schema (column-pruning pushdown —
+    * [[FeedScan.pruneColumns]]): each version's parquet reader requests only
+    * the required columns it physically holds, so a projection that skips
+    * `html` never decodes the payload pages — at web scale the payload IS
+    * the scan cost. */
+  private[lake] def readerFactory(pinnedVersion: Int, required: StructType): FeedReaderFactory = {
     val spark = SparkSession.active
     val readers = (1 to pinnedVersion).map { v =>
+      val phys = TableSchemas.forVersion(v)
+      val physRequired = StructType(
+        required.fields.filter(f => phys.fieldNames.contains(f.name))
+          .map(f => phys.fields(phys.fieldNames.indexOf(f.name))))
       v -> new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
         .buildReaderWithPartitionValues(
           sparkSession = spark,
-          dataSchema = TableSchemas.forVersion(v),
+          dataSchema = phys,
           partitionSchema = new StructType(),
-          requiredSchema = TableSchemas.forVersion(v),
+          requiredSchema = physRequired,
           filters = Nil,
           options = Map(org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "false"),
           hadoopConf = spark.sessionState.newHadoopConf())
     }.toMap
-    new FeedReaderFactory(readers, pinnedVersion)
+    new FeedReaderFactory(readers, pinnedVersion, required)
   }
 }
 
@@ -155,10 +164,20 @@ final class FeedTable(rootPath: String) extends Table with SupportsRead {
 }
 
 final class FeedScan(root: Path, pinnedVersion: Int, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with Scan {
+    extends ScanBuilder with Scan with SupportsPushDownRequiredColumns {
   override def build(): Scan = this
-  override def readSchema(): StructType = FeedSource.schemaFor(pinnedVersion)
-  override def description(): String = s"GraftFeedScan($root)"
+
+  /** Column-pruning pushdown: a `$changes` projection that skips `html`
+    * must never decode the payload pages (the dominant bytes of a webtext
+    * row). The pruned schema drives both the parquet readers' required
+    * columns and the emitted row shape; `_feed_snapshot` is synthesized
+    * only when asked for. */
+  private var required: StructType = FeedSource.schemaFor(pinnedVersion)
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"GraftFeedScan($root, columns=[${required.fieldNames.mkString(",")}])"
 
   /** BATCH mode — the `table_changes` shape (Delta CDF / Iceberg changelog
     * scan): `spark.read.format("graft-feed")` returns the physical winner
@@ -201,7 +220,7 @@ final class FeedScan(root: Path, pinnedVersion: Int, options: CaseInsensitiveStr
     FeedSource.guardSchema(files, pinnedVersion)
     new FeedBatch(files.map { case (id, f) =>
       FeedInputPartition(root.resolve(f.path).toString, f.bytes, f.schemaVersion, id)
-    }.toArray, pinnedVersion)
+    }.toArray, pinnedVersion, required)
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new FeedMicroBatchStream(root, pinnedVersion,
@@ -210,7 +229,8 @@ final class FeedScan(root: Path, pinnedVersion: Int, options: CaseInsensitiveStr
       pinEnabled = Option(options.get("pin")).forall(_.toBoolean),
       pinOwner = Option(options.get("pinOwner")),
       lineageToken = Option(options.get("lineageToken")),
-      checkpointLocation = checkpointLocation)
+      checkpointLocation = checkpointLocation,
+      required = required)
 }
 
 /** Feed cursor: the last fully-emitted snapshot; `pendingFull = true` means
@@ -242,18 +262,24 @@ final case class FeedInputPartition(
 /** One-shot batch plan over a pre-resolved snapshot span (see
   * [[FeedScan.toBatch]] — the span is resolved at planning time, so the
   * DataFrame is stable even while the table keeps committing). */
-final class FeedBatch(partitions: Array[InputPartition], pinnedVersion: Int)
-    extends Batch {
+final class FeedBatch(partitions: Array[InputPartition], pinnedVersion: Int,
+    required: StructType) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = partitions
   override def createReaderFactory(): PartitionReaderFactory =
-    FeedSource.readerFactory(pinnedVersion)
+    FeedSource.readerFactory(pinnedVersion, required)
 }
 
 final class FeedMicroBatchStream(root: Path, pinnedVersion: Int,
     fromSnapshot: String, maxSnapshotsPerBatch: Int,
     pinEnabled: Boolean, pinOwner: Option[String],
-    lineageToken: Option[String], checkpointLocation: String)
+    lineageToken: Option[String], checkpointLocation: String,
+    required: StructType = null)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  // streaming plans are built before pruning in some paths — default to the
+  // full pinned schema when no pruned schema was pushed
+  private val outSchema: StructType =
+    Option(required).getOrElse(FeedSource.schemaFor(pinnedVersion))
 
   private val table = LakeTable.load(root)
 
@@ -355,7 +381,7 @@ final class FeedMicroBatchStream(root: Path, pinnedVersion: Int,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    FeedSource.readerFactory(pinnedVersion)
+    FeedSource.readerFactory(pinnedVersion, outSchema)
 
   /** Epoch durable: advance the owned lease to the committed cursor so
     * expiry keeps the feed's forward span readable. */
@@ -373,32 +399,40 @@ final class FeedMicroBatchStream(root: Path, pinnedVersion: Int,
 
 final class FeedReaderFactory(
     readers: Map[Int, org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow]],
-    pinnedVersion: Int) extends PartitionReaderFactory {
+    pinnedVersion: Int, required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new FeedPartitionReader(partition.asInstanceOf[FeedInputPartition], readers, pinnedVersion)
+    new FeedPartitionReader(partition.asInstanceOf[FeedInputPartition], readers, required)
 }
 
-/** Flat file reader: physical rows aligned to the pinned schema (widen-cast
-  * present columns, null-fill added ones) plus the `_feed_snapshot` literal.
-  * No resolve — the feed emits the raw multi-version rows and downstream
-  * LWW picks winners by envelope, which is what makes COW re-emission and
-  * duplicate replay harmless. */
+/** Flat file reader: physical rows aligned to the PRUNED output schema
+  * (widen-cast present columns, null-fill added ones, `_feed_snapshot`
+  * synthesized when requested). The parquet reader already returns only the
+  * required physical columns (in required order — see
+  * [[FeedSource.readerFactory]]), so this projection binds against that
+  * pruned row. No resolve — the feed emits the raw multi-version rows and
+  * downstream LWW picks winners by envelope, which is what makes COW
+  * re-emission and duplicate replay harmless. */
 final class FeedPartitionReader(p: FeedInputPartition,
     readers: Map[Int, org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow]],
-    pinnedVersion: Int) extends PartitionReader[InternalRow] {
+    required: StructType) extends PartitionReader[InternalRow] {
 
   private val proj: UnsafeProjection = {
-    val full = TableSchemas.forVersion(pinnedVersion)
     val phys = TableSchemas.forVersion(p.schemaVersion)
-    val exprs: Seq[Expression] = full.fields.toSeq.map { f =>
-      val i = phys.fieldNames.indexOf(f.name)
-      if (i < 0) Literal.create(null, f.dataType)
+    // the parquet reader's output columns: required ∩ phys, in required order
+    val physRequired = required.fields.filter(f => phys.fieldNames.contains(f.name))
+      .map(f => phys.fields(phys.fieldNames.indexOf(f.name)))
+    val exprs: Seq[Expression] = required.fields.toSeq.map { f =>
+      if (f.name == "_feed_snapshot") Literal(p.snapshotId, LongType)
       else {
-        val br = BoundReference(i, phys.fields(i).dataType, phys.fields(i).nullable)
-        if (phys.fields(i).dataType == f.dataType) br
-        else Cast(br, f.dataType, Some("UTC"))
+        val i = physRequired.indexWhere(_.name == f.name)
+        if (i < 0) Literal.create(null, f.dataType)
+        else {
+          val br = BoundReference(i, physRequired(i).dataType, physRequired(i).nullable)
+          if (physRequired(i).dataType == f.dataType) br
+          else Cast(br, f.dataType, Some("UTC"))
+        }
       }
-    } :+ Literal(p.snapshotId, LongType)
+    }
     UnsafeProjection.create(exprs.toArray)
   }
 

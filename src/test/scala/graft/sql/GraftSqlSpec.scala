@@ -650,6 +650,20 @@ class GraftSqlSpec extends SparkSpec {
     // unknown base table still errors
     intercept[Exception](spark.sql("SELECT * FROM graft.`nope$changes`").collect())
 
+    // COLUMN PRUNING pushes into the feed scan: a projection that skips
+    // `html` must not read it (the payload is the dominant scan cost)
+    val slim = spark.sql("SELECT url, _feed_snapshot FROM graft.`chg1$changes`")
+    val scan = slim.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.getOrElse(fail("no BatchScanExec in the $changes plan"))
+    assert(scan.output.map(_.name).toSet == Set("url", "_feed_snapshot"),
+      s"feed scan not pruned: ${scan.output.map(_.name)}")
+    assert(scan.scan.description().contains("columns=[url,_feed_snapshot]"),
+      s"scan description: ${scan.scan.description()}")
+    // and the pruned read returns the right values (projection remap +
+    // synthesized _feed_snapshot under pruning)
+    assert(slim.distinct().count() == changes.select("url", "_feed_snapshot").distinct().count())
+
     // the same catalog table serves STREAMING: readStream.table tails the
     // feed (full-state batch 0 under the default attach, increments follow)
     val seen = new java.util.concurrent.atomic.AtomicLong

@@ -95,6 +95,33 @@ object Mirror {
     filtered
   }
 
+  /** Exact url keys of a point predicate (`url = 'x'` / `url IN (…)`), for
+    * feed-side FILE PRUNING — a single-tenant mirror skips every file whose
+    * manifest bounds/bloom exclude its keys. Other predicate shapes return
+    * Nil: no pruning, still correct (the filter applies above the scan). */
+  private[cdc] def urlKeysOf(spark: SparkSession, pred: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, In, Literal}
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    def urlAttr(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = e match {
+      case a: AttributeReference => a.name == "url"
+      case a: UnresolvedAttribute => a.nameParts == Seq("url")
+      case _ => false
+    }
+    def str(e: org.apache.spark.sql.catalyst.expressions.Expression): Option[String] = e match {
+      case Literal(v: UTF8String, StringType) => Some(v.toString)
+      case _ => None
+    }
+    spark.sessionState.sqlParser.parseExpression(pred) match {
+      case EqualTo(a, l) if urlAttr(a) => str(l).toSeq
+      case EqualTo(l, a) if urlAttr(a) => str(l).toSeq
+      case In(a, list) if urlAttr(a) && list.nonEmpty && list.forall(str(_).isDefined) =>
+        list.flatMap(str)
+      case _ => Nil
+    }
+  }
+
   /** Feed rows → the raw change-event shape [[Merge]] consumes. Tombstones
     * become `delete` ops; `text`/`content_len` are dropped and re-derived
     * by the destination merge (bit-identical, same extractor). */
@@ -143,11 +170,16 @@ object Mirror {
       if (LakeTable.exists(dstRoot)) LakeTable.load(dstRoot)
       else LakeTable.create(dstRoot, nBuckets)
     val token = s"mirror:$checkpointDir"
-    val raw = spark.readStream.format("graft-feed")
+    val reader = spark.readStream.format("graft-feed")
       .option("path", srcRoot.toString)
       .option("fromSnapshot", fromSnapshot)
       .option("maxSnapshotsPerBatch", maxSnapshotsPerBatch.toString)
       .option("lineageToken", token)
+    // point predicates additionally prune feed FILES by manifest bounds +
+    // bloom (a single-tenant mirror never opens other tenants' files)
+    val keys = where.map(urlKeysOf(spark, _)).getOrElse(Nil)
+    val raw = (if (keys.isEmpty) reader
+               else reader.option("urlKeys", graft.lake.FeedSource.encodeUrlKeys(keys)))
       .load()
     // the filter sits ABOVE the feed scan, so the lineage registry still
     // records every planned span — a batch whose rows all filter away still

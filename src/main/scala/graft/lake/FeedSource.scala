@@ -123,6 +123,36 @@ object FeedSource {
           "replays the in-flight span under the new, wider schema)")
     }
 
+  /** Wire format for the streaming `urlKeys` option: a JSON string array
+    * (urls can contain any delimiter a naive join would pick). */
+  def encodeUrlKeys(keys: Seq[String]): String = {
+    val m = new ObjectMapper()
+    val arr = m.createArrayNode()
+    keys.foreach(arr.add)
+    m.writeValueAsString(arr)
+  }
+
+  private[lake] def parseUrlKeys(opt: Option[String]): Seq[String] =
+    opt.filter(_.nonEmpty).map { s =>
+      val node = new ObjectMapper().readTree(s)
+      require(node.isArray, s"urlKeys must be a JSON string array, got: $s")
+      (0 until node.size()).map(node.get(_).asText())
+    }.getOrElse(Nil)
+
+  /** Conservative per-file url-key admission (the SELECT path's manifest
+    * bounds + bloom sidecar discipline applied to the feed): a file is
+    * skipped only when NO key fits its [urlMin, urlMax] or the bloom
+    * proves absence. Pruning can only skip, never lie — the query's
+    * filter is still applied above the scan. */
+  private[lake] def fileAdmits(root: Path, f: DataFile, keys: Seq[String]): Boolean =
+    keys.isEmpty || {
+      val admitted = keys.filter(u =>
+        f.urlMax == LakeTable.NoStatsMax ||
+          (LakeTable.compareUtf8(f.urlMin, u) <= 0 &&
+            LakeTable.compareUtf8(u, f.urlMax) <= 0))
+      admitted.nonEmpty && Bloom.mightContainAny(root.resolve(f.path), admitted)
+    }
+
   /** Driver-built parquet reader closures, one per known schema version ≤
     * the pin (same discipline as GraftLakeScan.createReaderFactory).
     * `required` is the PRUNED output schema (column-pruning pushdown —
@@ -164,8 +194,30 @@ final class FeedTable(rootPath: String) extends Table with SupportsRead {
 }
 
 final class FeedScan(root: Path, pinnedVersion: Int, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with Scan with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with Scan with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   override def build(): Scan = this
+
+  // --- url point-history pushdown ("every change to url X"): an equality/
+  // IN on url prunes the span's FILES by manifest bounds + bloom sidecars
+  // (FeedSource.fileAdmits). All filters stay residual — Spark re-applies
+  // them above the scan, so pruning can only skip, never lie. Streaming
+  // mirrors get the same pruning via the `urlKeys` option (Spark does not
+  // push filters into micro-batch scans) — see graft.cdc.Mirror.
+  private var urlKeys: Seq[String] = Nil
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    urlKeys = filters.collectFirst {
+      case EqualTo("url", v: String) => Seq(v)
+      case In("url", vs) if vs.nonEmpty && vs.forall(v => v == null || v.isInstanceOf[String]) =>
+        vs.toSeq.collect { case s: String => s }
+    }.filter(_.nonEmpty).getOrElse(Nil)
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    if (urlKeys.isEmpty) Array.empty
+    else Array(org.apache.spark.sql.sources.In("url", urlKeys.toArray[Any]))
 
   /** Column-pruning pushdown: a `$changes` projection that skips `html`
     * must never decode the payload pages (the dominant bytes of a webtext
@@ -177,7 +229,8 @@ final class FeedScan(root: Path, pinnedVersion: Int, options: CaseInsensitiveStr
     required = requiredSchema
   override def readSchema(): StructType = required
   override def description(): String =
-    s"GraftFeedScan($root, columns=[${required.fieldNames.mkString(",")}])"
+    s"GraftFeedScan($root, columns=[${required.fieldNames.mkString(",")}])" +
+      (if (urlKeys.nonEmpty) s" urlKeys=${urlKeys.mkString(",")}" else "")
 
   /** BATCH mode — the `table_changes` shape (Delta CDF / Iceberg changelog
     * scan): `spark.read.format("graft-feed")` returns the physical winner
@@ -218,9 +271,11 @@ final class FeedScan(root: Path, pinnedVersion: Int, options: CaseInsensitiveStr
             .flatMap { case (id, fs) => fs.map(id -> _) }
       }
     FeedSource.guardSchema(files, pinnedVersion)
-    new FeedBatch(files.map { case (id, f) =>
-      FeedInputPartition(root.resolve(f.path).toString, f.bytes, f.schemaVersion, id)
-    }.toArray, pinnedVersion, required)
+    new FeedBatch(files
+      .filter { case (_, f) => FeedSource.fileAdmits(root, f, urlKeys) }
+      .map { case (id, f) =>
+        FeedInputPartition(root.resolve(f.path).toString, f.bytes, f.schemaVersion, id)
+      }.toArray, pinnedVersion, required)
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new FeedMicroBatchStream(root, pinnedVersion,
@@ -230,7 +285,8 @@ final class FeedScan(root: Path, pinnedVersion: Int, options: CaseInsensitiveStr
       pinOwner = Option(options.get("pinOwner")),
       lineageToken = Option(options.get("lineageToken")),
       checkpointLocation = checkpointLocation,
-      required = required)
+      required = required,
+      urlKeys = FeedSource.parseUrlKeys(Option(options.get("urlKeys"))))
 }
 
 /** Feed cursor: the last fully-emitted snapshot; `pendingFull = true` means
@@ -273,7 +329,7 @@ final class FeedMicroBatchStream(root: Path, pinnedVersion: Int,
     fromSnapshot: String, maxSnapshotsPerBatch: Int,
     pinEnabled: Boolean, pinOwner: Option[String],
     lineageToken: Option[String], checkpointLocation: String,
-    required: StructType = null)
+    required: StructType = null, urlKeys: Seq[String] = Nil)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   // streaming plans are built before pruning in some paths — default to the
@@ -375,9 +431,14 @@ final class FeedMicroBatchStream(root: Path, pinnedVersion: Int,
       graft.binlog.BinlogLineage.record(token,
         Map(FeedSource.LineagePartition -> (base, e.snapshotId)))
     }
-    files.map { case (id, f) =>
-      FeedInputPartition(root.resolve(f.path).toString, f.bytes, f.schemaVersion, id)
-    }.toArray
+    // url-key file pruning (the `urlKeys` option — a single-tenant mirror
+    // skips every file whose bounds/bloom exclude its keys); the span's
+    // lineage above is recorded UNPRUNED: the batch still covers its
+    // snapshots even when every file is skipped
+    files.filter { case (_, f) => FeedSource.fileAdmits(root, f, urlKeys) }
+      .map { case (id, f) =>
+        FeedInputPartition(root.resolve(f.path).toString, f.bytes, f.schemaVersion, id)
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -277,7 +277,8 @@ final case class GraftBucketPartition(
 final class GraftLakeScan(lake: LakeTable, snapshotId: Option[Long],
     raw: Boolean = false, bucketFilter: Option[Set[Int]] = None)
     extends ScanBuilder with Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
   /** The snapshot is resolved ONCE per scan: planInputPartitions and
     * createReaderFactory must see the same file/version set — a concurrent
     * commit (ingest, auto-maintenance) between the two calls would
@@ -285,12 +286,23 @@ final class GraftLakeScan(lake: LakeTable, snapshotId: Option[Long],
     * partition uses, failing on executors. */
   private lazy val snap = snapshotId.map(lake.snapshot).getOrElse(lake.currentSnapshot)
   override def build(): Scan = this
-  override def readSchema(): StructType =
+
+  // --- column pruning: the k-way LWW merge always reads its resolution
+  // columns (url + the (warc_ts, offset, partition) total order + the
+  // tombstone flag), but payload columns a query doesn't project — above
+  // all `html`, the dominant bytes of a webtext row — are never requested
+  // from parquet. `required = None` = no pruning pushed (full schema).
+  private var required: Option[StructType] = None
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = Some(requiredSchema)
+
+  override def readSchema(): StructType = required.getOrElse(
     if (raw) TableSchemas.forVersion(snap.schemaVersion)
-    else GraftSqlTable.userSchemaFor(snap.schemaVersion)
+    else GraftSqlTable.userSchemaFor(snap.schemaVersion))
   override def description(): String =
     s"GraftLakeScan(${lake.root}${if (raw) ", raw" else ""})" +
-      (if (urlKeys.nonEmpty) s" urlKeys=${urlKeys.mkString(",")}" else "")
+      (if (urlKeys.nonEmpty) s" urlKeys=${urlKeys.mkString(",")}" else "") +
+      required.fold("")(r => s" columns=[${r.fieldNames.mkString(",")}]")
   override def toBatch: Batch = this
 
   // --- url point-lookup pushdown: a url equality/IN prunes to its hash
@@ -348,44 +360,68 @@ final class GraftLakeScan(lake: LakeTable, snapshotId: Option[Long],
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
+    val out = readSchema()
+    // the merge reader's WORKING schema: the projected columns plus the
+    // always-needed resolution internals, in the logical layout's order
+    val logical = TableSchemas.forVersion(snap.schemaVersion)
+    val scanSchema = StructType(logical.fields.filter(f =>
+      out.fieldNames.contains(f.name) ||
+        GraftBucketReader.MergeInternals.contains(f.name)))
     // one driver-built parquet reader closure per physical schema version
-    // (same snapshot object as planInputPartitions — see `snap`)
+    // (same snapshot object as planInputPartitions — see `snap`); each
+    // requests only the working columns it physically holds
     val versions = snap.files.map(_.schemaVersion).distinct.sorted
     val readers = versions.map { v =>
+      val phys = TableSchemas.forVersion(v)
+      val physRequired = StructType(
+        scanSchema.fields.filter(f => phys.fieldNames.contains(f.name))
+          .map(f => phys.fields(phys.fieldNames.indexOf(f.name))))
       v -> new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
         .buildReaderWithPartitionValues(
           sparkSession = spark,
-          dataSchema = TableSchemas.forVersion(v),
+          dataSchema = phys,
           partitionSchema = new StructType(),
-          requiredSchema = TableSchemas.forVersion(v),
+          requiredSchema = physRequired,
           filters = Nil,
           options = Map(org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "false"),
           hadoopConf = spark.sessionState.newHadoopConf())
     }.toMap
-    new GraftBucketReaderFactory(readers)
+    new GraftBucketReaderFactory(readers, scanSchema, out)
   }
 }
 
 final class GraftBucketReaderFactory(
-    readers: Map[Int, org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow]])
+    readers: Map[Int, org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow]],
+    scanSchema: StructType, outSchema: StructType)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftBucketPartition]
-    new GraftBucketReader(p, readers)
+    new GraftBucketReader(p, readers, scanSchema, outSchema)
   }
+}
+
+object GraftBucketReader {
+  /** Columns the k-way LWW merge itself consumes — always read, whatever
+    * the projection: the group key, the winner total order, and the
+    * tombstone flag. */
+  val MergeInternals: Set[String] =
+    Set("url", "warc_ts", "_seq_part", "_seq_offset", "_deleted")
 }
 
 /** Streaming k-way LWW merge over one bucket's url-sorted files. */
 final class GraftBucketReader(
     p: GraftBucketPartition,
-    readers: Map[Int, org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow]])
+    readers: Map[Int, org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow]],
+    scanSchema: StructType, outSchema: StructType)
   extends PartitionReader[InternalRow] {
 
-  // align to the SNAPSHOT's logical schema (what readSchema() declares):
-  // a pre-evolution snapshot presents its own era's columns; files can
-  // never be newer than their snapshot, so alignment only widens/null-fills
-  private val full = TableSchemas.forVersion(p.currentVersion)
+  // the WORKING layout (projected columns + merge internals, pruned —
+  // see createReaderFactory): rows align to it in the SNAPSHOT's logical
+  // column order; a pre-evolution snapshot presents its own era's columns;
+  // files can never be newer than their snapshot, so alignment only
+  // widens/null-fills
+  private val full = scanSchema
   private def idx(n: String) = full.fieldNames.indexOf(n)
   private val urlIdx = idx("url")
   private val tsIdx = idx("warc_ts")
@@ -393,17 +429,20 @@ final class GraftBucketReader(
   private val partIdx = idx("_seq_part")
   private val delIdx = idx("_deleted")
 
-  /** Align a physical-version row to the current full layout: widen-cast
-    * present columns, null-fill added ones (the generic form of the
-    * DataFrame-side `align`). */
+  /** Align a physical-version row (already pruned to the working columns it
+    * holds, in working order — the parquet readers' requiredSchema) to the
+    * working layout: widen-cast present columns, null-fill added ones (the
+    * generic form of the DataFrame-side `align`). */
   private def alignProj(version: Int): UnsafeProjection = {
     val phys = TableSchemas.forVersion(version)
+    val physRequired = full.fields.filter(f => phys.fieldNames.contains(f.name))
+      .map(f => phys.fields(phys.fieldNames.indexOf(f.name)))
     val exprs: Seq[Expression] = full.fields.toSeq.map { f =>
-      val i = phys.fieldNames.indexOf(f.name)
+      val i = physRequired.indexWhere(_.name == f.name)
       if (i < 0) Literal.create(null, f.dataType)
       else {
-        val br = BoundReference(i, phys.fields(i).dataType, phys.fields(i).nullable)
-        if (phys.fields(i).dataType == f.dataType) br
+        val br = BoundReference(i, physRequired(i).dataType, physRequired(i).nullable)
+        if (physRequired(i).dataType == f.dataType) br
         else Cast(br, f.dataType, Some("UTC"))
       }
     }
@@ -421,11 +460,10 @@ final class GraftBucketReader(
   }
   private val heads: Array[InternalRow] = its.map(it => if (it.hasNext) it.next() else null)
 
-  // raw mode (compaction/maintenance): emit the FULL layout including
-  // tombstone winners; user mode: project user columns, drop tombstones
-  private val outIdxs =
-    if (p.raw) full.fieldNames.map(idx)
-    else GraftSqlTable.userSchemaFor(p.currentVersion).fieldNames.map(idx)
+  // raw mode (compaction/maintenance) keeps tombstone winners; user mode
+  // drops them. Either way the emitted columns are EXACTLY outSchema (the
+  // pruned projection readSchema() declared), in its order.
+  private val outIdxs = outSchema.fieldNames.map(idx)
   private val outProj = UnsafeProjection.create(
     outIdxs.map { srcIdx =>
       BoundReference(srcIdx, full.fields(srcIdx).dataType, full.fields(srcIdx).nullable): Expression
@@ -440,10 +478,6 @@ final class GraftBucketReader(
   }
 
   private var current: InternalRow = _
-  // position of url within the OUTPUT row (present in both raw and user
-  // layouts): the run-drain below compares source heads against the
-  // projected output's url, whose buffer no head advance can touch
-  private val outUrlPos = outIdxs.indexOf(urlIdx)
 
   override def next(): Boolean = {
     while (true) {
@@ -472,13 +506,16 @@ final class GraftBucketReader(
         j += 1
       }
       // materialize BEFORE any advance; from here the fold state is the
-      // projected row plus primitives, so head buffers are free to move
+      // projected row plus primitives, so head buffers are free to move.
+      // The group url is CLONED to its own buffer (the output row may not
+      // contain url at all under column pruning) — constant for the whole
+      // run, immune to head advances
       current = outProj(winner)
       var bTs = winner.getLong(tsIdx)
       var bOff = winner.getLong(offIdx)
       var bPart = winner.getInt(partIdx)
       var deleted = winner.getBoolean(delIdx)
-      var curUrl = current.getUTF8String(outUrlPos)
+      val curUrl = u.clone()
       // advance every in-group file PAST its url run, folding run rows: a
       // file may hold several versions of one url (a multi-batch increment
       // written without per-url dedup), and correctness must not depend on
@@ -496,7 +533,6 @@ final class GraftBucketReader(
               current = outProj(h)
               bTs = ts; bOff = off; bPart = pt
               deleted = h.getBoolean(delIdx)
-              curUrl = current.getUTF8String(outUrlPos)
             }
             heads(k) = if (its(k).hasNext) its(k).next() else null
           }

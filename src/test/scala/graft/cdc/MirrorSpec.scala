@@ -347,6 +347,29 @@ class MirrorSpec extends SparkSpec {
     assert(LakeTable.load(bRoot).currentSnapshotId == head)
   }
 
+  test("single-tenant mirror: a point predicate converges and extracts prune keys") {
+    // point-predicate shapes yield exact url keys (feed-side file pruning);
+    // other shapes fall back to unpruned-but-filtered
+    assert(Mirror.urlKeysOf(spark, "url = 'x'") == Seq("x"))
+    assert(Mirror.urlKeysOf(spark, "'x' = url") == Seq("x"))
+    assert(Mirror.urlKeysOf(spark, "url IN ('a', 'b')") == Seq("a", "b"))
+    assert(Mirror.urlKeysOf(spark, "url LIKE 'a%'") == Nil)
+    assert(Mirror.urlKeysOf(spark, "url = 'x' OR url = 'y'") == Nil)
+
+    val p = GenProfile.uniformSmall().copy(partitions = 2, eventsPerPartition = 600)
+    val binlog = gen(p)
+    val (aRoot, bRoot, ckpt) = (tmpDir("feed-a"), tmpDir("feed-b"), tmpDir("feed-ck"))
+    val a = buildSource(binlog, aRoot, p.eventsPerPartition, n = 3)
+    val oracle = Oracle.finalState(p)
+    val k = oracle.keys.min // a live url
+    Mirror.startMirror(spark, aRoot, bRoot, ckpt.toString,
+      where = Some(s"url = '$k'"), trigger = Trigger.AvailableNow())
+      .awaitTermination()
+    assert(stateOf(a) == oracle)
+    assert(stateOf(LakeTable.load(bRoot)) == Map(k -> oracle(k)),
+      "single-tenant mirror holds more or less than its key")
+  }
+
   test("selective mirror rejects mutable-column, nondeterministic, and subquery predicates") {
     val p = GenProfile.uniformSmall().copy(partitions = 1, eventsPerPartition = 200)
     val binlog = gen(p)

@@ -232,6 +232,28 @@ class GraftSqlSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM graft.morpages WHERE url = 'nope'").count() == 0)
   }
 
+  test("column pruning: the merge scan never requests unprojected payload columns") {
+    enable()
+    // morpages has MOR deltas, so SELECTs go through the k-way merge scan
+    val slim = spark.sql("SELECT url, content_len FROM graft.morpages")
+    val scan = slim.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.getOrElse(fail("no BatchScanExec"))
+    assert(scan.output.map(_.name) == Seq("url", "content_len"),
+      s"scan not pruned: ${scan.output.map(_.name)}")
+    assert(scan.scan.description().contains("columns=[url,content_len]"),
+      s"description: ${scan.scan.description()}")
+    // values identical to the unpruned read (LWW resolution still exact —
+    // the merge internals are read regardless of the projection)
+    val unpruned = spark.sql("SELECT * FROM graft.morpages")
+      .select("url", "content_len").collect().map(_.toString).sorted.toSeq
+    assert(slim.collect().map(_.toString).sorted.toSeq == unpruned)
+    // projection WITHOUT url (the group key lives only inside the merge):
+    // aggregates remain exact, tombstones still excluded
+    val n = spark.sql("SELECT count(*) AS n FROM graft.morpages").head().getLong(0)
+    assert(n == unpruned.size.toLong)
+  }
+
   test("MERGE INTO a v1 (pre-evolution) table: SET */INSERT * validate against v1 columns") {
     enable()
     spark.sql("DROP TABLE IF EXISTS graft.mv1")
@@ -663,6 +685,28 @@ class GraftSqlSpec extends SparkSpec {
     // and the pruned read returns the right values (projection remap +
     // synthesized _feed_snapshot under pruning)
     assert(slim.distinct().count() == changes.select("url", "_feed_snapshot").distinct().count())
+
+    // URL POINT-HISTORY pushdown: "every change to url X" prunes the span's
+    // files by manifest bounds (+ bloom when present) — u9 was written once
+    // in the first merge, so the second merge's files ([u0,u3]) and the
+    // tombstone file ([u5,u5]) must all be skipped
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.getOrElse(fail("no BatchScanExec"))
+    val hist = spark.sql("SELECT url, _feed_snapshot, _deleted FROM graft.`chg1$changes` WHERE url = 'u9'")
+    val hScan = scanOf(hist)
+    assert(hScan.scan.description().contains("urlKeys=u9"),
+      s"description: ${hScan.scan.description()}")
+    val allParts = scanOf(changes).inputPartitions.size
+    val histParts = hScan.inputPartitions.size
+    assert(histParts < allParts, s"point history not pruned: $histParts of $allParts")
+    // COW rewrites re-emit unchanged rows (same envelope), so point history
+    // is exact up to envelope-distinctness: u9 was written once, u2 twice
+    assert(spark.sql("SELECT DISTINCT _seq_part, _seq_offset FROM graft.`chg1$changes` WHERE url = 'u9'")
+      .count() == 1)
+    assert(spark.sql("SELECT DISTINCT _seq_part, _seq_offset FROM graft.`chg1$changes` WHERE url = 'u2'")
+      .count() == 2)
 
     // the same catalog table serves STREAMING: readStream.table tails the
     // feed (full-state batch 0 under the default attach, increments follow)

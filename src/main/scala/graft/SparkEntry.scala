@@ -196,6 +196,32 @@ object SparkEntry {
           col("content_len"))
     }),
 
+    // EVENT-TIME PRUNED READ: a lower-bound warc_ts predicate on the
+    // LWW-resolved read pushes into the scan — manifest [tsMin,tsMax] file
+    // prune + parquet row-group skip (TimeFilterSpec plan-asserts both the
+    // pruning and why ONLY a lower bound is sound under winner resolution).
+    // Result must equal filter-above-full-read: the plain LWW oracle
+    // restricted to warc_us >= cut, with the cut (midpoint of the FINAL
+    // STATE's warc_ts range — winners cluster at the tail of the raw events
+    // range, so an events-range cut would exclude nothing) derived
+    // identically on both sides.
+    "cdc_time_filter" -> ((s, dir) => {
+      val aRoot = morEventsTable(s, dir)
+      val table = graft.lake.LakeTable.load(aRoot)
+      val bounds = table.read(s)
+        .agg(min(unix_micros(col("warc_ts"))), max(unix_micros(col("warc_ts")))).head()
+      val cutMicros = (bounds.getLong(0) + bounds.getLong(1)) / 2
+      val cut = new java.sql.Timestamp(cutMicros / 1000)
+      cut.setNanos(((cutMicros % 1000000L) * 1000L).toInt)
+      table.read(s)
+        .filter(col("warc_ts") >= lit(cut))
+        .select(
+          col("url"),
+          unix_micros(col("warc_ts")).as("warc_us"),
+          col("text"),
+          col("content_len"))
+    }),
+
     // the SQL surface end-to-end: CREATE TABLE … USING graft, MERGE INTO
     // driving the engine's Merge operator, SELECT via the catalog's
     // co-located resolve-on-read scan — identical oracle to the library path
@@ -811,6 +837,20 @@ object SparkEntry {
         |SELECT 'u' || CAST(user_id AS VARCHAR) AS url, epoch_us(ts) AS warc_us,
         |       props AS text, CAST(strlen(props) AS BIGINT) AS content_len
         |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    // the LWW final state restricted to warc_us >= cut, cut = midpoint of
+    // the FINAL STATE's warc_ts range — the pruned read must equal
+    // filter-above-read (103 of 120 winners survive at sf0.01)
+    "cdc_time_filter" ->
+      """WITH ranked AS (
+        |  SELECT user_id, ts, event_id, event_type, props,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |finals AS (SELECT * FROM ranked WHERE rn = 1 AND event_type <> 'error'),
+        |cut AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS c FROM finals)
+        |SELECT 'u' || CAST(user_id AS VARCHAR) AS url, epoch_us(ts) AS warc_us,
+        |       props AS text, CAST(strlen(props) AS BIGINT) AS content_len
+        |FROM finals, cut WHERE epoch_us(ts) >= c""".stripMargin,
 
     // bootstrap + full-overlap replay converges to the plain-replay state
     // exactly — the oracle IS cdc_merge_final_state's

@@ -153,6 +153,26 @@ object FeedSource {
       admitted.nonEmpty && Bloom.mightContainAny(root.resolve(f.path), admitted)
     }
 
+  /** Event-time file admission for the feed's BATCH scan. The feed emits
+    * RAW change rows (no LWW resolution), so — unlike the resolved lake
+    * scan, where only a lower bound commutes with winner resolution — BOTH
+    * bounds prune soundly here: a file is skipped only when its manifest
+    * [tsMin, tsMax] proves no row can satisfy the pushed range, and the
+    * query's own filter is still re-applied above the scan. Unbounded
+    * sentinels (pre-stats manifests, stat-less footers) always admit. */
+  private[lake] def fileAdmitsTime(f: DataFile,
+      lo: Option[(Long, Boolean)], hi: Option[(Long, Boolean)]): Boolean = {
+    val loOk = lo.forall { case (x, strict) =>
+      f.tsMaxMicros == DataFile.NoTsMax ||
+        (if (strict) f.tsMaxMicros > x else f.tsMaxMicros >= x)
+    }
+    val hiOk = hi.forall { case (y, strict) =>
+      f.tsMinMicros == DataFile.NoTsMin ||
+        (if (strict) f.tsMinMicros < y else f.tsMinMicros <= y)
+    }
+    loOk && hiOk
+  }
+
   /** Driver-built parquet reader closures, one per known schema version ≤
     * the pin (same discipline as GraftLakeScan.createReaderFactory).
     * `required` is the PRUNED output schema (column-pruning pushdown —
@@ -160,20 +180,26 @@ object FeedSource {
     * the required columns it physically holds, so a projection that skips
     * `html` never decodes the payload pages — at web scale the payload IS
     * the scan cost. */
-  private[lake] def readerFactory(pinnedVersion: Int, required: StructType): FeedReaderFactory = {
+  private[lake] def readerFactory(pinnedVersion: Int, required: StructType,
+      rowFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil): FeedReaderFactory = {
     val spark = SparkSession.active
     val readers = (1 to pinnedVersion).map { v =>
       val phys = TableSchemas.forVersion(v)
       val physRequired = StructType(
         required.fields.filter(f => phys.fieldNames.contains(f.name))
           .map(f => phys.fields(phys.fieldNames.indexOf(f.name))))
+      // row-group/page skipping inside admitted files: the feed emits raw
+      // rows with the query's filter re-applied above, so any pushed
+      // url/warc_ts predicate is sound here; parquet quietly skips
+      // predicates a file's physical types can't evaluate (legacy INT96)
       v -> new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
         .buildReaderWithPartitionValues(
           sparkSession = spark,
           dataSchema = phys,
           partitionSchema = new StructType(),
           requiredSchema = physRequired,
-          filters = Nil,
+          filters = rowFilters.filter(f =>
+            f.references.forall(phys.fieldNames.contains(_))),
           options = Map(org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "false"),
           hadoopConf = spark.sessionState.newHadoopConf())
     }.toMap
@@ -205,19 +231,52 @@ final class FeedScan(root: Path, pinnedVersion: Int, options: CaseInsensitiveStr
   // mirrors get the same pruning via the `urlKeys` option (Spark does not
   // push filters into micro-batch scans) — see graft.cdc.Mirror.
   private var urlKeys: Seq[String] = Nil
+  // event-time range pushdown: the feed emits RAW rows (no LWW resolve),
+  // so BOTH warc_ts bounds prune soundly — at file granularity via the
+  // manifest [tsMin, tsMax] (FeedSource.fileAdmitsTime) and at row-group
+  // granularity via the forwarded parquet predicates. (bound micros, strict)
+  private var tsLo: Option[(Long, Boolean)] = None
+  private var tsHi: Option[(Long, Boolean)] = None
+  private var tsRowFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
-    import org.apache.spark.sql.sources.{EqualTo, In}
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+    import LakeTable.{tsLiteralMicros => tsMicros}
     urlKeys = filters.collectFirst {
       case EqualTo("url", v: String) => Seq(v)
       case In("url", vs) if vs.nonEmpty && vs.forall(v => v == null || v.isInstanceOf[String]) =>
         vs.toSeq.collect { case s: String => s }
     }.filter(_.nonEmpty).getOrElse(Nil)
+    val los = filters.toSeq.flatMap {
+      case GreaterThan("warc_ts", v) => tsMicros(v).map((_, true))
+      case GreaterThanOrEqual("warc_ts", v) => tsMicros(v).map((_, false))
+      case EqualTo("warc_ts", v) => tsMicros(v).map((_, false))
+      case _ => None
+    }
+    val his = filters.toSeq.flatMap {
+      case LessThan("warc_ts", v) => tsMicros(v).map((_, true))
+      case LessThanOrEqual("warc_ts", v) => tsMicros(v).map((_, false))
+      case EqualTo("warc_ts", v) => tsMicros(v).map((_, false))
+      case _ => None
+    }
+    tsLo = los.sortBy(l => (-l._1, !l._2)).headOption
+    tsHi = his.sortBy(h => (h._1, !h._2)).headOption
+    tsRowFilters = filters.filter {
+      case GreaterThan("warc_ts", v) => tsMicros(v).nonEmpty
+      case GreaterThanOrEqual("warc_ts", v) => tsMicros(v).nonEmpty
+      case LessThan("warc_ts", v) => tsMicros(v).nonEmpty
+      case LessThanOrEqual("warc_ts", v) => tsMicros(v).nonEmpty
+      case EqualTo("warc_ts", v) => tsMicros(v).nonEmpty
+      case _ => false
+    }.toSeq
     filters
   }
-  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
-    if (urlKeys.isEmpty) Array.empty
-    else Array(org.apache.spark.sql.sources.In("url", urlKeys.toArray[Any]))
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = {
+    val u: Seq[org.apache.spark.sql.sources.Filter] =
+      if (urlKeys.isEmpty) Nil
+      else Seq(org.apache.spark.sql.sources.In("url", urlKeys.toArray[Any]))
+    (u ++ tsRowFilters).toArray
+  }
 
   /** Column-pruning pushdown: a `$changes` projection that skips `html`
     * must never decode the payload pages (the dominant bytes of a webtext
@@ -230,7 +289,9 @@ final class FeedScan(root: Path, pinnedVersion: Int, options: CaseInsensitiveStr
   override def readSchema(): StructType = required
   override def description(): String =
     s"GraftFeedScan($root, columns=[${required.fieldNames.mkString(",")}])" +
-      (if (urlKeys.nonEmpty) s" urlKeys=${urlKeys.mkString(",")}" else "")
+      (if (urlKeys.nonEmpty) s" urlKeys=${urlKeys.mkString(",")}" else "") +
+      tsLo.fold("") { case (x, s) => s" ts${if (s) ">" else ">="}$x" } +
+      tsHi.fold("") { case (y, s) => s" ts${if (s) "<" else "<="}$y" }
 
   /** BATCH mode — the `table_changes` shape (Delta CDF / Iceberg changelog
     * scan): `spark.read.format("graft-feed")` returns the physical winner
@@ -272,10 +333,12 @@ final class FeedScan(root: Path, pinnedVersion: Int, options: CaseInsensitiveStr
       }
     FeedSource.guardSchema(files, pinnedVersion)
     new FeedBatch(files
-      .filter { case (_, f) => FeedSource.fileAdmits(root, f, urlKeys) }
+      .filter { case (_, f) =>
+        FeedSource.fileAdmits(root, f, urlKeys) &&
+          FeedSource.fileAdmitsTime(f, tsLo, tsHi) }
       .map { case (id, f) =>
         FeedInputPartition(root.resolve(f.path).toString, f.bytes, f.schemaVersion, id)
-      }.toArray, pinnedVersion, required)
+      }.toArray, pinnedVersion, required, pushedFilters().toSeq)
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new FeedMicroBatchStream(root, pinnedVersion,
@@ -319,10 +382,11 @@ final case class FeedInputPartition(
   * [[FeedScan.toBatch]] — the span is resolved at planning time, so the
   * DataFrame is stable even while the table keeps committing). */
 final class FeedBatch(partitions: Array[InputPartition], pinnedVersion: Int,
-    required: StructType) extends Batch {
+    required: StructType,
+    rowFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = partitions
   override def createReaderFactory(): PartitionReaderFactory =
-    FeedSource.readerFactory(pinnedVersion, required)
+    FeedSource.readerFactory(pinnedVersion, required, rowFilters)
 }
 
 final class FeedMicroBatchStream(root: Path, pinnedVersion: Int,
@@ -442,7 +506,12 @@ final class FeedMicroBatchStream(root: Path, pinnedVersion: Int,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    FeedSource.readerFactory(pinnedVersion, outSchema)
+    FeedSource.readerFactory(pinnedVersion, outSchema,
+      // the urlKeys point predicate also skips row groups INSIDE admitted
+      // files (the batch path gets this from pushed filters; streaming
+      // scans receive no filter pushdown, so derive it from the option)
+      if (urlKeys.isEmpty) Nil
+      else Seq(org.apache.spark.sql.sources.In("url", urlKeys.toArray[Any])))
 
   /** Epoch durable: advance the owned lease to the committed cursor so
     * expiry keeps the feed's forward span readable. */

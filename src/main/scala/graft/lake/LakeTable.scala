@@ -484,7 +484,22 @@ final class LakeTable(val root: Path) {
       if (dictDefault) w
       else Seq("url", "html", "text").foldLeft(w)(
         (b, c) => b.option(s"parquet.enable.dictionary#$c", "false"))
-    dictOff.parquet(outDir.toString)
+    // Timestamps as TIMESTAMP_MICROS, not Spark's legacy INT96 default:
+    // INT96 footers carry no usable min/max, which would silently kill the
+    // manifest's warc_ts bounds (the time-range file prune). Parquet writers
+    // read this from the SESSION conf (there is no per-write option and
+    // prepareWrite overwrites any hadoop-conf value), so set-and-restore
+    // around the job. A concurrent graft write racing the restore can only
+    // leave MICROS set — a standards-compliant encoding every reader
+    // handles per-file; correctness is unaffected either way.
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTsType = df.sparkSession.conf.getOption(tsKey)
+    df.sparkSession.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try dictOff.parquet(outDir.toString)
+    finally prevTsType match {
+      case Some(v) => df.sparkSession.conf.set(tsKey, v)
+      case None => df.sparkSession.conf.unset(tsKey)
+    }
     mark("spark-job")
     // enumerate written files
     val found = Vector.newBuilder[(Path, Int)]
@@ -502,9 +517,10 @@ final class LakeTable(val root: Path) {
       } finally ds.close()
     }
     val out = found.result().par.map { case (p, b) =>
-      val (rows, uMin, uMax) = LakeTable.parquetStats(p, "url")
+      val (rows, uMin, uMax, tsMin, tsMax) =
+        LakeTable.parquetStatsWithTs(p, "url", "warc_ts")
       DataFile(root.relativize(p).toString, b, rows, uMin, uMax, schemaVersion,
-        Files.size(p))
+        Files.size(p), tsMinMicros = tsMin, tsMaxMicros = tsMax)
     }.toVector.seq.sortBy(f => (f.bucket, f.path))
     mark("footer-stats")
     out
@@ -603,6 +619,17 @@ object LakeTable {
   val NoStatsMin = ""
   val NoStatsMax = "￿"
 
+  /** A pushed timestamp literal (java.sql.Timestamp, or java.time.Instant
+    * under spark.sql.datetime.java8API.enabled) → epoch micros; None for
+    * value shapes the time-range prune doesn't handle. */
+  def tsLiteralMicros(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case i: java.time.Instant =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+    case _ => None
+  }
+
   /** Unsigned byte-wise comparison of the UTF-8 encodings — the ordering
     * Spark's `min`/`max` over strings (UTF8String.binaryCompare) and parquet
     * binary stats both use. Java `String.compareTo` is UTF-16 code-unit
@@ -644,6 +671,64 @@ object LakeTable {
       (rows,
         if (mn == null) NoStatsMin else new String(mn, StandardCharsets.UTF_8),
         if (mx == null) NoStatsMax else new String(mx, StandardCharsets.UTF_8))
+    } finally r.close()
+  }
+
+  /** (rowCount, urlMin, urlMax, tsMinMicros, tsMaxMicros) in ONE footer
+    * open — the url string stats of [[parquetStats]] plus the INT64 bounds
+    * of `tsColumn` (epoch micros; graft writes timestamps as
+    * TIMESTAMP_MICROS — see [[LakeTable.writeDataFilesTo]]). Falls back to
+    * the unbounded sentinels when the column's physical type is not INT64
+    * (legacy INT96 files carry no usable stats), stats are absent, or the
+    * footer reports nulls — a prune must then admit the file. */
+  def parquetStatsWithTs(p: Path, urlColumn: String, tsColumn: String)
+      : (Long, String, String, Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toUri), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val rows = r.getRecordCount
+      var mn: Array[Byte] = null
+      var mx: Array[Byte] = null
+      var tsMn = DataFile.NoTsMin
+      var tsMx = DataFile.NoTsMax
+      var tsOk = true // every row group must contribute usable bounds
+      var tsSeen = false
+      r.getFooter.getBlocks.asScala.foreach { b =>
+        b.getColumns.asScala.foreach { c =>
+          val dot = c.getPath.toDotString
+          if (dot == urlColumn) {
+            val st = c.getStatistics
+            if (st != null && st.hasNonNullValue) {
+              val bmin = st.getMinBytes
+              val bmax = st.getMaxBytes
+              if (mn == null || java.util.Arrays.compareUnsigned(bmin, mn) < 0) mn = bmin
+              if (mx == null || java.util.Arrays.compareUnsigned(bmax, mx) > 0) mx = bmax
+            }
+          } else if (dot == tsColumn) {
+            tsSeen = true
+            val st = c.getStatistics
+            val int64 = c.getPrimitiveType.getPrimitiveTypeName ==
+              org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64
+            if (int64 && st != null && st.hasNonNullValue &&
+                st.isNumNullsSet && st.getNumNulls == 0) {
+              val lo = st.genericGetMin.asInstanceOf[java.lang.Long].longValue()
+              val hi = st.genericGetMax.asInstanceOf[java.lang.Long].longValue()
+              if (tsMn == DataFile.NoTsMin || lo < tsMn) tsMn = lo
+              if (tsMx == DataFile.NoTsMax || hi > tsMx) tsMx = hi
+            } else tsOk = false
+          }
+        }
+      }
+      val (outMn, outMx) =
+        if (tsOk && tsSeen && rows > 0) (tsMn, tsMx)
+        else (DataFile.NoTsMin, DataFile.NoTsMax)
+      (rows,
+        if (mn == null) NoStatsMin else new String(mn, StandardCharsets.UTF_8),
+        if (mx == null) NoStatsMax else new String(mx, StandardCharsets.UTF_8),
+        outMn, outMx)
     } finally r.close()
   }
 

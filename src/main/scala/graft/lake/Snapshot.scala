@@ -31,12 +31,28 @@ final case class DataFile(
       * every row keeps its (warc_ts, offset, partition) envelope, so the
       * k-way resolve-on-read picks the same winner whatever the layout.
       * Absent in pre-tier manifests → 0 (one full fold re-stamps). */
-    tier: Int = 0)
+    tier: Int = 0,
+    /** Event-time bounds of the file's `warc_ts` column in epoch MICROS,
+      * from the parquet footer. Sentinels ([[DataFile.NoTsMin]] /
+      * [[DataFile.NoTsMax]]) mean "unbounded" — pre-stats manifests, files
+      * whose footers carry no usable stats (legacy INT96 encoding), or a
+      * footer reporting nulls in the column. Pruning must ADMIT unbounded
+      * files. Used by the time-range prune: on the LWW-resolved read only
+      * LOWER-bound predicates may skip files (see GraftLakeScan — dropping
+      * a file of NEWER rows could un-shadow an older version); the raw
+      * change feed may prune on both bounds. */
+    tsMinMicros: Long = DataFile.NoTsMin,
+    tsMaxMicros: Long = DataFile.NoTsMax)
 
 object DataFile {
   val TierBase = 0
   val TierMid = 1
   val TierDelta = 2
+
+  /** "Unbounded" event-time sentinels: a prune must treat them as admitting
+    * every predicate (they are NOT real bounds). */
+  val NoTsMin: Long = Long.MinValue
+  val NoTsMax: Long = Long.MaxValue
 }
 
 /** Lineage of one binlog partition within one committed batch
@@ -83,6 +99,10 @@ final case class Snapshot(
       o.put("url_min", f.urlMin); o.put("url_max", f.urlMax)
       o.put("schema_version", f.schemaVersion); o.put("bytes", f.bytes)
       o.put("tier", f.tier)
+      // ts bounds only when real — unbounded sentinels stay implicit, so
+      // pre-stats manifests and stat-less files round-trip unchanged
+      if (f.tsMinMicros != DataFile.NoTsMin) o.put("ts_min", f.tsMinMicros)
+      if (f.tsMaxMicros != DataFile.NoTsMax) o.put("ts_max", f.tsMaxMicros)
     }
     val ba = root.putArray("batches")
     batches.foreach { b =>
@@ -112,7 +132,9 @@ object Snapshot {
       DataFile(o.get("path").asText(), o.get("bucket").asInt(), o.get("row_count").asLong(),
         o.get("url_min").asText(), o.get("url_max").asText(),
         o.get("schema_version").asInt(), o.get("bytes").asLong(),
-        tier = if (o.has("tier")) o.get("tier").asInt() else 0)
+        tier = if (o.has("tier")) o.get("tier").asInt() else 0,
+        tsMinMicros = if (o.has("ts_min")) o.get("ts_min").asLong() else DataFile.NoTsMin,
+        tsMaxMicros = if (o.has("ts_max")) o.get("ts_max").asLong() else DataFile.NoTsMax)
     }.toVector
     val batches = arr(root, "batches").map { o =>
       BatchMarker(o.get("batch_id").asLong(),

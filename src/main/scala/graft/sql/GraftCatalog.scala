@@ -302,6 +302,8 @@ final class GraftLakeScan(lake: LakeTable, snapshotId: Option[Long],
   override def description(): String =
     s"GraftLakeScan(${lake.root}${if (raw) ", raw" else ""})" +
       (if (urlKeys.nonEmpty) s" urlKeys=${urlKeys.mkString(",")}" else "") +
+      tsLower.fold("") { case (lo, strict) =>
+        s" tsLower${if (strict) ">" else ">="}$lo" } +
       required.fold("")(r => s" columns=[${r.fieldNames.mkString(",")}]")
   override def toBatch: Batch = this
 
@@ -311,10 +313,25 @@ final class GraftLakeScan(lake: LakeTable, snapshotId: Option[Long],
   // [urlMin, urlMax] admit the key. All filters stay residual — Spark
   // re-applies them above the scan, so pruning can only skip, never lie.
   private var urlKeys: Seq[String] = Nil
+  private var urlRowFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil
+
+  // --- event-time pushdown: ONLY a lower bound on warc_ts may prune this
+  // scan. The emitted rows are LWW winners (max (warc_ts, offset, partition)
+  // envelope per url), and max-resolution commutes with a lower bound:
+  // skipping a file whose every row is older than X either skips a url
+  // entirely (its winner was older than X — the residual filter would have
+  // dropped it) or promotes an older loser (also < X — residual-dropped).
+  // An UPPER bound does NOT commute: skipping a file of NEWER rows would
+  // un-shadow an older version (or un-delete a tombstoned url) and emit a
+  // row the full read never produces — so `warc_ts <= Y` must never prune
+  // here (the raw change feed, which does no resolution, may use both
+  // bounds — see FeedScan). `tsLower` = (bound in epoch micros, strict).
+  private var tsLower: Option[(Long, Boolean)] = None
+  private var tsRowFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil
 
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
-    import org.apache.spark.sql.sources.{EqualTo, In}
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan, GreaterThanOrEqual, In}
     val keys = filters.collectFirst {
       case EqualTo("url", v: String) => Seq(v)
       // null list entries never match url (non-null key) — drop, don't NPE
@@ -322,15 +339,48 @@ final class GraftLakeScan(lake: LakeTable, snapshotId: Option[Long],
         vs.toSeq.collect { case s: String => s }
     }.filter(_.nonEmpty)
     urlKeys = keys.getOrElse(Nil)
+    urlRowFilters = filters.collect {
+      case f @ EqualTo("url", _: String) => f
+      case f @ In("url", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) => f
+    }.take(1).toSeq
+    // strongest lower bound across conjuncts (Spark hands top-level AND
+    // legs as separate array entries); an EqualTo contributes its implied
+    // inclusive lower bound — but only the BOUND, never the equality (a
+    // row-level equality would drop the true winner and un-shadow losers)
+    val lowers = filters.toSeq.flatMap {
+      case GreaterThan("warc_ts", v) => GraftLakeScan.tsMicros(v).map(m => (m, true, true))
+      case GreaterThanOrEqual("warc_ts", v) => GraftLakeScan.tsMicros(v).map(m => (m, false, false))
+      case EqualTo("warc_ts", v) => GraftLakeScan.tsMicros(v).map(m => (m, false, false))
+      case _ => None
+    }
+    tsLower = lowers.sortBy(l => (-l._1, !l._2)).headOption.map(l => (l._1, l._2))
+    tsRowFilters = filters.collect {
+      case f @ GreaterThan("warc_ts", v) if GraftLakeScan.tsMicros(v).nonEmpty => f
+      case f @ GreaterThanOrEqual("warc_ts", v) if GraftLakeScan.tsMicros(v).nonEmpty => f
+      case EqualTo("warc_ts", v) if GraftLakeScan.tsMicros(v).nonEmpty =>
+        GreaterThanOrEqual("warc_ts", v)
+    }.take(1).toSeq
     filters // everything residual
   }
 
-  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
-    if (urlKeys.isEmpty) Array.empty
-    else Array(org.apache.spark.sql.sources.In("url", urlKeys.toArray[Any]))
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = {
+    val u: Seq[org.apache.spark.sql.sources.Filter] =
+      if (urlKeys.isEmpty) Nil
+      else Seq(org.apache.spark.sql.sources.In("url", urlKeys.toArray[Any]))
+    (u ++ tsRowFilters).toArray
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val byBucket = snap.files.groupBy(_.bucket)
+    // event-time file prune (lower bound only — see tsLower above): a file
+    // whose manifest tsMax lies strictly below the bound cannot hold the
+    // emitted winner of any url that survives the residual filter
+    val timeAdmitted = tsLower match {
+      case None => snap.files
+      case Some((lo, strict)) => snap.files.filter(f =>
+        f.tsMaxMicros == graft.lake.DataFile.NoTsMax ||
+          (if (strict) f.tsMaxMicros > lo else f.tsMaxMicros >= lo))
+    }
+    val byBucket = timeAdmitted.groupBy(_.bucket)
       .filter { case (b, _) => bucketFilter.forall(_.contains(b)) }
     val selected =
       if (urlKeys.isEmpty) byBucket
@@ -382,12 +432,25 @@ final class GraftLakeScan(lake: LakeTable, snapshotId: Option[Long],
           dataSchema = phys,
           partitionSchema = new StructType(),
           requiredSchema = physRequired,
-          filters = Nil,
+          // row-group/page-level skipping INSIDE admitted files, built from
+          // the same sound-for-LWW set the file prune uses: url equality/IN
+          // (other urls' rows never affect a looked-up url's winner) and
+          // the warc_ts LOWER bound (losers it drops lose anyway; winners
+          // it drops are residual-filtered). Parquet quietly skips the
+          // predicate on files whose physical type can't evaluate it
+          // (legacy INT96) — both columns exist in every schema version.
+          filters = urlRowFilters ++ tsRowFilters,
           options = Map(org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "false"),
           hadoopConf = spark.sessionState.newHadoopConf())
     }.toMap
     new GraftBucketReaderFactory(readers, scanSchema, out)
   }
+}
+
+object GraftLakeScan {
+  /** See [[graft.lake.LakeTable.tsLiteralMicros]]. */
+  private[sql] def tsMicros(v: Any): Option[Long] =
+    graft.lake.LakeTable.tsLiteralMicros(v)
 }
 
 final class GraftBucketReaderFactory(

@@ -103,6 +103,10 @@ object GraftMetaTable {
       StructField("bytes", LongType, nullable = false),
       StructField("url_min", StringType, nullable = true),
       StructField("url_max", StringType, nullable = true),
+      // event-time bounds in epoch micros; null = unbounded (pre-stats
+      // manifest or a stat-less footer) — the time-range prune admits those
+      StructField("ts_min", LongType, nullable = true),
+      StructField("ts_max", LongType, nullable = true),
       StructField("schema_version", IntegerType, nullable = false)))
     case "batches" => StructType(Seq(
       StructField("batch_id", LongType, nullable = false),
@@ -125,7 +129,10 @@ object GraftMetaTable {
     case "files" =>
       lake.currentSnapshot.files.sortBy(f => (f.bucket, f.path)).map { f =>
         Array[Any](f.path, f.bucket, f.tier, f.rowCount, f.bytes,
-          f.urlMin, f.urlMax, f.schemaVersion)
+          f.urlMin, f.urlMax,
+          if (f.tsMinMicros == graft.lake.DataFile.NoTsMin) null else f.tsMinMicros,
+          if (f.tsMaxMicros == graft.lake.DataFile.NoTsMax) null else f.tsMaxMicros,
+          f.schemaVersion)
       }
     case "batches" =>
       lake.currentSnapshot.batches.sortBy(_.batchId).flatMap { b =>

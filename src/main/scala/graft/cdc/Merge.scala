@@ -656,9 +656,9 @@ object Merge {
         files = untouched ++ newFiles,
         batches = snap.batches :+ BatchMarker(batchId, lineage, upserts, deletes),
         totalRows = newTotal)
-      table.commit(next)
+      val committed = table.commit(next)
       mark("commit")
-      next
+      committed
     } finally { if (!callerCached) withBucket.unpersist(): Unit }
   }
 }

@@ -60,6 +60,29 @@ final class LakeTable(val root: Path) {
     } finally s.close()
   }
 
+  /** `TIMESTAMP AS OF` resolution: the LATEST retained snapshot whose commit
+    * wall-clock stamp is ≤ `tsMs`. Commit stamps are strictly monotonic per
+    * table ([[commit]]), so among stamped snapshots id-order and time-order
+    * agree and the answer is unambiguous. Pre-stamp snapshots (legacy
+    * manifests, commitTsMs = −1) are not timestamp-addressable and are
+    * skipped; a `tsMs` older than every stamped retained snapshot fails
+    * loudly (the span may have been expired — same contract as a
+    * non-retained `VERSION AS OF`). */
+  def snapshotAsOfTimestampMs(tsMs: Long): Long = {
+    val stamped = snapshotIds.flatMap { id =>
+      val ts = snapshot(id).commitTsMs
+      if (ts >= 0) Some((id, ts)) else None
+    }
+    require(stamped.nonEmpty,
+      s"table at $root has no commit-timestamped snapshots — use VERSION AS OF")
+    val ok = stamped.filter(_._2 <= tsMs)
+    require(ok.nonEmpty,
+      s"no retained snapshot as of ${java.time.Instant.ofEpochMilli(tsMs)} — " +
+        s"oldest retained commit is ${java.time.Instant.ofEpochMilli(stamped.head._2)} " +
+        s"(snapshot ${stamped.head._1})")
+    ok.last._1
+  }
+
   /** Pin a snapshot against [[Maintain.expireSnapshots]]: a lease file a
     * long-running reader (time travel, incremental consumer) holds so GC
     * cannot delete the metadata/files under it — NOR of any LATER snapshot
@@ -159,17 +182,24 @@ final class LakeTable(val root: Path) {
     * reference; a losing thread gets [[CommitConflict]] and can rebase via
     * [[commitAppend]]/[[commitReplace]]). Cross-process writers would need
     * an external catalog lock, as in Iceberg — out of scope here. */
-  def commit(next: Snapshot): Unit = LakeTable.commitLock(root).synchronized {
+  def commit(next: Snapshot): Snapshot = LakeTable.commitLock(root).synchronized {
     val cur = currentSnapshotId
     if (next.parentId != cur) throw new CommitConflict(
       s"concurrent commit detected: parent ${next.parentId} != current $cur")
+    // wall-clock commit stamp, strictly monotonic per table (max(now,
+    // parent+1)) — rollback included: a rollback is a NEW commit at now, so
+    // `TIMESTAMP AS OF` history stays totally ordered. Caller-set values are
+    // deliberately overwritten: the stamp is the commit's, not the builder's.
+    val stamped = next.copy(commitTsMs =
+      math.max(System.currentTimeMillis(), snapshot(cur).commitTsMs + 1))
     val tmp = metaDir.resolve(s".snap-${next.snapshotId}.json.tmp")
-    Files.write(tmp, next.toJson.getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp, stamped.toJson.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, snapFile(next.snapshotId), StandardCopyOption.ATOMIC_MOVE)
     val vTmp = metaDir.resolve(s".VERSION.${next.snapshotId}.tmp")
     Files.write(vTmp, next.snapshotId.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(vTmp, versionFile, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    stamped
   }
 
   /** ADD-ONLY commit with rebase: append `added` files (and optionally a
@@ -213,7 +243,6 @@ final class LakeTable(val root: Path) {
           batches = marker.fold(cur.batches)(cur.batches :+ _),
           totalRows = cur.totalRows + added.map(_.rowCount).sum)
         commit(next)
-        next
       }
     }
 
@@ -240,7 +269,6 @@ final class LakeTable(val root: Path) {
           files = keep ++ added,
           totalRows = keep.map(_.rowCount).sum + added.map(_.rowCount).sum)
         commit(next)
-        next
       }
     }
 
@@ -295,7 +323,6 @@ final class LakeTable(val root: Path) {
       val next = target.copy(snapshotId = cur.snapshotId + 1,
         parentId = cur.snapshotId)
       commit(next)
-      next
     }
 
   /** Evolve the table's logical schema (add column / widen type): a pure
@@ -310,7 +337,6 @@ final class LakeTable(val root: Path) {
     val next = snap.copy(snapshotId = snap.snapshotId + 1, parentId = snap.snapshotId,
       schemaVersion = newVersion)
     commit(next)
-    next
   }
 
   /** Read the table at a snapshot (default: current) as a DataFrame in the
@@ -580,11 +606,13 @@ object LakeTable {
     Files.createDirectories(meta)
     Files.createDirectories(root.resolve("data"))
     val t = new LakeTable(root)
-    val snap0 = Snapshot(0L, -1L, schemaVersion, nBuckets, Vector.empty, Vector.empty, 0L)
+    val snap0 = Snapshot(0L, -1L, schemaVersion, nBuckets, Vector.empty, Vector.empty, 0L,
+      commitTsMs = System.currentTimeMillis())
     // REPLACE_EXISTING like commit(): a crashed-then-retried create (or two
-    // racing creators of the same empty table) must land on the identical
+    // racing creators of the same empty table) must land on equivalent
     // content, not throw FileAlreadyExists on filesystems where ATOMIC_MOVE
-    // alone refuses to overwrite
+    // alone refuses to overwrite (the contents differ only in the wall-clock
+    // commit stamp — either stamp is a valid creation time)
     val sTmp = meta.resolve(".snap-0.json.tmp")
     Files.write(sTmp, snap0.toJson.getBytes(StandardCharsets.UTF_8))
     Files.move(sTmp, meta.resolve("snap-0.json"),

@@ -117,7 +117,6 @@ object Maintain {
       nBuckets = newBuckets, files = newFiles,
       totalRows = newFiles.map(_.rowCount).sum)
     table.commit(next)
-    next
     } finally pin.release()
   }
 
@@ -203,7 +202,6 @@ object Maintain {
           nBuckets = newBuckets, files = files,
           totalRows = files.map(_.rowCount).sum)
         table.commit(next)
-        next
       }
     } finally pin.release()
   }
@@ -264,14 +262,23 @@ object Maintain {
     * snapshots. Runs under the table's commit lock so it cannot race a
     * concurrent [[LakeTable.pin]] in this JVM. */
   def expireSnapshots(table: LakeTable, keepLast: Int,
-      ignorePinsOlderThanMs: Long = Long.MaxValue): (Int, Int) =
+      ignorePinsOlderThanMs: Long = Long.MaxValue,
+      olderThanMs: Long = Long.MaxValue): (Int, Int) =
       LakeTable.commitLock(table.root).synchronized {
     require(keepLast >= 1)
     val ids = table.snapshotIds
     val pinned = table.pinnedSnapshotIds(ignorePinsOlderThanMs).filter(ids.contains)
     val minPinned = if (pinned.isEmpty) Long.MaxValue else pinned.min
+    // time-based retention (Iceberg expire_snapshots(older_than)): only
+    // snapshots COMMITTED before `olderThanMs` are eligible — a recent span
+    // stays time-travel/changefeed-readable however many commits land.
+    // Unstamped legacy snapshots (commitTsMs −1) carry no age evidence, so
+    // only the count/pin rules protect them.
+    val newEnough =
+      if (olderThanMs == Long.MaxValue) Set.empty[Long]
+      else ids.filter(id => table.snapshot(id).commitTsMs >= olderThanMs).toSet
     val retain = ids.takeRight(keepLast).toSet + table.currentSnapshotId ++
-      ids.filter(_ >= minPinned)
+      ids.filter(_ >= minPinned) ++ newEnough
     val expire = ids.filterNot(retain.contains)
     if (expire.isEmpty) return (0, 0)
     val referenced: Set[String] =

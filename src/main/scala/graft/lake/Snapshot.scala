@@ -80,7 +80,13 @@ final case class Snapshot(
     nBuckets: Int,
     files: Vector[DataFile],
     batches: Vector[BatchMarker],
-    totalRows: Long) {
+    totalRows: Long,
+    /** Wall-clock commit time in epoch MILLIS, stamped by [[LakeTable.commit]]
+      * strictly monotonically per table (max(now, parent+1)) so `TIMESTAMP AS
+      * OF` resolves unambiguously even when commits land within one
+      * millisecond. −1 = unknown (pre-stamp manifests) — such snapshots are
+      * not timestamp-resolvable, only `VERSION AS OF`-addressable. */
+    commitTsMs: Long = -1L) {
 
   def committedBatchIds: Set[Long] = batches.map(_.batchId).toSet
 
@@ -92,6 +98,8 @@ final case class Snapshot(
     root.put("schema_version", schemaVersion)
     root.put("n_buckets", nBuckets)
     root.put("total_rows", totalRows)
+    // only when stamped — pre-stamp manifests round-trip unchanged
+    if (commitTsMs >= 0) root.put("commit_ts_ms", commitTsMs)
     val fa = root.putArray("files")
     files.foreach { f =>
       val o = fa.addObject()
@@ -144,6 +152,7 @@ object Snapshot {
     }.toVector
     Snapshot(root.get("snapshot_id").asLong(), root.get("parent_id").asLong(),
       root.get("schema_version").asInt(), root.get("n_buckets").asInt(),
-      files, batches, root.get("total_rows").asLong())
+      files, batches, root.get("total_rows").asLong(),
+      commitTsMs = if (root.has("commit_ts_ms")) root.get("commit_ts_ms").asLong() else -1L)
   }
 }

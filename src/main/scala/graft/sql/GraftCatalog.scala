@@ -109,6 +109,18 @@ class GraftCatalog extends TableCatalog
     new GraftSqlTable(lake, s"$ident@v$version", pinnedSnapshot = Some(id))
   }
 
+  /** Time travel: `SELECT … FROM graft.t TIMESTAMP AS OF <ts>`. Spark hands
+    * the timestamp in epoch MICROS; resolution picks the latest retained
+    * snapshot committed at or before it (commit stamps are strictly
+    * monotonic per table — see [[graft.lake.LakeTable.commit]]). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = rootOf(ident)
+    if (!LakeTable.exists(root)) throw new NoSuchTableException(ident)
+    val lake = LakeTable.load(root)
+    val id = lake.snapshotAsOfTimestampMs(Math.floorDiv(timestamp, 1000L))
+    new GraftSqlTable(lake, s"$ident@t$timestamp", pinnedSnapshot = Some(id))
+  }
+
   /** CREATE TABLE accepts any VERSION of the web-page schema (newest match
     * wins): declaring `content_len INT` without `lang` creates a v1 table,
     * which `ALTER TABLE` can later evolve. */
@@ -221,7 +233,9 @@ final class GraftSqlTable(val lake: LakeTable, ident: String,
       TableCapability.STREAMING_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLakeScan(lake,
-      pinnedSnapshot.orElse(Option(options.get("snapshotId")).map(_.toLong)))
+      pinnedSnapshot.orElse(Option(options.get("snapshotId")).map(_.toLong))
+        .orElse(Option(options.get("asOfTimestampMs"))
+          .map(ms => lake.snapshotAsOfTimestampMs(ms.toLong))))
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new org.apache.spark.sql.connector.write.WriteBuilder {

@@ -89,6 +89,9 @@ object GraftMetaTable {
     case "snapshots" => StructType(Seq(
       StructField("snapshot_id", LongType, nullable = false),
       StructField("parent_id", LongType, nullable = false),
+      // commit wall-clock in epoch millis; null = pre-stamp manifest (not
+      // TIMESTAMP AS OF-addressable, only VERSION AS OF)
+      StructField("commit_ts_ms", LongType, nullable = true),
       StructField("schema_version", IntegerType, nullable = false),
       StructField("n_buckets", IntegerType, nullable = false),
       StructField("n_files", IntegerType, nullable = false),
@@ -123,7 +126,9 @@ object GraftMetaTable {
   def rowsOf(lake: LakeTable, kind: String): Seq[Array[Any]] = kind match {
     case "snapshots" =>
       lake.snapshotIds.sorted.map(lake.snapshot).map { s =>
-        Array[Any](s.snapshotId, s.parentId, s.schemaVersion, s.nBuckets,
+        Array[Any](s.snapshotId, s.parentId,
+          if (s.commitTsMs < 0) null else s.commitTsMs,
+          s.schemaVersion, s.nBuckets,
           s.files.size, s.batches.size, s.files.map(_.bytes).sum, s.totalRows)
       }
     case "files" =>

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.lake.{LakeTable, Maintain}
@@ -60,12 +60,20 @@ object GraftProcedures {
           Array[Any](prev, next.snapshotId)
         })
       case "expire_snapshots" => proc("expire_snapshots",
-        "Expire snapshots beyond keep_last and delete their orphaned files",
-        Seq(in("table", StringType), in("keep_last", LongType)),
+        "Expire snapshots beyond keep_last (and, if older_than is given, " +
+          "only those committed before it) and delete their orphaned files",
+        Seq(in("table", StringType), in("keep_last", LongType),
+          // optional: time-based retention off the monotonic commit stamps
+          ProcedureParameter.in("older_than", TimestampType)
+            .defaultValue("CAST(NULL AS TIMESTAMP)").build()),
         Seq("expired_snapshots" -> LongType, "deleted_files" -> LongType),
         args => {
           val t = LakeTable.load(root(args.getUTF8String(0).toString))
-          val (snaps, files) = Maintain.expireSnapshots(t, args.getLong(1).toInt)
+          val olderThanMs =
+            if (args.numFields < 3 || args.isNullAt(2)) Long.MaxValue
+            else Math.floorDiv(args.getLong(2), 1000L) // micros → ms
+          val (snaps, files) = Maintain.expireSnapshots(t, args.getLong(1).toInt,
+            olderThanMs = olderThanMs)
           Array[Any](snaps.toLong, files.toLong)
         })
       case "compact" => proc("compact",

@@ -363,6 +363,109 @@ class GraftSqlSpec extends SparkSpec {
       spark.sql("SELECT * FROM graft.tt2 VERSION AS OF 99999").collect())
   }
 
+  test("time travel: TIMESTAMP AS OF resolves by strictly monotonic commit stamps") {
+    enable()
+    spark.sql("DROP TABLE IF EXISTS graft.tt3")
+    spark.sql("CREATE TABLE graft.tt3 (url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, content_len BIGINT, lang STRING) USING graft TBLPROPERTIES('buckets'='2')")
+    def insert(base: Long, n: Int): Unit = spark.sql(
+      s"""INSERT INTO graft.tt3
+         |SELECT concat('w', id + $base), timestamp_micros(1700000000000000 + $base + id),
+         |  cast('<p>x</p>' AS BINARY), CAST(NULL AS STRING), CAST(NULL AS BIGINT), 'en'
+         |FROM range($n)""".stripMargin)
+    insert(0, 10)
+    val lake = graft.lake.LakeTable.load(java.nio.file.Paths.get(wh, "tt3"))
+    val v1 = lake.currentSnapshotId
+    insert(100, 5)
+
+    // stamps exist and strictly increase across ALL snapshots (two commits
+    // inside one millisecond must still be totally ordered)
+    val stamps = lake.snapshotIds.map(lake.snapshot(_).commitTsMs)
+    assert(stamps.forall(_ >= 0))
+    assert(stamps.zip(stamps.tail).forall { case (a, b) => a < b }, stamps)
+
+    def fmt(ms: Long): String = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(ms))
+    def countAsOf(ms: Long): Long =
+      spark.sql(s"SELECT count(*) FROM graft.tt3 TIMESTAMP AS OF '${fmt(ms)}'")
+        .head().getLong(0)
+
+    // every retained snapshot is addressable at exactly its commit stamp,
+    // and 1ms earlier resolves to its parent
+    for (id <- lake.snapshotIds) {
+      val s = lake.snapshot(id)
+      val atVersion = spark.sql(s"SELECT count(*) FROM graft.tt3 VERSION AS OF $id")
+        .head().getLong(0)
+      assert(countAsOf(s.commitTsMs) == atVersion, s"as-of stamp of snapshot $id")
+      if (s.parentId >= 0)
+        assert(countAsOf(s.commitTsMs - 1) ==
+          spark.sql(s"SELECT count(*) FROM graft.tt3 VERSION AS OF ${s.parentId}")
+            .head().getLong(0), s"as-of stamp-1ms of snapshot $id")
+    }
+    // before genesis → loud error; far future → current state
+    val oldest = lake.snapshot(lake.snapshotIds.head).commitTsMs
+    val e = intercept[Exception](countAsOf(oldest - 1))
+    assert(e.getMessage != null)
+    assert(countAsOf(System.currentTimeMillis() + 3600000L) == 15)
+
+    // DataFrame read option equivalence (library surface, no SQL parser)
+    val viaOption = spark.read
+      .option("asOfTimestampMs", lake.snapshot(v1).commitTsMs.toString)
+      .table("graft.tt3").count()
+    assert(viaOption == 10)
+
+    // $snapshots surfaces the stamps (null would mean a pre-stamp manifest)
+    val metaStamps = spark.sql(
+      "SELECT snapshot_id, commit_ts_ms FROM graft.`tt3$snapshots` ORDER BY snapshot_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(metaStamps.map(_._2).toSeq == stamps)
+
+    // a rollback is a NEW commit at now: stamps stay monotonic and the
+    // rollback snapshot is what TIMESTAMP AS OF now resolves to
+    spark.sql(s"CALL graft.system.rollback_to_snapshot('tt3', $v1)").collect()
+    val after = lake.snapshotIds.map(lake.snapshot(_).commitTsMs)
+    assert(after.zip(after.tail).forall { case (a, b) => a < b }, after)
+    assert(countAsOf(System.currentTimeMillis() + 3600000L) == 10)
+
+    // legacy manifests (no commit_ts_ms) read back as unstamped and are
+    // refused timestamp resolution rather than silently mis-resolved
+    val legacy = graft.lake.Snapshot.fromJson(
+      lake.currentSnapshot.copy(commitTsMs = -1L).toJson)
+    assert(legacy.commitTsMs == -1L)
+  }
+
+  test("expire_snapshots(older_than): time-based retention off commit stamps") {
+    enable()
+    spark.sql("DROP TABLE IF EXISTS graft.tt4")
+    spark.sql("CREATE TABLE graft.tt4 (url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, content_len BIGINT, lang STRING) USING graft TBLPROPERTIES('buckets'='2')")
+    for (i <- 0 until 3) spark.sql(
+      s"""INSERT INTO graft.tt4
+         |SELECT concat('e', id + ${i * 100}), timestamp_micros(1700000000000000 + $i),
+         |  cast('<p>x</p>' AS BINARY), CAST(NULL AS STRING), CAST(NULL AS BIGINT), 'en'
+         |FROM range(3)""".stripMargin)
+    val lake = graft.lake.LakeTable.load(java.nio.file.Paths.get(wh, "tt4"))
+    val ids = lake.snapshotIds
+    assert(ids.size == 4, ids) // create + 3 inserts
+    // cutoff at the second insert's stamp: snapshots 0 and 1 are older,
+    // snapshot 2 is retained by its stamp even though keep_last is 1
+    val cut = lake.snapshot(ids(2)).commitTsMs
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(cut))
+    val r = spark.sql(
+      s"CALL graft.system.expire_snapshots('tt4', 1, TIMESTAMP '$fmt')").collect()
+    assert(r.head.getLong(0) == 2, s"expired ${r.head.getLong(0)} snapshots")
+    assert(lake.snapshotIds == ids.drop(2), lake.snapshotIds)
+    // retained span still readable; final state untouched
+    assert(spark.sql(s"SELECT count(*) FROM graft.tt4 VERSION AS OF ${ids(2)}")
+      .head().getLong(0) == 6)
+    assert(spark.sql("SELECT count(*) FROM graft.tt4").head().getLong(0) == 9)
+    // omitted older_than (NULL default) = pure count-based expiry, as before
+    val r2 = spark.sql("CALL graft.system.expire_snapshots('tt4', 1)").collect()
+    assert(r2.head.getLong(0) == 1)
+    assert(lake.snapshotIds == ids.takeRight(1), lake.snapshotIds)
+  }
+
   test("DELETE FROM plans onto the tombstone merge: durable, exactly-once, LWW-composed") {
     enable()
     spark.sql("CREATE TABLE graft.del (url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, content_len BIGINT, lang STRING) USING graft TBLPROPERTIES('buckets'='4')")

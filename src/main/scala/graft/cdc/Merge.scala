@@ -656,7 +656,7 @@ object Merge {
         files = untouched ++ newFiles,
         batches = snap.batches :+ BatchMarker(batchId, lineage, upserts, deletes),
         totalRows = newTotal)
-      val committed = table.commit(next)
+      val committed = table.commit(next, Some(snap.commitTsMs))
       mark("commit")
       committed
     } finally { if (!callerCached) withBucket.unpersist(): Unit }

@@ -160,7 +160,7 @@ object FeedSource {
     * [tsMin, tsMax] proves no row can satisfy the pushed range, and the
     * query's own filter is still re-applied above the scan. Unbounded
     * sentinels (pre-stats manifests, stat-less footers) always admit. */
-  private[lake] def fileAdmitsTime(f: DataFile,
+  private[graft] def fileAdmitsTime(f: DataFile,
       lo: Option[(Long, Boolean)], hi: Option[(Long, Boolean)]): Boolean = {
     val loOk = lo.forall { case (x, strict) =>
       f.tsMaxMicros == DataFile.NoTsMax ||

@@ -68,19 +68,29 @@ final class LakeTable(val root: Path) {
     * skipped; a `tsMs` older than every stamped retained snapshot fails
     * loudly (the span may have been expired — same contract as a
     * non-retained `VERSION AS OF`). */
-  def snapshotAsOfTimestampMs(tsMs: Long): Long = {
-    val stamped = snapshotIds.flatMap { id =>
+  def snapshotAsOfTimestampMs(tsMs: Long): Long =
+      LakeTable.commitLock(root).synchronized {
+    // newest-first walk with early exit: stamps are monotonic, so the first
+    // (highest-id) stamped snapshot at or below `tsMs` IS the answer —
+    // O(snapshots newer than tsMs) manifest reads, typically one, instead of
+    // parsing every retained manifest. Under the commit lock so a concurrent
+    // same-JVM expiry cannot delete a manifest mid-walk (cross-process
+    // writers are out of scope here, as in [[commit]]).
+    var oldestStamped: Option[(Long, Long)] = None // (id, stamp)
+    snapshotIds.reverseIterator.foreach { id =>
       val ts = snapshot(id).commitTsMs
-      if (ts >= 0) Some((id, ts)) else None
+      if (ts >= 0) {
+        if (ts <= tsMs) return id
+        oldestStamped = Some((id, ts))
+      }
     }
-    require(stamped.nonEmpty,
-      s"table at $root has no commit-timestamped snapshots — use VERSION AS OF")
-    val ok = stamped.filter(_._2 <= tsMs)
-    require(ok.nonEmpty,
-      s"no retained snapshot as of ${java.time.Instant.ofEpochMilli(tsMs)} — " +
-        s"oldest retained commit is ${java.time.Instant.ofEpochMilli(stamped.head._2)} " +
-        s"(snapshot ${stamped.head._1})")
-    ok.last._1
+    oldestStamped match {
+      case Some((id, ts)) => throw new IllegalArgumentException(
+        s"no retained snapshot as of ${java.time.Instant.ofEpochMilli(tsMs)} — " +
+          s"oldest retained commit is ${java.time.Instant.ofEpochMilli(ts)} (snapshot $id)")
+      case None => throw new IllegalArgumentException(
+        s"table at $root has no commit-timestamped snapshots — use VERSION AS OF")
+    }
   }
 
   /** Pin a snapshot against [[Maintain.expireSnapshots]]: a lease file a
@@ -182,7 +192,9 @@ final class LakeTable(val root: Path) {
     * reference; a losing thread gets [[CommitConflict]] and can rebase via
     * [[commitAppend]]/[[commitReplace]]). Cross-process writers would need
     * an external catalog lock, as in Iceberg — out of scope here. */
-  def commit(next: Snapshot): Snapshot = LakeTable.commitLock(root).synchronized {
+  def commit(next: Snapshot,
+      parentCommitTsMs: Option[Long] = None): Snapshot =
+      LakeTable.commitLock(root).synchronized {
     val cur = currentSnapshotId
     if (next.parentId != cur) throw new CommitConflict(
       s"concurrent commit detected: parent ${next.parentId} != current $cur")
@@ -190,8 +202,12 @@ final class LakeTable(val root: Path) {
     // parent+1)) — rollback included: a rollback is a NEW commit at now, so
     // `TIMESTAMP AS OF` history stays totally ordered. Caller-set values are
     // deliberately overwritten: the stamp is the commit's, not the builder's.
+    // Callers that already hold the parsed parent snapshot pass its stamp in
+    // (`parentCommitTsMs`) — the CAS above guarantees it IS the parent's —
+    // sparing an O(manifest) re-read+parse under the lock on the write path.
     val stamped = next.copy(commitTsMs =
-      math.max(System.currentTimeMillis(), snapshot(cur).commitTsMs + 1))
+      math.max(System.currentTimeMillis(),
+        parentCommitTsMs.getOrElse(snapshot(cur).commitTsMs) + 1))
     val tmp = metaDir.resolve(s".snap-${next.snapshotId}.json.tmp")
     Files.write(tmp, stamped.toJson.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, snapFile(next.snapshotId), StandardCopyOption.ATOMIC_MOVE)
@@ -242,7 +258,7 @@ final class LakeTable(val root: Path) {
           files = cur.files ++ added,
           batches = marker.fold(cur.batches)(cur.batches :+ _),
           totalRows = cur.totalRows + added.map(_.rowCount).sum)
-        commit(next)
+        commit(next, Some(cur.commitTsMs))
       }
     }
 
@@ -268,7 +284,7 @@ final class LakeTable(val root: Path) {
         val next = cur.copy(snapshotId = cur.snapshotId + 1, parentId = cur.snapshotId,
           files = keep ++ added,
           totalRows = keep.map(_.rowCount).sum + added.map(_.rowCount).sum)
-        commit(next)
+        commit(next, Some(cur.commitTsMs))
       }
     }
 
@@ -322,7 +338,7 @@ final class LakeTable(val root: Path) {
         }
       val next = target.copy(snapshotId = cur.snapshotId + 1,
         parentId = cur.snapshotId)
-      commit(next)
+      commit(next, Some(cur.commitTsMs))
     }
 
   /** Evolve the table's logical schema (add column / widen type): a pure
@@ -336,7 +352,7 @@ final class LakeTable(val root: Path) {
     TableSchemas.forVersion(newVersion) // validate
     val next = snap.copy(snapshotId = snap.snapshotId + 1, parentId = snap.snapshotId,
       schemaVersion = newVersion)
-    commit(next)
+    commit(next, Some(snap.commitTsMs))
   }
 
   /** Read the table at a snapshot (default: current) as a DataFrame in the
@@ -738,8 +754,18 @@ object LakeTable {
           } else if (dot == tsColumn) {
             tsSeen = true
             val st = c.getStatistics
+            // the physical type AND the logical unit must both be what the
+            // manifest promises: an INT64 TIMESTAMP_MILLIS footer (possible
+            // if a concurrent conf write races the session-level
+            // TIMESTAMP_MICROS pin in writeDataFilesTo) would otherwise be
+            // recorded as micros — bounds ~1000x off, pruning live rows
             val int64 = c.getPrimitiveType.getPrimitiveTypeName ==
-              org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64
+              org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64 &&
+              (c.getPrimitiveType.getLogicalTypeAnnotation match {
+                case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                  t.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS
+                case _ => false
+              })
             if (int64 && st != null && st.hasNonNullValue &&
                 st.isNumNullsSet && st.getNumNulls == 0) {
               val lo = st.genericGetMin.asInstanceOf[java.lang.Long].longValue()

@@ -116,7 +116,7 @@ object Maintain {
     val next = snap.copy(snapshotId = nextId, parentId = snap.snapshotId,
       nBuckets = newBuckets, files = newFiles,
       totalRows = newFiles.map(_.rowCount).sum)
-    table.commit(next)
+    table.commit(next, Some(snap.commitTsMs))
     } finally pin.release()
   }
 
@@ -201,7 +201,7 @@ object Maintain {
         val next = cur.copy(snapshotId = cur.snapshotId + 1, parentId = cur.snapshotId,
           nBuckets = newBuckets, files = files,
           totalRows = files.map(_.rowCount).sum)
-        table.commit(next)
+        table.commit(next, Some(cur.commitTsMs))
       }
     } finally pin.release()
   }

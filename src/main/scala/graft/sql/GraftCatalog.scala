@@ -362,18 +362,20 @@ final class GraftLakeScan(lake: LakeTable, snapshotId: Option[Long],
     // inclusive lower bound — but only the BOUND, never the equality (a
     // row-level equality would drop the true winner and un-shadow losers)
     val lowers = filters.toSeq.flatMap {
-      case GreaterThan("warc_ts", v) => GraftLakeScan.tsMicros(v).map(m => (m, true, true))
-      case GreaterThanOrEqual("warc_ts", v) => GraftLakeScan.tsMicros(v).map(m => (m, false, false))
-      case EqualTo("warc_ts", v) => GraftLakeScan.tsMicros(v).map(m => (m, false, false))
+      case GreaterThan("warc_ts", v) => GraftLakeScan.tsMicros(v).map(m => (m, true))
+      case GreaterThanOrEqual("warc_ts", v) => GraftLakeScan.tsMicros(v).map(m => (m, false))
+      case EqualTo("warc_ts", v) => GraftLakeScan.tsMicros(v).map(m => (m, false))
       case _ => None
     }
-    tsLower = lowers.sortBy(l => (-l._1, !l._2)).headOption.map(l => (l._1, l._2))
-    tsRowFilters = filters.collect {
+    tsLower = lowers.sortBy(l => (-l._1, !l._2)).headOption
+    // ALL lower-bound conjuncts go to parquet (each is individually sound;
+    // row-group skipping then honors the strongest, not just the first)
+    tsRowFilters = filters.toSeq.collect {
       case f @ GreaterThan("warc_ts", v) if GraftLakeScan.tsMicros(v).nonEmpty => f
       case f @ GreaterThanOrEqual("warc_ts", v) if GraftLakeScan.tsMicros(v).nonEmpty => f
       case EqualTo("warc_ts", v) if GraftLakeScan.tsMicros(v).nonEmpty =>
         GreaterThanOrEqual("warc_ts", v)
-    }.take(1).toSeq
+    }
     filters // everything residual
   }
 
@@ -388,12 +390,10 @@ final class GraftLakeScan(lake: LakeTable, snapshotId: Option[Long],
     // event-time file prune (lower bound only — see tsLower above): a file
     // whose manifest tsMax lies strictly below the bound cannot hold the
     // emitted winner of any url that survives the residual filter
-    val timeAdmitted = tsLower match {
-      case None => snap.files
-      case Some((lo, strict)) => snap.files.filter(f =>
-        f.tsMaxMicros == graft.lake.DataFile.NoTsMax ||
-          (if (strict) f.tsMaxMicros > lo else f.tsMaxMicros >= lo))
-    }
+    val timeAdmitted =
+      if (tsLower.isEmpty) snap.files
+      else snap.files.filter(f =>
+        graft.lake.FeedSource.fileAdmitsTime(f, tsLower, hi = None))
     val byBucket = timeAdmitted.groupBy(_.bucket)
       .filter { case (b, _) => bucketFilter.forall(_.contains(b)) }
     val selected =

@@ -312,12 +312,27 @@ final class FeedScan(root: Path, pinnedVersion: Int, options: CaseInsensitiveStr
     * loudly (see [[LakeTable.incrementFilesBySnapshot]]). LWW-resolving
     * the emitted rows ([[Resolve.lww]]) reproduces the table state at
     * `toSnapshot` — graded by oracle `cdc_table_changes`. */
+  /** `fromTimestamp` (epoch millis, or an ISO-8601 instant like
+    * `2026-08-19T12:00:00Z`) resolved to the attach snapshot via the
+    * monotonic commit stamps: the feed then emits exactly the changes
+    * committed STRICTLY AFTER that wall-clock point (Delta CDF
+    * `startingTimestamp`). Mutually exclusive with `fromSnapshot`; a
+    * timestamp older than every retained stamped snapshot fails loudly
+    * (the span may have been expired). */
+  private def fromTimestampMs: Option[Long] =
+    Option(options.get("fromTimestamp")).map { s =>
+      require(options.get("fromSnapshot") == null,
+        "pass fromSnapshot or fromTimestamp, not both")
+      s.toLongOption.getOrElse(java.time.Instant.parse(s).toEpochMilli)
+    }
+
   override def toBatch: Batch = {
     val table = LakeTable.load(root)
     val to = Option(options.get("toSnapshot")).map(_.toLong)
       .getOrElse(table.currentSnapshotId)
     val files: Seq[(Long, DataFile)] =
-      Option(options.get("fromSnapshot")).getOrElse("genesis") match {
+      fromTimestampMs.map(ms => table.snapshotAsOfTimestampMs(ms).toString)
+        .orElse(Option(options.get("fromSnapshot"))).getOrElse("genesis") match {
         case "full" => table.snapshot(to).files.map(f => to -> f)
         case "latest" => throw new IllegalArgumentException(
           "fromSnapshot=latest is a streaming attach point; batch change " +
@@ -342,7 +357,12 @@ final class FeedScan(root: Path, pinnedVersion: Int, options: CaseInsensitiveStr
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new FeedMicroBatchStream(root, pinnedVersion,
-      fromSnapshot = Option(options.get("fromSnapshot")).getOrElse("full"),
+      // fromTimestamp rides through as a marker and resolves LAZILY in
+      // initialOffset — a fresh start only. A checkpointed restart never
+      // resolves it, so an attach point expired since the first start
+      // cannot wedge a stream that no longer needs it.
+      fromSnapshot = fromTimestampMs.map(ms => s"timestamp:$ms")
+        .orElse(Option(options.get("fromSnapshot"))).getOrElse("full"),
       maxSnapshotsPerBatch = Option(options.get("maxSnapshotsPerBatch")).map(_.toInt).getOrElse(0),
       pinEnabled = Option(options.get("pin")).forall(_.toBoolean),
       pinOwner = Option(options.get("pinOwner")),
@@ -434,6 +454,10 @@ final class FeedMicroBatchStream(root: Path, pinnedVersion: Int,
       case "full" => FeedOffset(table.currentSnapshotId, pendingFull = true)
       case "latest" => FeedOffset(table.currentSnapshotId)
       case "genesis" => FeedOffset(0L)
+      case ts if ts.startsWith("timestamp:") =>
+        // the fromTimestamp marker (see toMicroBatchStream): resolved here,
+        // on the FRESH start only, via the monotonic commit stamps
+        FeedOffset(table.snapshotAsOfTimestampMs(ts.stripPrefix("timestamp:").toLong))
       case id =>
         val from = try id.toLong catch {
           case _: NumberFormatException => throw new IllegalArgumentException(

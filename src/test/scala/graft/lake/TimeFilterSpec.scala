@@ -156,6 +156,53 @@ class TimeFilterSpec extends SparkSpec {
     assert(newer.filter(col("url") === "u-tomb").count() == 1) // the tombstone row
   }
 
+  test("fromTimestamp attaches the feed at a wall-clock point (strictly-after)") {
+    val t = twoEraTable()
+    val ids = t.snapshotIds
+    assert(ids.size >= 3, ids) // create + 2 MOR batches at least
+    val mid = ids(ids.size / 2)
+    val stamp = t.snapshot(mid).commitTsMs
+    def rows(df: DataFrame): Set[(String, Long)] =
+      df.select(col("url"), col("_feed_snapshot")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    def feed(opts: (String, String)*): DataFrame =
+      opts.foldLeft(spark.read.format("graft-feed").option("path", t.root.toString))(
+        (r, o) => r.option(o._1, o._2)).load()
+
+    // at mid's exact stamp == fromSnapshot=mid (changes strictly after it)
+    val byId = rows(feed("fromSnapshot" -> mid.toString))
+    assert(byId.nonEmpty)
+    assert(rows(feed("fromTimestamp" -> stamp.toString)) == byId)
+    // 1ms earlier resolves to mid's parent — mid's own changes re-enter the
+    // span; ISO-8601 form accepted
+    val prev = ids(ids.indexOf(mid) - 1)
+    val iso = java.time.Instant.ofEpochMilli(stamp - 1).toString
+    assert(rows(feed("fromTimestamp" -> iso)) ==
+      rows(feed("fromSnapshot" -> prev.toString)))
+    // both options together rejected; pre-genesis timestamp fails loudly
+    intercept[Exception](
+      feed("fromTimestamp" -> stamp.toString, "fromSnapshot" -> "genesis").collect())
+    val genesisStamp = t.snapshot(ids.head).commitTsMs
+    intercept[Exception](feed("fromTimestamp" -> (genesisStamp - 1).toString).collect())
+
+    // STREAMING attach: lazy resolution in initialOffset (fresh start) —
+    // drained rows equal the batch span from the same wall-clock point
+    val got = scala.collection.mutable.Set[(String, Long)]()
+    val q = spark.readStream.format("graft-feed")
+      .option("path", t.root.toString)
+      .option("fromTimestamp", stamp.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", tmpDir("ftck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        got.synchronized { got ++= rows(df) }: Unit
+      }
+      .start()
+    q.awaitTermination()
+    assert(got.toSet == byId)
+  }
+
   private def feedFileCount(df: DataFrame): Int =
     df.queryExecution.executedPlan.collectLeaves().collectFirst {
       case b: BatchScanExec => b.inputPartitions.length

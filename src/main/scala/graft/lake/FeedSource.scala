@@ -221,7 +221,8 @@ final class FeedTable(rootPath: String) extends Table with SupportsRead {
 
 final class FeedScan(root: Path, pinnedVersion: Int, options: CaseInsensitiveStringMap)
     extends ScanBuilder with Scan with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def build(): Scan = this
 
   // --- url point-history pushdown ("every change to url X"): an equality/
@@ -326,7 +327,10 @@ final class FeedScan(root: Path, pinnedVersion: Int, options: CaseInsensitiveStr
       s.toLongOption.getOrElse(java.time.Instant.parse(s).toEpochMilli)
     }
 
-  override def toBatch: Batch = {
+  /** The batch span's post-pruning file set — shared by [[toBatch]] and
+    * [[estimateStatistics]] so the size estimate reflects what the scan
+    * will actually read. */
+  private def batchFiles(): Seq[(Long, DataFile)] = {
     val table = LakeTable.load(root)
     val to = Option(options.get("toSnapshot")).map(_.toLong)
       .getOrElse(table.currentSnapshotId)
@@ -347,13 +351,34 @@ final class FeedScan(root: Path, pinnedVersion: Int, options: CaseInsensitiveStr
             .flatMap { case (id, fs) => fs.map(id -> _) }
       }
     FeedSource.guardSchema(files, pinnedVersion)
-    new FeedBatch(files
-      .filter { case (_, f) =>
-        FeedSource.fileAdmits(root, f, urlKeys) &&
-          FeedSource.fileAdmitsTime(f, tsLo, tsHi) }
+    files.filter { case (_, f) =>
+      FeedSource.fileAdmits(root, f, urlKeys) &&
+        FeedSource.fileAdmitsTime(f, tsLo, tsHi) }
+  }
+
+  override def toBatch: Batch =
+    new FeedBatch(batchFiles()
       .map { case (id, f) =>
         FeedInputPartition(root.resolve(f.path).toString, f.bytes, f.schemaVersion, id)
       }.toArray, pinnedVersion, required, pushedFilters().toSeq)
+
+  /** Manifest-exact statistics over the pruned span (see
+    * [[GraftLakeScan.estimateStatistics]] for the rationale). Defensive:
+    * this scan object also serves STREAMING relations, where the batch
+    * span doesn't resolve (`fromSnapshot=latest`, guards may fire) — stats
+    * must degrade to "unknown", never throw, or they'd kill a stream at
+    * plan time. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val est = try {
+      val fs = batchFiles()
+      Some((fs.iterator.map(_._2.bytes).sum, fs.iterator.map(_._2.rowCount).sum))
+    } catch { case _: Exception => None }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        est.fold(java.util.OptionalLong.empty())(e => java.util.OptionalLong.of(e._1))
+      override def numRows(): java.util.OptionalLong =
+        est.fold(java.util.OptionalLong.empty())(e => java.util.OptionalLong.of(e._2))
+    }
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new FeedMicroBatchStream(root, pinnedVersion,

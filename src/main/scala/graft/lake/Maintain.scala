@@ -304,4 +304,92 @@ object Maintain {
     expire.foreach(id => Files.deleteIfExists(table.root.resolve("meta").resolve(s"snap-$id.json")))
     (expire.size, deletedFiles)
   }
+
+  /** Iceberg `remove_orphan_files`: delete files under the table's `data/`
+    * and `staging/` trees that NO retained snapshot references and whose
+    * last-modified time is before `olderThanMs` (absolute epoch cutoff) —
+    * the debris [[expireSnapshots]] can never reach, because it only GCs
+    * files referenced by EXPIRED snapshots. Orphans accumulate from every
+    * crash between write and commit: a merge that wrote `data/s<id>/` and
+    * died before the VERSION CAS, a lost [[LakeTable.commitAppend]] CAS
+    * race interrupted before its self-cleanup, committer staging
+    * (`_temporary`) left by a killed write job, and `staging/epoch-N`
+    * attempt dirs of an abandoned stream. At webtext scale each such crash
+    * strands full-size parquet — without this op the storage bill only
+    * ever grows.
+    *
+    * SAFETY is the mtime horizon, exactly Iceberg's contract: the
+    * referenced set is read under the commit lock (a stable snapshot
+    * list), but an IN-FLIGHT writer's files are not referenced by any
+    * snapshot yet — they are protected because they are always YOUNGER
+    * than a sane horizon (hours-to-days; an epoch that stages files, then
+    * pauses past the horizon before committing, re-runs its tasks on
+    * restart and never reads the stale attempt dirs — [[LakeSink]] ingests
+    * only the dirs named by committed writer messages). Likewise a file
+    * referenced by a commit that lands AFTER the referenced-set read was
+    * necessarily written after this call started, so the horizon admits it.
+    * Bloom sidecars of referenced files are referenced. Empty dirs are
+    * pruned only when this call emptied them or when older than the
+    * horizon (a writer's freshly created bucket dir must not vanish under
+    * it; deleting a file bumps the parent's mtime, so "we emptied it"
+    * cannot be inferred from age). Crashed-commit temp files
+    * (dot-prefixed `*.tmp` directly under `meta/`) age out too; orphan
+    * `snap-*.json` manifests are deliberately KEPT — a crashed commit's
+    * manifest is overwritten by that id's next committer, and deleting it
+    * here could race that rename cross-process.
+    *
+    * Returns the table-root-relative paths removed (or that WOULD be
+    * removed, with `dryRun = true`). */
+  def removeOrphanFiles(table: LakeTable, olderThanMs: Long,
+      dryRun: Boolean = false): Vector[String] = {
+    require(olderThanMs <= System.currentTimeMillis(),
+      s"olderThanMs ($olderThanMs) is in the future — the mtime horizon is " +
+        "the only thing protecting in-flight writers' uncommitted files")
+    val keep: Set[Path] = LakeTable.commitLock(table.root).synchronized {
+      val ref = table.snapshotIds.flatMap(id =>
+        table.snapshot(id).files.map(f => table.root.resolve(f.path).normalize))
+      (ref ++ ref.map(Bloom.sidecar)).toSet
+    }
+    val out = Vector.newBuilder[String]
+    def ageOk(p: Path): Boolean =
+      try Files.getLastModifiedTime(p).toMillis < olderThanMs
+      catch { case _: Exception => false } // vanished mid-walk → not ours
+    // returns whether anything below p was deleted (gates dir pruning:
+    // a dir we just emptied is safe to drop even though our own deletes
+    // refreshed its mtime)
+    def sweep(p: Path, isRoot: Boolean): Boolean = {
+      if (Files.isDirectory(p)) {
+        var deletedBelow = false
+        val s = Files.list(p)
+        try s.forEach(c => if (sweep(c, isRoot = false)) deletedBelow = true)
+        finally s.close()
+        if (!isRoot && !dryRun && (deletedBelow || ageOk(p))) {
+          try {
+            val s2 = Files.list(p)
+            val empty = try !s2.findFirst().isPresent finally s2.close()
+            if (empty) Files.deleteIfExists(p): Unit
+          } catch { case _: Exception => } // concurrent writer repopulated it
+        }
+        deletedBelow
+      } else if (!keep.contains(p.normalize) && ageOk(p)) {
+        out += table.root.relativize(p).toString
+        if (dryRun) false else { Files.deleteIfExists(p): Unit; true }
+      } else false
+    }
+    Seq("data", "staging").map(table.root.resolve)
+      .filter(Files.isDirectory(_)).foreach(sweep(_, isRoot = true): Unit)
+    val meta = table.root.resolve("meta")
+    if (Files.isDirectory(meta)) {
+      val s = Files.list(meta)
+      try s.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith(".") && n.endsWith(".tmp") &&
+            Files.isRegularFile(p) && ageOk(p)) {
+          out += table.root.relativize(p).toString
+          if (!dryRun) Files.deleteIfExists(p): Unit
+        }
+      } finally s.close()
+    }
+    out.result()
+  }
 }

@@ -292,7 +292,8 @@ final class GraftLakeScan(lake: LakeTable, snapshotId: Option[Long],
     raw: Boolean = false, bucketFilter: Option[Set[Int]] = None)
     extends ScanBuilder with Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   /** The snapshot is resolved ONCE per scan: planInputPartitions and
     * createReaderFactory must see the same file/version set — a concurrent
     * commit (ingest, auto-maintenance) between the two calls would
@@ -386,7 +387,10 @@ final class GraftLakeScan(lake: LakeTable, snapshotId: Option[Long],
     (u ++ tsRowFilters).toArray
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** The post-pruning file set, per bucket — shared by partition planning
+    * and [[estimateStatistics]] so Catalyst's size estimate reflects
+    * exactly what this scan will read. */
+  private def selectedByBucket: Map[Int, Seq[graft.lake.DataFile]] = {
     // event-time file prune (lower bound only — see tsLower above): a file
     // whose manifest tsMax lies strictly below the bound cannot hold the
     // emitted winner of any url that survives the residual filter
@@ -415,11 +419,34 @@ final class GraftLakeScan(lake: LakeTable, snapshotId: Option[Long],
             }
         }.filter(_._2.nonEmpty)
       }
-    selected.toSeq.sortBy(_._1).map { case (b, fs) =>
+    selected.map { case (b, fs) => b -> fs.toSeq }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    selectedByBucket.toSeq.sortBy(_._1).map { case (b, fs) =>
       GraftBucketPartition(b,
         fs.map(f => (lake.root.resolve(f.path).toString, f.bytes, f.schemaVersion)),
         snap.schemaVersion, raw)
     }.toArray
+  }
+
+  /** Manifest-exact scan statistics (O(1), no file opens) so Catalyst can
+    * plan broadcast joins against graft tables: without this, DSv2 falls
+    * back to `spark.sql.defaultSizeInBytes` (effectively infinite) and a
+    * join against even a tiny dimension-sized graft table sort-merges.
+    * Reported AFTER pushdown over the pruned file set — a point lookup
+    * reports its one bucket's admitted files, so `big JOIN t ON url='x'`
+    * subqueries broadcast. Both numbers are upper bounds for the resolved
+    * read (LWW emits ≤ stored rows; column pruning reads ≤ file bytes) —
+    * upper bounds can only make Catalyst broadcast LESS, never OOM it. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val fs = selectedByBucket.values.flatten
+    val bytes = fs.iterator.map(_.bytes).sum
+    val rows = fs.iterator.map(_.rowCount).sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

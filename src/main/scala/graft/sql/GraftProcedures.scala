@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType, TimestampType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType, StructType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.lake.{LakeTable, Maintain}
@@ -22,6 +22,7 @@ import graft.lake.{LakeTable, Maintain}
   *   CALL graft.system.compact(`table` => 't')
   *   CALL graft.system.rebucket(`table` => 't', n_buckets => 128)
   *   CALL graft.system.build_blooms(`table` => 't')
+  *   CALL graft.system.remove_orphan_files(`table` => 't', older_than => TIMESTAMP'…')
   * }}}
   *
   * Each returns a one-row result describing what happened. Procedures are
@@ -37,7 +38,7 @@ object GraftProcedures {
 
   def idents: Array[Identifier] =
     Array("rollback_to_snapshot", "expire_snapshots", "compact",
-      "rebucket", "build_blooms")
+      "rebucket", "build_blooms", "remove_orphan_files")
       .map(Identifier.of(Namespace, _))
 
   def load(ident: Identifier, warehouse: Path): UnboundProcedure = {
@@ -102,6 +103,26 @@ object GraftProcedures {
         args => {
           val t = LakeTable.load(root(args.getUTF8String(0).toString))
           Array[Any](Maintain.buildBlooms(SparkSession.active, t).toLong)
+        })
+      case "remove_orphan_files" => proc("remove_orphan_files",
+        "Delete unreferenced data/staging files older than older_than " +
+          "(default: 3 days ago) — crash debris no snapshot references",
+        Seq(in("table", StringType),
+          // the mtime horizon protecting in-flight writers (Iceberg's
+          // contract); default mirrors Iceberg's now − 3 days
+          ProcedureParameter.in("older_than", TimestampType)
+            .defaultValue("CAST(NULL AS TIMESTAMP)").build(),
+          ProcedureParameter.in("dry_run", BooleanType)
+            .defaultValue("false").build()),
+        Seq("removed_files" -> LongType),
+        args => {
+          val t = LakeTable.load(root(args.getUTF8String(0).toString))
+          val olderThanMs =
+            if (args.numFields < 2 || args.isNullAt(1))
+              System.currentTimeMillis() - 3L * 24 * 3600 * 1000
+            else Math.floorDiv(args.getLong(1), 1000L) // micros → ms
+          val dryRun = args.numFields >= 3 && !args.isNullAt(2) && args.getBoolean(2)
+          Array[Any](Maintain.removeOrphanFiles(t, olderThanMs, dryRun).size.toLong)
         })
       case other =>
         throw new IllegalArgumentException(s"unknown procedure 'system.$other'")

@@ -153,6 +153,62 @@ class MaintainSpec extends SparkSpec {
     assert(oracle.forall { case (u, (ts, _, _, _)) => got(u) == ts })
   }
 
+  test("removeOrphanFiles: crash debris deleted; referenced, fresh, and in-flight files survive") {
+    import java.nio.file.{Files => F}
+    import java.nio.file.attribute.FileTime
+    val (table, oracle, _) = build()
+    val now = System.currentTimeMillis()
+    val old = FileTime.fromMillis(now - 2 * 3600 * 1000L)
+    def plant(rel: String): java.nio.file.Path = {
+      val p = table.root.resolve(rel)
+      F.createDirectories(p.getParent)
+      F.write(p, Array[Byte](1, 2, 3))
+      F.setLastModifiedTime(p, old)
+      p
+    }
+    // crashed merge: data dir with no committed snapshot (+ committer staging)
+    val o1 = plant("data/s999/bucket=0/part-junk.parquet")
+    val o2 = plant("data/s999/_temporary/0/t0/part-x.parquet")
+    // concurrent-maintenance writer that died pre-commit
+    val o3 = plant("data/s3cdead/bucket=1/part-junk.parquet")
+    // abandoned stream's epoch staging
+    val o4 = plant("staging/epoch-7/task-0-a0/seg-000.gz")
+    // crashed commit's tmp file in meta
+    val o5 = plant("meta/.snap-999.json.tmp")
+    val orphans = Seq(o1, o2, o3, o4, o5)
+    // a fresh orphan (an in-flight writer's uncommitted file) must survive
+    val fresh = table.root.resolve("data/s998/bucket=0/part-fresh.parquet")
+    F.createDirectories(fresh.getParent); F.write(fresh, Array[Byte](9))
+    // a referenced file with an ancient mtime must survive (age alone never deletes)
+    val refFile = table.root.resolve(table.currentSnapshot.files.head.path)
+    F.setLastModifiedTime(refFile, old)
+    val liveBefore = table.read(spark).count()
+    val horizon = now - 3600 * 1000L
+    // future horizons rejected: the mtime horizon is the writer protection
+    intercept[IllegalArgumentException](
+      Maintain.removeOrphanFiles(table, now + 3600 * 1000L))
+    // dry run lists exactly the debris and deletes nothing
+    val expect = orphans.map(p => table.root.relativize(p).toString).toSet
+    val wouldGo = Maintain.removeOrphanFiles(table, horizon, dryRun = true)
+    assert(wouldGo.toSet == expect, s"dryRun listed ${wouldGo.toSet}")
+    orphans.foreach(p => assert(F.exists(p), s"dryRun must not delete $p"))
+    // real run: debris gone, crash dirs pruned, everything else intact
+    val gone = Maintain.removeOrphanFiles(table, horizon)
+    assert(gone.toSet == expect)
+    orphans.foreach(p => assert(!F.exists(p), s"$p must be deleted"))
+    assert(!F.exists(table.root.resolve("data/s999")), "emptied crash dir pruned")
+    assert(!F.exists(table.root.resolve("staging/epoch-7")), "emptied staging dir pruned")
+    assert(F.exists(fresh), "younger-than-horizon orphan must survive")
+    assert(F.exists(refFile), "referenced file survives however old")
+    // state unchanged; second pass idempotent
+    assert(table.read(spark).count() == liveBefore)
+    assert(Maintain.removeOrphanFiles(table, horizon).isEmpty)
+    val got = table.read(spark).collect()
+      .map(r => r.getAs[String]("url") -> Oracle.micros(r.getAs[java.sql.Timestamp]("warc_ts"))).toMap
+    assert(got.size == oracle.size)
+    assert(oracle.forall { case (u, (ts, _, _, _)) => got(u) == ts })
+  }
+
   private def countDataFiles(table: LakeTable): Int = {
     val data = table.root.resolve("data")
     val out = new java.util.concurrent.atomic.AtomicInteger()

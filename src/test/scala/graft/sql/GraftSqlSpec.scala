@@ -71,6 +71,27 @@ class GraftSqlSpec extends SparkSpec {
       spark.sql("CALL graft.system.rollback_to_snapshot('nope', 1)").collect())
     intercept[Exception](
       spark.sql("CALL graft.system.frobnicate('prc')").collect())
+
+    // CALL remove_orphan_files: crash debris (a data dir no snapshot
+    // references) is counted by dry_run, deleted for real with an explicit
+    // horizon, invisible to the default 3-day horizon while fresh
+    val junk = lake.root.resolve("data/s999/bucket=0/part-junk.parquet")
+    java.nio.file.Files.createDirectories(junk.getParent)
+    java.nio.file.Files.write(junk, Array[Byte](1, 2, 3))
+    val defaulted = spark.sql(
+      "CALL graft.system.remove_orphan_files('prc')").collect()
+    assert(defaulted.head.getLong(0) == 0, "fresh debris is inside the default horizon")
+    assert(java.nio.file.Files.exists(junk))
+    val horizon = java.sql.Timestamp.from(java.time.Instant.now())
+    // (counts are ≥: job _SUCCESS markers are legitimately orphan too)
+    val dry = spark.sql(
+      s"CALL graft.system.remove_orphan_files('prc', TIMESTAMP'$horizon', true)").collect()
+    assert(dry.head.getLong(0) >= 1 && java.nio.file.Files.exists(junk),
+      "dry_run counts but keeps")
+    val real = spark.sql(
+      s"CALL graft.system.remove_orphan_files('prc', TIMESTAMP'$horizon')").collect()
+    assert(real.head.getLong(0) >= 1 && !java.nio.file.Files.exists(junk))
+    assert(state() == cleanState, "table state untouched by orphan cleanup")
   }
 
   test("CREATE TABLE / SELECT empty / DROP round-trip") {
@@ -827,6 +848,68 @@ class GraftSqlSpec extends SparkSpec {
       .readRaw(spark).count()
     assert(seen.get() == raw,
       s"full-state attach batch should emit exactly the table's physical rows ($raw), got ${seen.get()}")
+  }
+
+  test("scan statistics: manifest-exact sizes; dimension-sized graft tables broadcast in joins") {
+    enable()
+    spark.sql("""CREATE TABLE graft.dim (url STRING, warc_ts TIMESTAMP,
+                |  html BINARY, text STRING, content_len BIGINT, lang STRING)
+                |USING graft TBLPROPERTIES('buckets'='4')""".stripMargin)
+    spark.range(60).createOrReplaceTempView("dim_seed")
+    spark.sql(
+      """MERGE INTO graft.dim t USING (
+        |  SELECT concat('u', id) AS url, timestamp_micros(1700000000000000 + id) AS warc_ts,
+        |    cast(concat('<p>', id, '</p>') AS BINARY) AS html,
+        |    CAST(NULL AS STRING) AS text, CAST(NULL AS BIGINT) AS content_len,
+        |    'en' AS lang, CAST(id AS LONG) AS offset, CAST(0 AS INT) AS partition,
+        |    'upsert' AS op FROM dim_seed) s
+        |ON t.url = s.url
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val lake = graft.lake.LakeTable.load(java.nio.file.Paths.get(wh).resolve("dim"))
+    val manifestBytes = lake.currentSnapshot.files.map(_.bytes).sum
+    val manifestRows = lake.currentSnapshot.files.map(_.rowCount).sum
+
+    // relation stats are the manifest's, not spark.sql.defaultSizeInBytes
+    val full = spark.table("graft.dim")
+    val st = full.queryExecution.optimizedPlan.stats
+    assert(st.sizeInBytes == BigInt(manifestBytes),
+      s"sizeInBytes ${st.sizeInBytes} != manifest $manifestBytes")
+    assert(st.rowCount.contains(BigInt(manifestRows)))
+
+    // a pushed point lookup shrinks the estimate to the key's bucket
+    val point = full.where("url = 'u7'")
+    val pst = point.queryExecution.optimizedPlan.stats
+    assert(pst.sizeInBytes > 0 && pst.sizeInBytes < st.sizeInBytes,
+      s"point-lookup stats ${pst.sizeInBytes} should be < full ${st.sizeInBytes}")
+
+    // the payoff: a fact-side join statically plans a broadcast of the
+    // graft table (no stats → defaultSizeInBytes → sort-merge + shuffle)
+    val fact = spark.range(100000).selectExpr("concat('u', id % 60) AS url", "id AS v")
+    val joined = fact.join(full, "url")
+    val plan = joined.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a static broadcast join against the graft dimension table:\n$plan")
+    assert(joined.count() == 100000)
+
+    // the $changes/batch feed reports span-exact stats too
+    val feed = spark.read.format("graft-feed")
+      .option("path", lake.root.toString).load()
+    val fst = feed.queryExecution.optimizedPlan.stats
+    assert(fst.sizeInBytes == BigInt(manifestBytes),
+      s"feed sizeInBytes ${fst.sizeInBytes} != span bytes $manifestBytes")
+    // and a streaming feed (stats unavailable there) still plans + runs
+    val ck = tmpDir("dimck").toString
+    val seen = new java.util.concurrent.atomic.AtomicLong()
+    val q = spark.readStream.format("graft-feed")
+      .option("path", lake.root.toString).load()
+      .writeStream.option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+        { seen.addAndGet(b.count()): Unit }: Unit)
+      .start()
+    q.awaitTermination()
+    assert(seen.get() == 60)
   }
 
   test("SQL commands between stream batches use a reserved batch-id domain") {

@@ -368,18 +368,22 @@ final class FeedScan(root: Path, pinnedVersion: Int, options: CaseInsensitiveStr
     * span doesn't resolve (`fromSnapshot=latest`, guards may fire) — stats
     * must degrade to "unknown", never throw, or they'd kill a stream at
     * plan time. */
-  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
-    val est = try {
-      val fs = batchFiles()
-      Some((fs.iterator.map(_._2.bytes).sum, fs.iterator.map(_._2.rowCount).sum))
-    } catch { case _: Exception => None }
+  // computed ONCE per Scan instance: a STREAMING relation re-requests stats
+  // on every micro-batch's fresh plan while reusing this Scan, and the span
+  // walk (manifest load + per-snapshot increments) must not become a
+  // per-batch planning tax; an estimate going stale as the span grows is
+  // harmless (stats are bounds for join planning, not correctness)
+  private lazy val statsEstimate: Option[(Long, Long)] = try {
+    val fs = batchFiles()
+    Some((fs.iterator.map(_._2.bytes).sum, fs.iterator.map(_._2.rowCount).sum))
+  } catch { case _: Exception => None }
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
-        est.fold(java.util.OptionalLong.empty())(e => java.util.OptionalLong.of(e._1))
+        statsEstimate.fold(java.util.OptionalLong.empty())(e => java.util.OptionalLong.of(e._1))
       override def numRows(): java.util.OptionalLong =
-        est.fold(java.util.OptionalLong.empty())(e => java.util.OptionalLong.of(e._2))
+        statsEstimate.fold(java.util.OptionalLong.empty())(e => java.util.OptionalLong.of(e._2))
     }
-  }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new FeedMicroBatchStream(root, pinnedVersion,
       // fromTimestamp rides through as a marker and resolves LAZILY in

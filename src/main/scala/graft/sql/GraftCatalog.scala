@@ -293,7 +293,8 @@ final class GraftLakeScan(lake: LakeTable, snapshotId: Option[Long],
     extends ScanBuilder with Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   /** The snapshot is resolved ONCE per scan: planInputPartitions and
     * createReaderFactory must see the same file/version set — a concurrent
     * commit (ingest, auto-maintenance) between the two calls would
@@ -385,6 +386,38 @@ final class GraftLakeScan(lake: LakeTable, snapshotId: Option[Long],
       if (urlKeys.isEmpty) Nil
       else Seq(org.apache.spark.sql.sources.In("url", urlKeys.toArray[Any]))
     (u ++ tsRowFilters).toArray
+  }
+
+  // --- runtime (dynamic) filtering: when this table is the probe side of
+  // a join whose build side is small and selective, Spark collects the
+  // build side's join keys at EXECUTION time and hands them here (the
+  // Iceberg SupportsRuntimeFiltering discipline) — BatchScanExec then
+  // re-plans input partitions, so `big JOIN dim ON url` scans only the
+  // keys' buckets/files even though no static predicate existed. Sound for
+  // the LWW resolve for the same reason static point-lookup pushdown is:
+  // every version of a url lives in its one hash bucket, and within it we
+  // keep every file whose bounds/bloom admit the key. Keys are
+  // INTERSECTED with statically pushed ones; a key set above
+  // [[GraftLakeScan.MaxRuntimeFilterKeys]] is ignored (always allowed —
+  // per-key bounds+bloom checks are driver-side work that must not scale
+  // with a huge build side).
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("url"))
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val keys = filters.collectFirst {
+      case EqualTo("url", v: String) => Seq(v)
+      case In("url", vs) if vs.nonEmpty && vs.forall(v => v == null || v.isInstanceOf[String]) =>
+        vs.toSeq.collect { case s: String => s }
+    }.filter(ks => ks.nonEmpty && ks.size <= GraftLakeScan.MaxRuntimeFilterKeys)
+    keys.foreach { ks =>
+      urlKeys = if (urlKeys.isEmpty) ks else urlKeys.intersect(ks)
+      // a runtime intersection that empties a static key set means the join
+      // can match nothing — but an EMPTY urlKeys set here would read as "no
+      // pushdown" and scan everything, so keep one impossible sentinel
+      // bucket probe instead of widening back to a full scan
+      if (urlKeys.isEmpty) urlKeys = ks.take(1)
+    }
   }
 
   /** The post-pruning file set, per bucket — shared by partition planning
@@ -492,6 +525,11 @@ object GraftLakeScan {
   /** See [[graft.lake.LakeTable.tsLiteralMicros]]. */
   private[sql] def tsMicros(v: Any): Option[Long] =
     graft.lake.LakeTable.tsLiteralMicros(v)
+
+  /** Runtime-filter key ceiling: per-key bounds/bloom admission is
+    * driver-side work, so a huge build side must degrade to "no dynamic
+    * prune" (sound) rather than an O(keys × files) planning stall. */
+  val MaxRuntimeFilterKeys = 10000
 }
 
 final class GraftBucketReaderFactory(

@@ -912,6 +912,59 @@ class GraftSqlSpec extends SparkSpec {
     assert(seen.get() == 60)
   }
 
+  test("runtime filtering: a selective broadcast join prunes the graft scan at execution") {
+    enable()
+    spark.sql("""CREATE TABLE graft.big (url STRING, warc_ts TIMESTAMP,
+                |  html BINARY, text STRING, content_len BIGINT, lang STRING)
+                |USING graft TBLPROPERTIES('buckets'='8')""".stripMargin)
+    spark.range(400).createOrReplaceTempView("big_seed")
+    spark.sql(
+      """MERGE INTO graft.big t USING (
+        |  SELECT concat('u', id) AS url, timestamp_micros(1700000000000000 + id) AS warc_ts,
+        |    cast(concat('<p>', id, '</p>') AS BINARY) AS html,
+        |    CAST(NULL AS STRING) AS text, CAST(NULL AS BIGINT) AS content_len,
+        |    'en' AS lang, CAST(id AS LONG) AS offset, CAST(0 AS INT) AS partition,
+        |    'upsert' AS op FROM big_seed) s
+        |ON t.url = s.url
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val total = 400L
+    // a selective dimension: the filter is on a NON-join column (k), so
+    // Catalyst cannot infer any static url predicate onto the graft side —
+    // only a runtime filter can prune its scan; the hint keeps the dim on
+    // the build side (otherwise manifest-exact stats make the graft table
+    // itself the broadcast candidate and there is no probe scan to prune)
+    spark.range(500).selectExpr("concat('u', id) AS url", "id AS k")
+      .where("k IN (7, 8)")
+      .createOrReplaceTempView("big_dim")
+    val joined = spark.sql(
+      "SELECT /*+ BROADCAST(d) */ b.url, d.k FROM graft.big b JOIN big_dim d ON b.url = d.url")
+    val rows = joined.collect()
+    assert(rows.length == 2 && rows.map(_.getString(0)).sorted.sameElements(Array("u7", "u8")))
+    // final (post-AQE) plan: the graft BatchScan carries a runtime filter,
+    // and its output rows prove file-level pruning actually happened (only
+    // the keys' buckets were read — no static pushdown, no row filter)
+    val finalPlan = joined.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // AQE query stages are LEAF nodes wrapping their materialized subtree —
+    // a plain collect never descends into them
+    def graftScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = p.collect {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => graftScans(q.plan)
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        if b.scan.isInstanceOf[GraftLakeScan] => Seq(b)
+    }.flatten
+    val scanNode = graftScans(finalPlan)
+      .headOption.getOrElse(fail(s"no graft BatchScanExec in:\n$finalPlan"))
+    assert(scanNode.runtimeFilters.nonEmpty,
+      s"expected a dynamic-pruning runtime filter on the graft scan:\n$finalPlan")
+    val scanned = scanNode.metrics("numOutputRows").value
+    assert(scanned >= 2 && scanned < total,
+      s"runtime filter should prune the scan below the full $total rows; read $scanned")
+  }
+
   test("SQL commands between stream batches use a reserved batch-id domain") {
     // A SQL command committed between two runs of an ingest stream must NOT
     // claim the id the stream's next foreachBatch epoch will use: batch ids

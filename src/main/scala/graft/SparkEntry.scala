@@ -417,6 +417,24 @@ object SparkEntry {
               |FROM graft.sqlpages WHERE url IN ('u3', 'u7', 'u1200', 'u999999')""".stripMargin)
     }),
 
+    // dimension join through the catalog scan: the manifest-exact scan
+    // statistics plan a BroadcastHashJoin against the tiny dim (no static
+    // url predicate exists on the fact side), and SupportsRuntimeFiltering
+    // prunes the fact scan to the dim keys' buckets/files at execution
+    // time — grades the stats + runtime-prune read path for VALUES, not
+    // just plan shape (GraftSqlSpec asserts the plan)
+    "cdc_dim_join" -> ((s, dir) => {
+      val wh = Files.createTempDirectory("graft-sql-wh")
+      graft.sql.GraftSql.enable(s, wh.toString)
+      if (s.sql("SHOW TABLES IN graft").collect().forall(_.getString(1) != "sqlpages"))
+        queries("cdc_sql_merge")(s, dir).count(): Unit
+      s.sql("""SELECT t.url, unix_micros(t.warc_ts) AS warc_us, t.content_len, d.seg
+              |FROM graft.sqlpages t
+              |JOIN (VALUES ('u3','alpha'), ('u7','beta'), ('u12','alpha'),
+              |             ('u1200','gamma'), ('u999999','ghost')) AS d(url, seg)
+              |ON t.url = d.url""".stripMargin)
+    }),
+
     // salted two-phase dedup (explicit skew defense) — identical oracle to
     // cdc_dedup_maxby by associativity of max
     "cdc_dedup_salted" -> ((s, dir) => {
@@ -944,6 +962,24 @@ object SparkEntry {
         |FROM ranked
         |WHERE rn = 1 AND event_type <> 'error'
         |  AND 'u' || CAST(user_id AS VARCHAR) IN ('u3', 'u7', 'u1200', 'u999999')""".stripMargin,
+
+    // the broadcast + runtime-filtered dim join over the merged table:
+    // final state (latest per url, deletes folded) joined to the same
+    // inline dim; unmatched dim keys ('ghost') drop via inner-join
+    "cdc_dim_join" ->
+      """WITH ranked AS (
+        |  SELECT user_id, ts, event_id, event_type, props,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |finals AS (
+        |  SELECT 'u' || CAST(user_id AS VARCHAR) AS url, epoch_us(ts) AS warc_us,
+        |         CAST(strlen(props) AS BIGINT) AS content_len
+        |  FROM ranked WHERE rn = 1 AND event_type <> 'error')
+        |SELECT f.url, f.warc_us, f.content_len, d.seg
+        |FROM finals f
+        |JOIN (VALUES ('u3','alpha'), ('u7','beta'), ('u12','alpha'),
+        |             ('u1200','gamma'), ('u999999','ghost')) AS d(url, seg)
+        |  ON f.url = d.url""".stripMargin,
 
     "cdc_sql_merge" ->
       """WITH ranked AS (

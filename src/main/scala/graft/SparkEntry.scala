@@ -435,6 +435,77 @@ object SparkEntry {
               |ON t.url = d.url""".stripMargin)
     }),
 
+    // TRUNCATE TABLE then full re-ingest: truncate is rollback-to-empty
+    // (one metadata commit clearing files AND batch markers), so replaying
+    // the complete changelog afterwards must land exactly the plain-replay
+    // final state — the oracle IS cdc_merge_final_state's
+    "cdc_sql_truncate" -> ((s, dir) => {
+      val wh = Files.createTempDirectory("graft-sql-wh")
+      graft.sql.GraftSql.enable(s, wh.toString)
+      t(s, dir, "events").createOrReplaceTempView("graft_ev_src_tr")
+      s.sql("DROP TABLE IF EXISTS graft.sqltr")
+      s.sql("""CREATE TABLE graft.sqltr (url STRING, warc_ts TIMESTAMP,
+              |  html BINARY, text STRING, content_len BIGINT, lang STRING)
+              |USING graft TBLPROPERTIES('buckets'='8')""".stripMargin)
+      def merge(where: String): Unit = s.sql(
+        s"""MERGE INTO graft.sqltr t USING (
+           |  SELECT concat('u', CAST(user_id AS STRING)) AS url,
+           |    CAST(ts AS TIMESTAMP) AS warc_ts,
+           |    CASE WHEN event_type = 'error' THEN CAST(NULL AS BINARY)
+           |         ELSE to_binary(props, 'utf-8') END AS html,
+           |    CAST(NULL AS STRING) AS text, CAST(NULL AS BIGINT) AS content_len,
+           |    'en' AS lang,
+           |    CAST(pmod(user_id, 4) AS INT) AS partition, event_id AS offset,
+           |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+           |  FROM graft_ev_src_tr $where) s
+           |ON t.url = s.url
+           |WHEN MATCHED AND s.op = 'delete' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin): Unit
+      merge("WHERE pmod(event_id, 2) = 0") // an arbitrary first ingest
+      s.sql("TRUNCATE TABLE graft.sqltr")
+      merge("") // clean full re-ingest onto the empty state
+      s.sql("""SELECT url, unix_micros(warc_ts) AS warc_us, text, content_len
+              |FROM graft.sqltr""".stripMargin)
+    }),
+
+    // snapshot tag + VERSION AS OF '<tag>' + expiry retention at oracle
+    // scale: tag after ingesting the first half of the changelog, ingest
+    // the rest, expire everything untagged, then read the tag — must equal
+    // the LWW final state over the first half alone
+    "cdc_sql_tag_travel" -> ((s, dir) => {
+      val wh = Files.createTempDirectory("graft-sql-wh")
+      graft.sql.GraftSql.enable(s, wh.toString)
+      t(s, dir, "events").createOrReplaceTempView("graft_ev_src_tag")
+      s.sql("DROP TABLE IF EXISTS graft.sqltag")
+      s.sql("""CREATE TABLE graft.sqltag (url STRING, warc_ts TIMESTAMP,
+              |  html BINARY, text STRING, content_len BIGINT, lang STRING)
+              |USING graft TBLPROPERTIES('buckets'='8')""".stripMargin)
+      def merge(where: String): Unit = s.sql(
+        s"""MERGE INTO graft.sqltag t USING (
+           |  SELECT concat('u', CAST(user_id AS STRING)) AS url,
+           |    CAST(ts AS TIMESTAMP) AS warc_ts,
+           |    CASE WHEN event_type = 'error' THEN CAST(NULL AS BINARY)
+           |         ELSE to_binary(props, 'utf-8') END AS html,
+           |    CAST(NULL AS STRING) AS text, CAST(NULL AS BIGINT) AS content_len,
+           |    'en' AS lang,
+           |    CAST(pmod(user_id, 4) AS INT) AS partition, event_id AS offset,
+           |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+           |  FROM graft_ev_src_tag $where) s
+           |ON t.url = s.url
+           |WHEN MATCHED AND s.op = 'delete' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin): Unit
+      val cutWhere = "WHERE event_id <= (SELECT CAST(floor(max(event_id) / 2) " +
+        "AS BIGINT) FROM graft_ev_src_tag)"
+      merge(cutWhere)
+      s.sql("CALL graft.system.create_tag('sqltag', 'halfway')")
+      merge(cutWhere.replace("<=", ">"))
+      s.sql("CALL graft.system.expire_snapshots('sqltag', 1)")
+      s.sql("""SELECT url, unix_micros(warc_ts) AS warc_us, text, content_len
+              |FROM graft.sqltag VERSION AS OF 'halfway'""".stripMargin)
+    }),
+
     // salted two-phase dedup (explicit skew defense) — identical oracle to
     // cdc_dedup_maxby by associativity of max
     "cdc_dedup_salted" -> ((s, dir) => {
@@ -962,6 +1033,29 @@ object SparkEntry {
         |FROM ranked
         |WHERE rn = 1 AND event_type <> 'error'
         |  AND 'u' || CAST(user_id AS VARCHAR) IN ('u3', 'u7', 'u1200', 'u999999')""".stripMargin,
+
+    // truncate + full re-ingest converges to the plain-replay final state
+    "cdc_sql_truncate" ->
+      """WITH ranked AS (
+        |  SELECT user_id, ts, event_id, event_type, props,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT 'u' || CAST(user_id AS VARCHAR) AS url, epoch_us(ts) AS warc_us,
+        |       props AS text, CAST(strlen(props) AS BIGINT) AS content_len
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    // the tagged snapshot = the LWW final state over the first half of the
+    // changelog (event_id <= max/2), surviving expire_snapshots(keep=1)
+    "cdc_sql_tag_travel" ->
+      """WITH c AS (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) AS cut FROM events),
+        |sub AS (SELECT e.* FROM events e, c WHERE e.event_id <= c.cut),
+        |ranked AS (
+        |  SELECT user_id, ts, event_id, event_type, props,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM sub)
+        |SELECT 'u' || CAST(user_id AS VARCHAR) AS url, epoch_us(ts) AS warc_us,
+        |       props AS text, CAST(strlen(props) AS BIGINT) AS content_len
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
 
     // the broadcast + runtime-filtered dim join over the merged table:
     // final state (latest per url, deletes folded) joined to the same

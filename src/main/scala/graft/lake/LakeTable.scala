@@ -341,6 +341,94 @@ final class LakeTable(val root: Path) {
       commit(next, Some(cur.commitTsMs))
     }
 
+  /** TRUNCATE: rollback-to-EMPTY. A pure metadata commit — no data files
+    * touched (expiry/orphan GC reclaims them later) — with `files`, batch
+    * markers, and `totalRows` all cleared while schema version and bucket
+    * count survive. Clearing the markers is deliberate and follows the
+    * [[rollbackTo]] principle that state and exactly-once bookkeeping move
+    * TOGETHER: the empty state has applied nothing, so a checkpoint rewind
+    * re-ingests the full binlog (re-seed semantics), while a LIVE stream
+    * keeps going from its own offsets and only new data lands. It also
+    * makes the truncate LOUD for incremental consumers: the change feed's
+    * rollback guard ([[incrementFilesBySnapshot]]) keys on a batch-marker
+    * count decrease, so a mirror or curated stream whose cursor predates
+    * the truncate fails with re-seed guidance instead of silently keeping
+    * rows the source no longer has (a metadata-only truncate emits no
+    * tombstones for them). Truncating an already-empty table is a no-op
+    * (no empty commit). */
+  def truncate(): Snapshot = LakeTable.commitLock(root).synchronized {
+    val cur = currentSnapshot
+    if (cur.files.isEmpty && cur.batches.isEmpty) return cur
+    val next = cur.copy(snapshotId = cur.snapshotId + 1, parentId = cur.snapshotId,
+      files = Vector.empty, batches = Vector.empty, totalRows = 0L)
+    commit(next, Some(cur.commitTsMs))
+  }
+
+  /** Named snapshot refs (Iceberg tags): durable audit points that
+    * [[Maintain.expireSnapshots]] retains regardless of `keepLast`, and
+    * that `VERSION AS OF '<name>'` resolves in SQL time travel. Unlike a
+    * [[pin]] lease a tag never ages out — it holds the snapshot (and its
+    * files) until [[dropTag]]. Tags retain the tagged snapshot POINTWISE,
+    * not its forward span: a tagged read is self-contained (the snapshot
+    * JSON carries its full file list), whereas incremental consumers need
+    * a lease. Creation fails if the name is taken (re-point = drop +
+    * create); the name is VALIDATED, never rewritten — lossy sanitization
+    * could collapse two distinct tags onto one file (the validateOwner
+    * lesson). */
+  def createTag(name: String, snapshotId: Long): Unit =
+      LakeTable.commitLock(root).synchronized {
+    LakeTable.validateTagName(name)
+    require(Files.exists(snapFile(snapshotId)),
+      s"no retained snapshot $snapshotId to tag (have ${snapshotIds.mkString(", ")})")
+    val dir = metaDir.resolve("tags")
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, ".tag", ".tmp")
+    try {
+      Files.write(tmp,
+        s"""{"snapshot_id":$snapshotId,"created_ms":${System.currentTimeMillis()}}"""
+          .getBytes(StandardCharsets.UTF_8))
+      // move WITHOUT replace: create-new is the uniqueness check, atomic
+      // with the content (an existence poll can never read a partial tag)
+      Files.move(tmp, dir.resolve(s"$name.json")): Unit
+    } catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new IllegalArgumentException(
+          s"tag '$name' already exists — dropTag first to re-point it", e)
+      case e: Throwable => Files.deleteIfExists(tmp); throw e
+    }
+  }
+
+  /** Drop a tag; returns whether it existed. The tagged snapshot becomes
+    * expirable again at the next [[Maintain.expireSnapshots]]. */
+  def dropTag(name: String): Boolean = LakeTable.commitLock(root).synchronized {
+    LakeTable.validateTagName(name)
+    Files.deleteIfExists(metaDir.resolve("tags").resolve(s"$name.json"))
+  }
+
+  /** All tags as (name, snapshotId, createdMs). Unparseable files are
+    * skipped (a concurrent createTag's staged `.tmp` is dot-prefixed and
+    * never matches). */
+  def tagEntries: Seq[(String, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val dir = metaDir.resolve("tags")
+    if (!Files.isDirectory(dir)) return Nil
+    val s = Files.list(dir)
+    try s.iterator().asScala.flatMap { p =>
+      val n = p.getFileName.toString
+      if (!n.endsWith(".json") || n.startsWith(".")) None
+      else try {
+        val node = Snapshot.mapper.readTree(Files.readAllBytes(p))
+        Some((n.stripSuffix(".json"), node.get("snapshot_id").asLong(),
+          node.get("created_ms").asLong()))
+      } catch { case _: Exception => None }
+    }.toVector.sortBy(_._1)
+    finally s.close()
+  }
+
+  /** Tag name → snapshot id. */
+  def tags: Map[String, Long] = tagEntries.map(t => t._1 -> t._2).toMap
+
   /** Evolve the table's logical schema (add column / widen type): a pure
     * metadata commit — no data files touched. Old files keep their physical
     * schema and are aligned at read time; subsequent MERGEs write the new
@@ -608,6 +696,19 @@ object LakeTable {
   private[lake] def validateOwner(owner: String): Unit =
     require(owner.forall(c => c.isLetterOrDigit || c == '_'),
       s"pin owner tag must match [A-Za-z0-9_]*, got '$owner'")
+
+  /** Tag names become `meta/tags/<name>.json` — validated (never rewritten:
+    * lossy sanitization could collapse two tags onto one file). ASCII
+    * letters/digits plus `._-`; must not start with a dot (hidden-file
+    * rule: staged `.tmp` files are dot-prefixed). */
+  private[lake] def validateTagName(name: String): Unit = {
+    require(name.nonEmpty && !name.startsWith("."),
+      s"tag name must be non-empty and not start with '.', got '$name'")
+    require(name.forall(c =>
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '.' || c == '_' || c == '-'),
+      s"tag name must match [A-Za-z0-9._-]+, got '$name'")
+  }
 
   /** Create an empty table with an initial snapshot 0.
     *

@@ -250,7 +250,8 @@ object Maintain {
       snap.files.map(f => (table.root.resolve(f.path), f.rowCount)))
   }
 
-  /** Expire all snapshots except the newest `keepLast`, the current, and —
+  /** Expire all snapshots except the newest `keepLast`, the current, any
+    * snapshot named by a tag ([[LakeTable.createTag]]), and —
     * for any snapshot PINNED by a live reader lease ([[LakeTable.pin]]) —
     * the pin's ENTIRE FORWARD SPAN: an incremental consumer pinned at S
     * still has to read every snapshot in (S, current], so retaining S alone
@@ -277,8 +278,12 @@ object Maintain {
     val newEnough =
       if (olderThanMs == Long.MaxValue) Set.empty[Long]
       else ids.filter(id => table.snapshot(id).commitTsMs >= olderThanMs).toSet
+    // named tags retain their snapshot POINTWISE and never age out — a
+    // tagged read is self-contained (the snapshot JSON holds its file
+    // list), unlike a pinned incremental consumer's forward span
+    val tagged: Set[Long] = table.tags.values.toSet[Long].filter(ids.contains)
     val retain = ids.takeRight(keepLast).toSet + table.currentSnapshotId ++
-      ids.filter(_ >= minPinned) ++ newEnough
+      ids.filter(_ >= minPinned) ++ newEnough ++ tagged
     val expire = ids.filterNot(retain.contains)
     if (expire.isEmpty) return (0, 0)
     val referenced: Set[String] =

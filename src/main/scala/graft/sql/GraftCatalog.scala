@@ -98,12 +98,17 @@ class GraftCatalog extends TableCatalog
     new GraftSqlTable(LakeTable.load(root), ident.toString)
   }
 
-  /** Time travel: `SELECT … FROM graft.t VERSION AS OF <snapshotId>`. */
+  /** Time travel: `SELECT … FROM graft.t VERSION AS OF <snapshotId>`, or a
+    * quoted tag name (`VERSION AS OF 'release-1'`) created by
+    * [[graft.lake.LakeTable.createTag]] / `CALL graft.system.create_tag`. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = rootOf(ident)
     if (!LakeTable.exists(root)) throw new NoSuchTableException(ident)
     val lake = LakeTable.load(root)
-    val id = version.toLong
+    val id = version.toLongOption.getOrElse(
+      lake.tags.getOrElse(version, throw new IllegalArgumentException(
+        s"no tag '$version' for graft table $ident " +
+          s"(have ${lake.tags.keys.toSeq.sorted.mkString(", ")})")))
     require(lake.snapshotIds.contains(id),
       s"no snapshot $id for graft table $ident (have ${lake.snapshotIds.mkString(", ")})")
     new GraftSqlTable(lake, s"$ident@v$version", pinnedSnapshot = Some(id))
@@ -221,8 +226,13 @@ object GraftSqlTable {
   * shuffle, no hash map, O(k) memory however large the bucket. */
 final class GraftSqlTable(val lake: LakeTable, ident: String,
     pinnedSnapshot: Option[Long] = None) extends Table
-    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
   override def name(): String = ident
+  /** `TRUNCATE TABLE graft.t`: rollback-to-empty as one metadata commit —
+    * see [[graft.lake.LakeTable.truncate]] for the marker-clearing and
+    * change-feed (fail-loud) semantics. */
+  override def truncateTable(): Boolean = { lake.truncate(); true }
   /** Schema follows the table's (or the pinned snapshot's) logical version —
     * a v1 table presents v1 columns until ALTERed; time travel to a
     * pre-evolution snapshot presents that era's schema. */

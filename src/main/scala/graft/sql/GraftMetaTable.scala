@@ -83,7 +83,7 @@ final class GraftMetaTable(lake: LakeTable, ident: String, kind: String)
 final case class GraftMetaRows(rows: Seq[Array[Any]]) extends InputPartition
 
 object GraftMetaTable {
-  val Kinds: Set[String] = Set("snapshots", "files", "batches")
+  val Kinds: Set[String] = Set("snapshots", "files", "batches", "tags")
 
   def schemaOf(kind: String): StructType = kind match {
     case "snapshots" => StructType(Seq(
@@ -119,6 +119,10 @@ object GraftMetaTable {
       StructField("start_offset", LongType, nullable = true),
       StructField("count", LongType, nullable = true),
       StructField("rows", LongType, nullable = true)))
+    case "tags" => StructType(Seq(
+      StructField("tag", StringType, nullable = false),
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("created_ms", LongType, nullable = false)))
     case other => throw new IllegalArgumentException(
       s"unknown metadata table '$other' (have ${Kinds.mkString(", ")})")
   }
@@ -146,6 +150,10 @@ object GraftMetaTable {
         else b.lineage.map(l =>
           Array[Any](b.batchId, b.upserts, b.deletes, l.partition,
             l.startOffset, l.count, l.rows))
+      }
+    case "tags" =>
+      lake.tagEntries.map { case (name, id, createdMs) =>
+        Array[Any](name, id, createdMs)
       }
     case other => throw new IllegalArgumentException(s"unknown metadata table '$other'")
   }

@@ -38,7 +38,8 @@ object GraftProcedures {
 
   def idents: Array[Identifier] =
     Array("rollback_to_snapshot", "expire_snapshots", "compact",
-      "rebucket", "build_blooms", "remove_orphan_files")
+      "rebucket", "build_blooms", "remove_orphan_files",
+      "create_tag", "drop_tag")
       .map(Identifier.of(Namespace, _))
 
   def load(ident: Identifier, warehouse: Path): UnboundProcedure = {
@@ -123,6 +124,29 @@ object GraftProcedures {
             else Math.floorDiv(args.getLong(1), 1000L) // micros → ms
           val dryRun = args.numFields >= 3 && !args.isNullAt(2) && args.getBoolean(2)
           Array[Any](Maintain.removeOrphanFiles(t, olderThanMs, dryRun).size.toLong)
+        })
+      case "create_tag" => proc("create_tag",
+        "Tag a retained snapshot with a durable name (expiry keeps it; " +
+          "VERSION AS OF '<tag>' reads it). Default snapshot: current",
+        Seq(in("table", StringType), in("tag", StringType),
+          ProcedureParameter.in("snapshot_id", LongType)
+            .defaultValue("CAST(NULL AS BIGINT)").build()),
+        Seq("tag" -> StringType, "snapshot_id" -> LongType),
+        args => {
+          val t = LakeTable.load(root(args.getUTF8String(0).toString))
+          val tag = args.getUTF8String(1).toString
+          val id = if (args.numFields < 3 || args.isNullAt(2)) t.currentSnapshotId
+            else args.getLong(2)
+          t.createTag(tag, id)
+          Array[Any](tag, id)
+        })
+      case "drop_tag" => proc("drop_tag",
+        "Drop a snapshot tag; the snapshot becomes expirable again",
+        Seq(in("table", StringType), in("tag", StringType)),
+        Seq("existed" -> BooleanType),
+        args => {
+          val t = LakeTable.load(root(args.getUTF8String(0).toString))
+          Array[Any](t.dropTag(args.getUTF8String(1).toString))
         })
       case other =>
         throw new IllegalArgumentException(s"unknown procedure 'system.$other'")

@@ -1022,4 +1022,136 @@ class GraftSqlSpec extends SparkSpec {
       }
     }
   }
+
+  test("TRUNCATE TABLE: rollback-to-empty, loud for the feed, clean re-ingest") {
+    enable()
+    spark.sql("""CREATE TABLE graft.trnc (url STRING, warc_ts TIMESTAMP,
+                |  html BINARY, text STRING, content_len BIGINT, lang STRING)
+                |USING graft TBLPROPERTIES('buckets'='4')""".stripMargin)
+    def mergeSeed(tbl: String, n: Int, tsBase: Long, offBase: Long): Unit = {
+      spark.range(n).createOrReplaceTempView("tseed")
+      spark.sql(s"""MERGE INTO graft.$tbl t USING (
+                  |  SELECT concat('u', id) AS url, timestamp_micros($tsBase + id) AS warc_ts,
+                  |    cast(concat('<p>v$offBase-', id, '</p>') AS BINARY) AS html,
+                  |    CAST(NULL AS STRING) AS text, CAST(NULL AS BIGINT) AS content_len,
+                  |    'en' AS lang, CAST($offBase + id AS LONG) AS offset,
+                  |    CAST(0 AS INT) AS partition, 'upsert' AS op
+                  |  FROM tseed) s
+                  |ON t.url = s.url
+                  |WHEN MATCHED THEN UPDATE SET *
+                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    mergeSeed("trnc", 30, 1700000000000000L, 0L)
+    val lake = graft.lake.LakeTable.load(java.nio.file.Paths.get(wh).resolve("trnc"))
+    val preTruncate = lake.currentSnapshotId
+    assert(spark.table("graft.trnc").count() == 30)
+
+    spark.sql("TRUNCATE TABLE graft.trnc")
+    assert(spark.table("graft.trnc").count() == 0)
+    val snap = lake.currentSnapshot
+    assert(snap.snapshotId == preTruncate + 1 && snap.files.isEmpty &&
+      snap.batches.isEmpty && snap.totalRows == 0,
+      "truncate must be one metadata commit clearing files AND markers")
+    // schema/bucket layout survive
+    assert(snap.nBuckets == 4 && snap.schemaVersion == lake.snapshot(preTruncate).schemaVersion)
+
+    // an incremental consumer whose cursor predates the truncate fails
+    // LOUDLY (marker-count decrease = the rollback guard): a metadata-only
+    // truncate emits no tombstones, so silent continuation would strand
+    // every pre-truncate row in the mirror
+    val err = intercept[IllegalStateException](
+      lake.incrementFilesBySnapshot(preTruncate, lake.currentSnapshotId))
+    assert(err.getMessage.contains("ROLLBACK"), err.getMessage)
+
+    // pre-truncate history stays time-travel readable until expiry
+    assert(spark.sql(s"SELECT * FROM graft.trnc VERSION AS OF $preTruncate").count() == 30)
+
+    // re-ingest lands on the empty state exactly as on a fresh table
+    mergeSeed("trnc", 12, 1700000002000000L, 500L)
+    spark.sql("""CREATE TABLE graft.trnc2 (url STRING, warc_ts TIMESTAMP,
+                |  html BINARY, text STRING, content_len BIGINT, lang STRING)
+                |USING graft TBLPROPERTIES('buckets'='4')""".stripMargin)
+    mergeSeed("trnc2", 12, 1700000002000000L, 500L)
+    def state(tbl: String) = spark.sql(
+        s"SELECT url, unix_micros(warc_ts) AS us, text FROM graft.$tbl")
+      .collect().map(_.toString).sorted.toSeq
+    assert(state("trnc") == state("trnc2"),
+      "post-truncate re-ingest must equal a fresh table")
+
+    // truncating an already-empty table is a no-op (no empty commit)
+    spark.sql("TRUNCATE TABLE graft.trnc2")
+    val emptied = lakeOf("trnc2").currentSnapshotId
+    spark.sql("TRUNCATE TABLE graft.trnc2")
+    assert(lakeOf("trnc2").currentSnapshotId == emptied)
+  }
+
+  private def lakeOf(name: String) =
+    graft.lake.LakeTable.load(java.nio.file.Paths.get(wh).resolve(name))
+
+  test("snapshot tags: durable named refs survive expiry, resolve in VERSION AS OF") {
+    enable()
+    spark.sql("""CREATE TABLE graft.tgt (url STRING, warc_ts TIMESTAMP,
+                |  html BINARY, text STRING, content_len BIGINT, lang STRING)
+                |USING graft TBLPROPERTIES('buckets'='2')""".stripMargin)
+    def mergeSeed(n: Int, tsBase: Long, offBase: Long): Unit = {
+      spark.range(n).createOrReplaceTempView("gseed")
+      spark.sql(s"""MERGE INTO graft.tgt t USING (
+                  |  SELECT concat('u', id) AS url, timestamp_micros($tsBase + id) AS warc_ts,
+                  |    cast(concat('<p>v$offBase-', id, '</p>') AS BINARY) AS html,
+                  |    CAST(NULL AS STRING) AS text, CAST(NULL AS BIGINT) AS content_len,
+                  |    'en' AS lang, CAST($offBase + id AS LONG) AS offset,
+                  |    CAST(0 AS INT) AS partition, 'upsert' AS op
+                  |  FROM gseed) s
+                  |ON t.url = s.url
+                  |WHEN MATCHED THEN UPDATE SET *
+                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    mergeSeed(8, 1700000000000000L, 0L)
+    val lake = lakeOf("tgt")
+    val v1State = spark.sql("SELECT url, unix_micros(warc_ts) AS us FROM graft.tgt")
+      .collect().map(_.toString).sorted.toSeq
+
+    // CALL create_tag defaults to the current snapshot
+    val r = spark.sql("CALL graft.system.create_tag('tgt', 'release-1')").collect()
+    assert(r.length == 1 && r.head.getString(0) == "release-1" &&
+      r.head.getLong(1) == lake.currentSnapshotId)
+    // $tags metadata view lists it
+    val tagsRows = spark.sql("SELECT tag, snapshot_id FROM graft.`tgt$tags`").collect()
+    assert(tagsRows.map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      Seq(("release-1", lake.currentSnapshotId)))
+
+    // history moves on; several more commits make the tagged snapshot
+    // expiry-eligible by count
+    mergeSeed(8, 1700000001000000L, 100L)
+    mergeSeed(8, 1700000002000000L, 200L)
+    spark.sql("CALL graft.system.expire_snapshots('tgt', 1)").collect()
+
+    // the tagged snapshot (and its files) survive: VERSION AS OF '<tag>'
+    // reproduces the tagged state after everything untagged expired
+    val tagged = spark.sql("SELECT url, unix_micros(warc_ts) AS us FROM graft.tgt VERSION AS OF 'release-1'")
+      .collect().map(_.toString).sorted.toSeq
+    assert(tagged == v1State, "tag must keep the snapshot readable across expiry")
+
+    // duplicate, invalid, and unknown-snapshot tags fail loudly
+    assert(intercept[Exception](lake.createTag("release-1", lake.currentSnapshotId))
+      .getMessage.contains("already exists"))
+    assert(intercept[Exception](lake.createTag("bad/name", lake.currentSnapshotId))
+      .getMessage.contains("tag name"))
+    assert(intercept[Exception](lake.createTag("ok-name", 999L))
+      .getMessage.contains("no retained snapshot"))
+    intercept[Exception](
+      spark.sql("SELECT * FROM graft.tgt VERSION AS OF 'no-such-tag'").collect())
+
+    // drop_tag releases the hold: the next expiry GCs the snapshot and the
+    // tag no longer resolves
+    val d = spark.sql("CALL graft.system.drop_tag('tgt', 'release-1')").collect()
+    assert(d.length == 1 && d.head.getBoolean(0))
+    spark.sql("CALL graft.system.expire_snapshots('tgt', 1)").collect()
+    intercept[Exception](
+      spark.sql("SELECT * FROM graft.tgt VERSION AS OF 'release-1'").collect())
+    assert(spark.sql("SELECT * FROM graft.`tgt$tags`").count() == 0)
+    // dropping again reports absence
+    assert(!spark.sql("CALL graft.system.drop_tag('tgt', 'release-1')")
+      .collect().head.getBoolean(0))
+  }
 }

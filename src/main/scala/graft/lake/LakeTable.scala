@@ -708,6 +708,11 @@ object LakeTable {
       (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
         (c >= '0' && c <= '9') || c == '.' || c == '_' || c == '-'),
       s"tag name must match [A-Za-z0-9._-]+, got '$name'")
+    // VERSION AS OF tries the numeric snapshot-id interpretation FIRST, so
+    // an all-digit tag could be created but never resolved — reject it
+    require(name.toLongOption.isEmpty,
+      s"tag name '$name' parses as a snapshot id — VERSION AS OF would " +
+        "never resolve it as a tag; include a non-digit character")
   }
 
   /** Create an empty table with an initial snapshot 0.

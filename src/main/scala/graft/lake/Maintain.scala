@@ -383,18 +383,21 @@ object Maintain {
     }
     Seq("data", "staging").map(table.root.resolve)
       .filter(Files.isDirectory(_)).foreach(sweep(_, isRoot = true): Unit)
-    val meta = table.root.resolve("meta")
-    if (Files.isDirectory(meta)) {
-      val s = Files.list(meta)
-      try s.forEach { p =>
-        val n = p.getFileName.toString
-        if (n.startsWith(".") && n.endsWith(".tmp") &&
-            Files.isRegularFile(p) && ageOk(p)) {
-          out += table.root.relativize(p).toString
-          if (!dryRun) Files.deleteIfExists(p): Unit
-        }
-      } finally s.close()
-    }
+    // crashed-commit (meta/) and crashed-createTag (meta/tags/) staged
+    // temp files age out too — both are dot-prefixed `*.tmp`, invisible to
+    // readers, and referenced by nothing once their writer died
+    Seq(table.root.resolve("meta"), table.root.resolve("meta").resolve("tags"))
+      .filter(Files.isDirectory(_)).foreach { dir =>
+        val s = Files.list(dir)
+        try s.forEach { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith(".") && n.endsWith(".tmp") &&
+              Files.isRegularFile(p) && ageOk(p)) {
+            out += table.root.relativize(p).toString
+            if (!dryRun) Files.deleteIfExists(p): Unit
+          }
+        } finally s.close()
+      }
     out.result()
   }
 }

@@ -1137,6 +1137,10 @@ class GraftSqlSpec extends SparkSpec {
       .getMessage.contains("already exists"))
     assert(intercept[Exception](lake.createTag("bad/name", lake.currentSnapshotId))
       .getMessage.contains("tag name"))
+    // all-digit names would be shadowed by the snapshot-id interpretation
+    // of VERSION AS OF — rejected at creation, not silently unreachable
+    assert(intercept[Exception](lake.createTag("123", lake.currentSnapshotId))
+      .getMessage.contains("snapshot id"))
     assert(intercept[Exception](lake.createTag("ok-name", 999L))
       .getMessage.contains("no retained snapshot"))
     intercept[Exception](
@@ -1153,5 +1157,17 @@ class GraftSqlSpec extends SparkSpec {
     // dropping again reports absence
     assert(!spark.sql("CALL graft.system.drop_tag('tgt', 'release-1')")
       .collect().head.getBoolean(0))
+
+    // a crashed createTag's staged .tmp is invisible to tagEntries and
+    // aged out by the orphan GC; a live tag survives the same sweep
+    lake.createTag("keeper", lake.currentSnapshotId)
+    val debris = lake.root.resolve("meta/tags/.tag-crashed.tmp")
+    java.nio.file.Files.write(debris, Array[Byte](1))
+    java.nio.file.Files.setLastModifiedTime(debris,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 10_000))
+    assert(lake.tags.keySet == Set("keeper"))
+    val removed = graft.lake.Maintain.removeOrphanFiles(lake, System.currentTimeMillis())
+    assert(removed.exists(_.endsWith(".tag-crashed.tmp")), removed.toString)
+    assert(!java.nio.file.Files.exists(debris) && lake.tags.keySet == Set("keeper"))
   }
 }

@@ -67,6 +67,16 @@ final class BinlogScan(rootPath: String, options: CaseInsensitiveStringMap)
 
   private def maxEventsPerBatch: Long =
     Option(options.get("maxEventsPerBatch")).map(_.toLong).getOrElse(1000000L)
+  /** Decoded-byte admission budget per micro-batch (Kafka's
+    * `maxBytesPerTrigger` role). Webtext rows span 100 B–1 MB, so an
+    * event-count cap alone bounds executor memory poorly — a batch of max
+    * events can be 10^4× heavier than the same count of small rows. The
+    * budget is enforced at CHUNK granularity off the segments' own chunk
+    * indexes (`byte_length_uncompressed` — no data reads at planning), with
+    * at least one chunk admitted per backlogged partition so progress is
+    * guaranteed: a batch can overshoot by at most one chunk per partition. */
+  private def maxBytesPerBatch: Long =
+    Option(options.get("maxBytesPerBatch")).map(_.toLong).getOrElse(Long.MaxValue)
   private def eventsPerTask: Long =
     Option(options.get("eventsPerTask")).map(_.toLong).getOrElse(8000L)
   /** Partition filter (≙ reference F1: `partitions` config applied at
@@ -149,7 +159,7 @@ final class BinlogScan(rootPath: String, options: CaseInsensitiveStringMap)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new BinlogMicroBatchStream(path, maxEventsPerBatch, eventsPerTask,
       partitionFilter, excludeUrlContains, lineageToken, codecSpec, startOffsets,
-      deadLetterDir)
+      deadLetterDir, maxBytesPerBatch)
 }
 
 /** Offset = per-partition next-offset-to-read map, JSON-serialized into the
@@ -204,7 +214,8 @@ final class BinlogMicroBatchStream(path: String, maxEventsPerBatch: Long, events
     partitionFilter: Option[Set[Int]] = None, excludeUrlContains: Seq[String] = Nil,
     lineageToken: Option[String] = None, codecSpec: CodecSpec = CodecSpec(),
     startOffsets: Map[Int, Long] = Map.empty,
-    deadLetterDir: Option[String] = None)
+    deadLetterDir: Option[String] = None,
+    maxBytesPerBatch: Long = Long.MaxValue)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private def lineageKey: String = lineageToken.getOrElse(path)
@@ -230,7 +241,10 @@ final class BinlogMicroBatchStream(path: String, maxEventsPerBatch: Long, events
     BinlogOffset(listEnds().map { case (p, _) => p -> starts.getOrElse(p, 0L) })
   }
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxEventsPerBatch)
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxBytesPerBatch == Long.MaxValue) ReadLimit.maxRows(maxEventsPerBatch)
+    else ReadLimit.compositeLimit(Array(
+      ReadLimit.maxRows(maxEventsPerBatch), ReadLimit.maxBytes(maxBytesPerBatch)))
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("use latestOffset(start, limit)")
@@ -264,10 +278,19 @@ final class BinlogMicroBatchStream(path: String, maxEventsPerBatch: Long, events
     val all = (cur.keySet ++ ends.keySet).toSeq.sorted
     val backlog = all.map(p => p -> math.max(0L, ends.getOrElse(p, 0L) - base(p)))
     val totalBacklog = backlog.map(_._2).sum
-    val cap = limit match {
-      case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxRows => rl.maxRows()
-      case _ => Long.MaxValue
+    // a composite limit carries both caps; each flavor defaults to ∞
+    def caps(l: ReadLimit): (Long, Long) = l match {
+      case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        (rl.maxRows(), Long.MaxValue)
+      case bl: org.apache.spark.sql.connector.read.streaming.ReadMaxBytes =>
+        (Long.MaxValue, bl.maxBytes())
+      case cl: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+        cl.getReadLimits.map(caps).foldLeft((Long.MaxValue, Long.MaxValue)) {
+          case ((r1, b1), (r2, b2)) => (math.min(r1, r2), math.min(b1, b2))
+        }
+      case _ => (Long.MaxValue, Long.MaxValue)
     }
+    val (cap, byteCap) = caps(limit)
     val next =
       if (totalBacklog <= cap) ends.keySet.union(cur.keySet)
         .map(p => p -> math.max(base(p), ends.getOrElse(p, 0L))).toMap
@@ -283,7 +306,61 @@ final class BinlogMicroBatchStream(path: String, maxEventsPerBatch: Long, events
         }
         m.result()
       }
-    BinlogOffset(next)
+    BinlogOffset(
+      if (byteCap == Long.MaxValue) next else clampByBytes(next, base, byteCap))
+  }
+
+  /** Clamp a row-capped offset proposal to a DECODED-byte budget, using the
+    * segments' own chunk indexes (`byte_length_uncompressed`) — no data
+    * reads at planning, and the index walk stops as soon as each
+    * partition's share is spent (planning cost ∝ the admitted batch, not
+    * the backlog). The budget is apportioned across partitions
+    * proportionally to their record backlog (the byte backlog is unknown
+    * without walking every index below the target), enforced at chunk
+    * granularity, and ALWAYS admits the first chunk of a backlogged
+    * partition (progress guarantee, the count path's at-least-1
+    * discipline) — so a batch can overshoot the budget by at most one
+    * chunk per partition. A resumed mid-chunk position charges the whole
+    * chunk (conservative: the reader decompresses the full chunk to skip
+    * into it). */
+  private def clampByBytes(proposed: Map[Int, Long], base: Int => Long,
+      byteCap: Long): Map[Int, Long] = {
+    val active = proposed.toSeq.sortBy(_._1).filter { case (p, until) => until > base(p) }
+    if (active.isEmpty) return proposed
+    val segsByPart = Segment.listAll(Paths.get(path)).groupBy(_.partition)
+    val totalBacklog = active.map { case (p, until) => until - base(p) }.sum
+    val m = Map.newBuilder[Int, Long] ++= proposed
+    active.foreach { case (p, until) =>
+      val from = base(p)
+      // double-precision apportioning: byteCap × backlog overflows Long for
+      // GB-scale budgets over deep backlogs, and a budget share needs no
+      // exactness (enforcement is chunk-granular anyway)
+      val share = math.max(1L,
+        (byteCap.toDouble * (until - from) / math.max(1L, totalBacklog)).toLong)
+      val segs = segsByPart.getOrElse(p, Vector.empty) // offset-sorted by listAll
+      // a segment spans [startOffset, nextSegment.startOffset) for overlap
+      // tests — gaps only over-admit one index read, never skip data
+      val segEnds = segs.drop(1).map(_.startOffset) :+ Long.MaxValue
+      val chunks = segs.iterator.zip(segEnds.iterator)
+        .filter { case (s, e) => e > from && s.startOffset < until }
+        .flatMap(_._1.index.chunks.iterator) // lazy: indexes open only while budget lasts
+        .filter(c => c.firstRecordOffset + c.numRecords > from && c.firstRecordOffset < until)
+      var used = 0L
+      var clamped = from
+      var stop = false
+      while (!stop && chunks.hasNext) {
+        val c = chunks.next()
+        used += c.byteLengthUncompressed
+        clamped = math.min(c.firstRecordOffset + c.numRecords, until)
+        stop = used >= share
+      }
+      // an empty chunk walk (listing raced a graced re-archive, or the
+      // proposal points into the void of a gapped archive) keeps the
+      // row-capped proposal — bytes unknown means never admit LESS than
+      // one chunk's worth of progress
+      if (clamped > from) m += p -> clamped
+    }
+    m.result()
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -59,6 +59,74 @@ class BinlogSourceSpec extends SparkSpec {
     assert(p9.forall(_.from >= base), s"no planning below the anchor: ${p9.toSeq}")
   }
 
+  test("byte admission: maxBytesPerBatch clamps at chunk granularity with progress") {
+    val dir = tmpDir("srcby")
+    val p = GenProfile.uniformSmall().copy(partitions = 2, eventsPerPartition = 1000)
+    // small chunks so the byte budget bites mid-segment
+    ChangeEventGen.writeSegments(p, dir, segmentEvents = 500, chunkThreshold = 8 * 1024)
+    val byteCap = 32 * 1024L
+    val s = new BinlogMicroBatchStream(dir.toString, 1000000L, 100,
+      maxBytesPerBatch = byteCap)
+    // a byte budget turns the default limit composite (rows AND bytes)
+    assert(s.getDefaultReadLimit.isInstanceOf[
+      org.apache.spark.sql.connector.read.streaming.CompositeReadLimit])
+
+    val segs = Segment.listAll(dir).groupBy(_.partition)
+    def decodedBytes(part: Int, from: Long, until: Long): Long =
+      segs(part).iterator.flatMap(_.index.chunks.iterator)
+        .filter(c => c.firstRecordOffset + c.numRecords > from && c.firstRecordOffset < until)
+        .map(_.byteLengthUncompressed).sum
+    val maxChunk = segs.values.flatten.flatMap(_.index.chunks)
+      .map(_.byteLengthUncompressed).max
+
+    // drain under the byte budget: every batch's admitted decoded bytes per
+    // partition stay within its share plus the one-chunk overshoot, offsets
+    // only advance, and the union covers the whole log exactly
+    var cur = s.initialOffset().asInstanceOf[BinlogOffset]
+    var batches = 0
+    val limit = s.getDefaultReadLimit
+    var done = false
+    while (!done && batches < 1000) {
+      val next = s.latestOffset(cur, limit).asInstanceOf[BinlogOffset]
+      if (next.parts == cur.parts) done = true
+      else {
+        next.parts.foreach { case (part, until) =>
+          val from = cur.parts.getOrElse(part, 0L)
+          assert(until >= from, s"offset regressed on p$part")
+          if (until > from) {
+            val used = decodedBytes(part, from, until)
+            // per-partition share ≤ full budget; overshoot ≤ one chunk
+            assert(used <= byteCap + maxChunk,
+              s"p$part admitted $used decoded bytes (cap $byteCap + chunk $maxChunk)")
+          }
+        }
+        batches += 1
+        cur = next
+      }
+    }
+    assert(cur.parts == Map(0 -> 1000L, 1 -> 1000L), s"drain incomplete: ${cur.parts}")
+    // the budget actually split the log (the count cap alone would drain in 1)
+    assert(batches > 3, s"expected several byte-capped batches, got $batches")
+
+    // byte-unlimited stream is unchanged: one batch drains everything
+    val s2 = new BinlogMicroBatchStream(dir.toString, 1000000L, 100)
+    assert(!s2.getDefaultReadLimit.isInstanceOf[
+      org.apache.spark.sql.connector.read.streaming.CompositeReadLimit])
+    val one = s2.latestOffset(s2.initialOffset(), s2.getDefaultReadLimit)
+      .asInstanceOf[BinlogOffset]
+    assert(one.parts == Map(0 -> 1000L, 1 -> 1000L))
+
+    // option plumbing: the DSv2 scan threads maxBytesPerBatch into the
+    // stream it builds
+    val stream = new BinlogTable(dir.toString)
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("maxBytesPerBatch", byteCap.toString)))
+      .build().toMicroBatchStream(tmpDir("srcby-ckpt").toString)
+    assert(stream.asInstanceOf[org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl]
+      .getDefaultReadLimit.isInstanceOf[
+        org.apache.spark.sql.connector.read.streaming.CompositeReadLimit])
+  }
+
   test("streaming read returns exactly the planned rows; batch read honors offset pushdown") {
     val dir = tmpDir("src2")
     val p = GenProfile.uniformSmall().copy(partitions = 2, eventsPerPartition = 300)

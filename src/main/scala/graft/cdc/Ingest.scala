@@ -200,7 +200,8 @@ object Ingest {
       opts: MergeOptions = MergeOptions(),
       startOffsets: Map[Int, Long] = Map.empty,
       deadLetterDir: Option[String] = None,
-      retainBinlogEveryBatches: Long = 0L): StreamingQuery = {
+      retainBinlogEveryBatches: Long = 0L,
+      maxBytesPerBatch: Long = Long.MaxValue): StreamingQuery = {
     val table =
       if (LakeTable.exists(tableRoot)) LakeTable.load(tableRoot)
       else LakeTable.create(tableRoot, nBuckets)
@@ -213,6 +214,10 @@ object Ingest {
       .option("path", binlogDir)
       .option("maxEventsPerBatch", maxEventsPerBatch)
       .option("lineageToken", lineageToken)
+    // decoded-byte admission cap (see BinlogSource.maxBytesPerBatch):
+    // bounds per-batch executor memory when row widths vary 10^4×
+    if (maxBytesPerBatch != Long.MaxValue)
+      reader.option("maxBytesPerBatch", maxBytesPerBatch): Unit
     // handoff anchor after a [[bootstrap]]: first offsets to read when the
     // checkpoint is empty (once a checkpoint exists, it wins)
     if (startOffsets.nonEmpty) reader.option("startOffsets",

@@ -70,6 +70,33 @@ class CdcPipelineSpec extends SparkSpec {
     }
   }
 
+  test("byte-capped ingest: same final state, more (smaller) exactly-once batches") {
+    val p = GenProfile.uniformSmall().copy(partitions = 2, eventsPerPartition = 1500)
+    val binlog = tmpDir("binlog-bytes")
+    // small chunks so the byte budget clamps mid-segment
+    ChangeEventGen.writeSegments(p, binlog, segmentEvents = 750, chunkThreshold = 8 * 1024)
+    val oracle = Oracle.finalState(p)
+
+    val root = tmpDir("tbl-bytes")
+    val q = Ingest.startStream(spark, binlog.toString, root, tmpDir("ckpt-bytes").toString,
+      maxEventsPerBatch = 1000000L, nBuckets = 4, maxBytesPerBatch = 64 * 1024)
+    q.awaitTermination()
+    val table = LakeTable.load(root)
+    assertMatchesOracle(table, oracle)
+    // the byte cap split the drain (an uncapped AvailableNow run = 1 batch)
+    // into several exactly-once batches with a gap-free lineage chain
+    val snap = table.currentSnapshot
+    assert(snap.batches.size > 3, s"expected a byte-split drain, got ${snap.batches.size} batches")
+    (0 until p.partitions).foreach { part =>
+      val chain = snap.batches.flatMap(_.lineage.filter(_.partition == part)).sortBy(_.startOffset)
+      assert(chain.map(_.count).sum == p.eventsPerPartition, s"p$part coverage")
+      chain.sliding(2).foreach {
+        case Seq(a, b) => assert(b.startOffset == a.startOffset + a.count, s"gap at p$part")
+        case _ =>
+      }
+    }
+  }
+
   test("final state is invariant to batch split size") {
     val p = GenProfile.adversarialOrder().copy(partitions = 2, eventsPerPartition = 1000)
     val binlog = gen(p)

@@ -140,6 +140,30 @@ object SparkEntry {
         col("content_len"))
     }),
 
+    // WRITE-AUDIT-PUBLISH: main ingests the changelog prefix, a staging
+    // BRANCH ingests the tail (batch ids in the salted branch domain —
+    // raw audit epochs would collide with main's own after publish), and
+    // publishBranch squashes the audit onto main as ONE commit carrying
+    // the branch head's files AND markers. The plain-replay oracle proves
+    // the staged half lands losslessly (tombstones and ties included)
+    "cdc_branch_wap" -> ((s, dir) => {
+      val changelog = eventsChangelog(s, dir)
+      val bounds = t(s, dir, "events").agg(min("event_id"), max("event_id")).head()
+      val cut = (bounds.getLong(0) + bounds.getLong(1)) / 2
+      val root = Files.createTempDirectory("graft-q-wap")
+      val main = graft.lake.LakeTable.create(root, nBuckets = 8)
+      graft.cdc.Ingest.applyBatch(s, main)(changelog.filter(col("offset") < cut), 0L)
+      val branch = main.createBranch("audit")
+      graft.cdc.Ingest.applyBatch(s, branch)(changelog.filter(col("offset") >= cut),
+        graft.cdc.Ingest.branchBatchId("q-wap-audit", 0L))
+      main.publishBranch("audit")
+      main.read(s).select(
+        col("url"),
+        unix_micros(col("warc_ts")).as("warc_us"),
+        col("text"),
+        col("content_len"))
+    }),
+
     // CHAINED CDC PIPELINES: table A ingests the changelog, then table B
     // tails A's change feed via the `graft-feed` streaming source (offsets
     // = A's snapshot ids; batch 0 = A's full state, increments follow) and
@@ -944,6 +968,17 @@ object SparkEntry {
     // bootstrap + full-overlap replay converges to the plain-replay state
     // exactly — the oracle IS cdc_merge_final_state's
     "cdc_bootstrap_handoff" ->
+      """WITH ranked AS (
+        |  SELECT user_id, ts, event_id, event_type, props,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT 'u' || CAST(user_id AS VARCHAR) AS url, epoch_us(ts) AS warc_us,
+        |       props AS text, CAST(strlen(props) AS BIGINT) AS content_len
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    // write-audit-publish converges to the plain-replay state exactly —
+    // the oracle IS cdc_merge_final_state's
+    "cdc_branch_wap" ->
       """WITH ranked AS (
         |  SELECT user_id, ts, event_id, event_type, props,
         |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn

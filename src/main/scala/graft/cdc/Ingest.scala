@@ -111,6 +111,30 @@ object Ingest {
     * key — and re-running bootstrap is an idempotent no-op. */
   val BootstrapBatchId: Long = 1L << 61
 
+  /** Batch-id domain for BRANCH ingest streams (write-audit-publish): a
+    * published branch's markers enter MAIN's exactly-once marker space,
+    * where the main stream's own checkpoint epochs (small naturals) live —
+    * raw epoch ids from the audit stream's checkpoint would collide with
+    * them and make the main stream silently skip its next batches as
+    * "already-durable replays" (the mixed-writer data-loss class: every
+    * writer sharing a marker space needs its own id domain — SQL commands
+    * bit 62, bootstrap bit 61, mirrors bit 60, branches bit 59). Bits
+    * 32–59: per-audit salt from the checkpoint dir (stable across restarts
+    * of one audit, distinct across audits — two published audits must not
+    * collide either); bits 0–31: the epoch. */
+  val BranchBatchIdBit: Long = 1L << 59
+
+  /** `BranchBatchIdBit | salt<<32 | epochId` — see [[BranchBatchIdBit]]. */
+  def branchBatchId(checkpointDir: String, epochId: Long): Long = {
+    require((epochId >> 32) == 0L,
+      s"epoch id $epochId overflows the 32-bit branch epoch field")
+    val salt = java.security.MessageDigest.getInstance("MD5")
+      .digest(Paths.get(checkpointDir).toAbsolutePath.normalize
+        .toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL)) & 0x7ffffffL
+    BranchBatchIdBit | (salt << 32) | epochId
+  }
+
   /** INITIAL-SNAPSHOT BOOTSTRAP — the "snapshot, then stream" handoff the
     * reference leaves to the operator (kafka-connect-s3 only tails the
     * topic; loading pre-existing data is out of its scope): load an existing
@@ -188,7 +212,22 @@ object Ingest {
     * horizon ([[graft.lake.Maintain.expireSnapshots]]): leases older than
     * it are treated as crashed holders; the default honors every lease
     * forever (conservative — a pin from an absent consumer keeps its span
-    * retained until the consumer returns or cleans up). */
+    * retained until the consumer returns or cleans up).
+    *
+    * `branch` targets the whole ingest at a STAGING BRANCH of the table
+    * (write-audit-publish — [[graft.lake.LakeTable.createBranch]]): the
+    * branch is forked from the current main head if it doesn't exist yet
+    * (a restart of the same audit stream reuses it; its checkpoint resumes
+    * the binlog offsets), every batch commits to the branch chain only, and
+    * nothing is visible on main until `table.publishBranch(name)`. Batch
+    * markers enter the branch in the salted branch id domain
+    * ([[branchBatchId]]) so a published audit's markers can never collide
+    * with the main stream's own checkpoint epochs. Table-wide maintenance
+    * cadences are main-only by construction, so they must stay off here
+    * (enforced) — in particular binlog RETENTION, which truncates the
+    * shared source below an applied horizon: a branch's applies are
+    * provisional until publish, so a dropped branch must leave the binlog
+    * intact for the re-fork to re-read. */
   def startStream(spark: SparkSession, binlogDir: String, tableRoot: Path,
       checkpointDir: String, maxEventsPerBatch: Long = 1000000L,
       trigger: Trigger = Trigger.AvailableNow(), nBuckets: Int = 32,
@@ -201,10 +240,20 @@ object Ingest {
       startOffsets: Map[Int, Long] = Map.empty,
       deadLetterDir: Option[String] = None,
       retainBinlogEveryBatches: Long = 0L,
-      maxBytesPerBatch: Long = Long.MaxValue): StreamingQuery = {
-    val table =
+      maxBytesPerBatch: Long = Long.MaxValue,
+      branch: Option[String] = None): StreamingQuery = {
+    val mainTable =
       if (LakeTable.exists(tableRoot)) LakeTable.load(tableRoot)
       else LakeTable.create(tableRoot, nBuckets)
+    require(branch.isEmpty || (expireEveryBatches == 0 &&
+        retainBinlogEveryBatches == 0),
+      "branch ingest cannot run table-wide maintenance: snapshot expiry is " +
+        "main-only and binlog retention would truncate the shared source " +
+        "below a PROVISIONAL horizon (data loss if the branch is dropped)")
+    val table = branch.fold(mainTable) { name =>
+      if (mainTable.branchExists(name)) mainTable.branchTable(name)
+      else mainTable.createBranch(name)
+    }
     // lineage registry key = this query's checkpoint dir: unique per query
     // (Spark forbids checkpoint sharing), stable across restarts — other
     // queries tailing the same directory cannot clobber our planned ranges.
@@ -236,7 +285,10 @@ object Ingest {
         // one pass saved per batch vs aggregating them from the data.
         val lineage = graft.binlog.BinlogLineage.lastPlanned(lineageToken).map(_.toSeq.sortBy(_._1)
           .map { case (p, (from, until)) => PartLineage(p, from, until - from, until - from) })
-        applyBatch(spark, table, lineage, mode, opts)(df, id)
+        // branch streams mark batches in their own salted id domain — raw
+        // epochs would collide with the main stream's after publish
+        val markerId = if (branch.isEmpty) id else branchBatchId(checkpointDir, id)
+        applyBatch(spark, table, lineage, mode, opts)(df, markerId)
         // auto-maintenance cadence: metadata expiry, point-lookup blooms,
         // bucket growth — all single-writer-safe inside the batch loop
         if (expireEveryBatches > 0 && id > 0 && id % expireEveryBatches == 0)

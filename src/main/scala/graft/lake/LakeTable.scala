@@ -32,11 +32,44 @@ import org.apache.spark.sql.types.StructType
   * Parquet footer is opened; old snapshots are retained for time travel and
   * GC'd separately.
   */
-final class LakeTable(val root: Path) {
+final class LakeTable(val root: Path, val ref: String = LakeTable.MainRef) {
+
+  /** Whether this handle addresses the table's MAIN chain (vs a staging
+    * branch — see [[createBranch]]). Table-wide maintenance (snapshot
+    * expiry, orphan GC) is main-only: a branch shares data files with main
+    * across the fork, so per-chain GC reasoning would delete live files. */
+  def isMain: Boolean = ref == LakeTable.MainRef
 
   private def metaDir = root.resolve("meta")
-  private def versionFile = metaDir.resolve("VERSION")
-  private def snapFile(id: Long) = metaDir.resolve(s"snap-$id.json")
+  /** The chain's own metadata dir: `meta/` for main, `meta/refs/<name>/`
+    * for a branch — branch snapshots are INVISIBLE to every main-chain
+    * walk (the change feed's id-ordered parent-chain scan, `TIMESTAMP AS
+    * OF`, expiry), which is what keeps the main chain's "id order == parent
+    * order" invariant true with branches present. */
+  private def refDir = if (isMain) metaDir else metaDir.resolve("refs").resolve(ref)
+  private def versionFile = refDir.resolve("VERSION")
+  private def snapFile(id: Long) = refDir.resolve(s"snap-$id.json")
+  /** Branch data dirs are prefixed so a branch commit can never collide
+    * with (and `mode(overwrite)`-clobber) main's `data/s<id>` dir for the
+    * same id — the two chains allocate ids independently past the fork.
+    * The FORK id is part of the prefix because the NAME alone does not
+    * identify an incarnation: publish grafts `ref-<name>-…` dirs into
+    * main's live file set, and a later re-fork of the same name reuses
+    * snapshot ids ≤ the old head — without the fork id its overwrite
+    * writes would clobber main's published files before any commit.
+    * Distinct incarnations can share a fork id only when the earlier one
+    * was DROPPED (publish advances main), whose leftover dirs are dead by
+    * definition — safe to overwrite. */
+  private lazy val dataDirPrefix =
+    if (isMain) "" else s"ref-$ref-f${forkSnapshotId}-"
+
+  /** The main snapshot this branch was forked at (FORK record, written
+    * before the branch VERSION exists). Main handles have no fork. */
+  def forkSnapshotId: Long = {
+    require(!isMain, "main has no fork point")
+    Snapshot.mapper.readTree(Files.readAllBytes(refDir.resolve("FORK")))
+      .get("fork_snapshot_id").asLong()
+  }
 
   def currentSnapshotId: Long =
     new String(Files.readAllBytes(versionFile), StandardCharsets.UTF_8).trim.toLong
@@ -48,7 +81,7 @@ final class LakeTable(val root: Path) {
 
   /** All snapshot ids, ascending (time travel surface). */
   def snapshotIds: Vector[Long] = {
-    val s = Files.list(metaDir)
+    val s = Files.list(refDir)
     try {
       val b = Vector.newBuilder[Long]
       s.iterator().forEachRemaining { p =>
@@ -377,6 +410,8 @@ final class LakeTable(val root: Path) {
     * lesson). */
   def createTag(name: String, snapshotId: Long): Unit =
       LakeTable.commitLock(root).synchronized {
+    require(isMain, "tags name MAIN snapshots — a branch snapshot is gone " +
+      "after publish/drop, so a tag on it would dangle")
     LakeTable.validateTagName(name)
     require(Files.exists(snapFile(snapshotId)),
       s"no retained snapshot $snapshotId to tag (have ${snapshotIds.mkString(", ")})")
@@ -428,6 +463,154 @@ final class LakeTable(val root: Path) {
 
   /** Tag name → snapshot id. */
   def tags: Map[String, Long] = tagEntries.map(t => t._1 -> t._2).toMap
+
+  // ── Branch refs: write-audit-publish (Iceberg WAP) ─────────────────────
+  //
+  // A branch is a SHADOW CHAIN forked from the current main snapshot:
+  // its VERSION pointer and snap-*.json manifests live under
+  // `meta/refs/<name>/`, its data dirs under `data/ref-<name>-s<id>/`, so
+  // nothing a branch does is visible to any main-chain surface (reads, the
+  // change feed, time travel, expiry) until PUBLISH. Publish is a SQUASH
+  // commit onto main — one new main snapshot whose files, schema version,
+  // bucket layout, row count AND batch markers are exactly the branch
+  // head's (the [[rollbackTo]] principle: state and exactly-once
+  // bookkeeping move together) — so the main chain stays perfectly linear
+  // (id order == parent order, the invariant the feed walk and `TIMESTAMP
+  // AS OF` rely on) and a feed consumer sees the whole audit land as one
+  // marker-carrying increment. Intermediate branch snapshots are NOT
+  // grafted into main history (squash semantics — audit steps are not
+  // main time-travel states).
+  //
+  // GC interplay: the fork snapshot is pinned with an owned lease
+  // (`branch_<name>`) so main expiry cannot delete files the branch still
+  // shares with the fork; the lease is released at publish/drop. A dropped
+  // (or crashed) branch's own data files are referenced by no main
+  // snapshot — [[Maintain.removeOrphanFiles]] walks every branch chain as
+  // referenced, so LIVE branches survive orphan GC and dropped ones age
+  // out via its mtime horizon.
+
+  /** Fork a branch at the current main snapshot. The returned handle
+    * commits against the branch's own VERSION pointer with the full
+    * [[commit]]/[[commitAppend]]/[[commitReplace]] discipline (CAS, batch
+    * markers, rebase), so the whole ingest/merge stack runs against a
+    * branch unchanged. Name is VALIDATED, never rewritten; `main` and
+    * all-digit names are reserved (`VERSION AS OF` resolves numerics as
+    * snapshot ids first). Fails if the branch exists; crash debris from a
+    * creation that died before the branch VERSION landed is wiped and
+    * recreated. */
+  def createBranch(name: String): LakeTable =
+      LakeTable.commitLock(root).synchronized {
+    require(isMain, s"cannot fork a branch from branch '$ref' — branches fork from main only")
+    LakeTable.validateBranchName(name)
+    val dir = metaDir.resolve("refs").resolve(name)
+    if (Files.exists(dir.resolve("VERSION")))
+      throw new IllegalArgumentException(
+        s"branch '$name' already exists — dropBranch first to re-fork it")
+    if (Files.isDirectory(dir)) LakeTable.deleteRecursively(dir) // creation crash debris
+    val cur = currentSnapshotId
+    Files.createDirectories(dir)
+    Files.copy(snapFile(cur), dir.resolve(s"snap-$cur.json"))
+    Files.write(dir.resolve("FORK"),
+      s"""{"fork_snapshot_id":$cur,"created_ms":${System.currentTimeMillis()}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    // the fork lease: main expiry must keep the fork's files readable for
+    // the branch's lifetime. Owned, so publish/drop (or a re-fork after a
+    // crash) can clean it up deterministically.
+    releaseOwnedPins(s"branch_$name")
+    pin(cur, s"branch_$name")
+    // branch VERSION last, atomically with content (existence keys on it)
+    val tmp = dir.resolve(".VERSION.tmp")
+    Files.write(tmp, cur.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve("VERSION"), StandardCopyOption.ATOMIC_MOVE)
+    new LakeTable(root, name)
+  }
+
+  /** Handle on an existing branch chain. */
+  def branchTable(name: String): LakeTable = {
+    require(isMain, s"branches hang off main, not off branch '$ref'")
+    require(branchExists(name), s"no branch '$name' for table at $root " +
+      s"(have ${branchEntries.map(_._1).mkString(", ")})")
+    new LakeTable(root, name)
+  }
+
+  def branchExists(name: String): Boolean =
+    Files.exists(metaDir.resolve("refs").resolve(name).resolve("VERSION"))
+
+  /** All branches as (name, headSnapshotId, forkSnapshotId, createdMs).
+    * Creation-crash debris (no VERSION yet) is skipped. */
+  def branchEntries: Seq[(String, Long, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val dir = metaDir.resolve("refs")
+    if (!Files.isDirectory(dir)) return Nil
+    val s = Files.list(dir)
+    try s.iterator().asScala.flatMap { p =>
+      val name = p.getFileName.toString
+      if (!Files.exists(p.resolve("VERSION"))) None
+      else try {
+        val head = new String(Files.readAllBytes(p.resolve("VERSION")),
+          StandardCharsets.UTF_8).trim.toLong
+        val fork = Snapshot.mapper.readTree(Files.readAllBytes(p.resolve("FORK")))
+        Some((name, head, fork.get("fork_snapshot_id").asLong(),
+          fork.get("created_ms").asLong()))
+      } catch { case _: Exception => None }
+    }.toVector.sortBy(_._1)
+    finally s.close()
+  }
+
+  /** PUBLISH a branch onto main (the WAP "fast-forward"): one squash
+    * commit at `mainHead + 1` carrying the branch head's files, schema
+    * version, bucket layout, row count and batch markers, then branch
+    * cleanup (fork lease released, `meta/refs/<name>/` deleted — the data
+    * files are now main's). Requires main to still be AT the fork point —
+    * if main advanced, the audit ran against a stale base and publishing
+    * would silently drop main's newer batches, so it throws
+    * [[CommitConflict]] (re-fork and re-run the audit, or drop the
+    * branch). Publishing an EMPTY branch (no commits since the fork) just
+    * drops it. Crash-idempotent: a publish that died between the main
+    * commit and the cleanup is detected on retry (the head is the fork's
+    * child with exactly the branch's markers) and finishes the cleanup. */
+  def publishBranch(name: String): Snapshot =
+      LakeTable.commitLock(root).synchronized {
+    require(isMain, s"publish runs on the main handle, not branch '$ref'")
+    val bt = branchTable(name)
+    val bHead = bt.currentSnapshot
+    val fork = branchEntries.collectFirst { case (`name`, _, f, _) => f }
+      .getOrElse(throw new IllegalStateException(s"branch '$name' has no FORK record"))
+    val cur = currentSnapshot
+    def cleanup(): Unit = {
+      releaseOwnedPins(s"branch_$name")
+      LakeTable.deleteRecursively(metaDir.resolve("refs").resolve(name))
+    }
+    if (bHead.snapshotId == fork) { cleanup(); return cur } // empty audit
+    if (cur.snapshotId != fork) {
+      // crashed-publish retry: the main head already IS this branch's squash
+      if (cur.parentId == fork && cur.batches == bHead.batches) {
+        cleanup(); return cur
+      }
+      throw new CommitConflict(
+        s"cannot publish branch '$name': main advanced to ${cur.snapshotId} " +
+          s"past the fork point $fork — the audit ran against a stale base " +
+          "(re-fork and re-run it, or dropBranch)")
+    }
+    val next = bHead.copy(snapshotId = cur.snapshotId + 1, parentId = cur.snapshotId)
+    val committed = commit(next, Some(cur.commitTsMs))
+    cleanup()
+    committed
+  }
+
+  /** Drop a branch without publishing: releases the fork lease and deletes
+    * the branch's metadata. Its data files are referenced by no main
+    * snapshot and age out via [[Maintain.removeOrphanFiles]]'s mtime
+    * horizon. Returns whether the branch existed. */
+  def dropBranch(name: String): Boolean =
+      LakeTable.commitLock(root).synchronized {
+    require(isMain, s"drop runs on the main handle, not branch '$ref'")
+    LakeTable.validateBranchName(name)
+    val existed = branchExists(name)
+    releaseOwnedPins(s"branch_$name")
+    LakeTable.deleteRecursively(metaDir.resolve("refs").resolve(name))
+    existed
+  }
 
   /** Evolve the table's logical schema (add column / widen type): a pure
     * metadata commit — no data files touched. Old files keep their physical
@@ -590,7 +773,7 @@ final class LakeTable(val root: Path) {
     * `mode(overwrite)` on a shared `data/s<id>` would clobber the other
     * writer's files before either commits. */
   def writeDataFilesTo(df: DataFrame, dirName: String, schemaVersion: Int): Vector[DataFile] = {
-    val relDir = s"data/$dirName"
+    val relDir = s"data/$dataDirPrefix$dirName"
     val outDir = root.resolve(relDir)
     val timing = sys.env.contains("GRAFT_TIMING")
     var tMark = System.nanoTime()
@@ -701,6 +884,33 @@ object LakeTable {
     * lossy sanitization could collapse two tags onto one file). ASCII
     * letters/digits plus `._-`; must not start with a dot (hidden-file
     * rule: staged `.tmp` files are dot-prefixed). */
+  /** The main chain's ref name — the default for every handle. */
+  val MainRef: String = "main"
+
+  /** Branch names ride inside `meta/refs/<name>/` dirs, `data/ref-<name>-`
+    * data-dir prefixes AND `branch_<name>` pin-owner tags — VALIDATED
+    * (never rewritten: the validateOwner lesson) to the owner charset.
+    * All-digit names are rejected (`VERSION AS OF` resolves numerics as
+    * snapshot ids first, so such a branch would be unreadable by name) and
+    * `main` is reserved. */
+  private[lake] def validateBranchName(name: String): Unit = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_')
+        && name.forall(_ < 128),
+      s"invalid branch name '$name' — use [A-Za-z0-9_]+ (names are never rewritten)")
+    require(name != MainRef, s"branch name '$name' is reserved")
+    require(!name.forall(_.isDigit),
+      s"branch name '$name' parses as a snapshot id — VERSION AS OF would " +
+        "never resolve the branch by name")
+  }
+
+  private[lake] def deleteRecursively(dir: Path): Unit = {
+    if (!Files.exists(dir)) return
+    val s = Files.walk(dir)
+    try s.sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(p => { Files.deleteIfExists(p): Unit })
+    finally s.close()
+  }
+
   private[lake] def validateTagName(name: String): Unit = {
     require(name.nonEmpty && !name.startsWith("."),
       s"tag name must be non-empty and not start with '.', got '$name'")

@@ -266,6 +266,9 @@ object Maintain {
       ignorePinsOlderThanMs: Long = Long.MaxValue,
       olderThanMs: Long = Long.MaxValue): (Int, Int) =
       LakeTable.commitLock(table.root).synchronized {
+    require(table.isMain, "snapshot expiry is MAIN-only: a branch shares " +
+      "data files with main across its fork, so per-chain GC reasoning " +
+      "would delete files the other chain still references")
     require(keepLast >= 1)
     val ids = table.snapshotIds
     val pinned = table.pinnedSnapshotIds(ignorePinsOlderThanMs).filter(ids.contains)
@@ -350,9 +353,15 @@ object Maintain {
     require(olderThanMs <= System.currentTimeMillis(),
       s"olderThanMs ($olderThanMs) is in the future — the mtime horizon is " +
         "the only thing protecting in-flight writers' uncommitted files")
+    require(table.isMain, "orphan GC is MAIN-only (it computes the " +
+      "referenced set across main AND every live branch)")
     val keep: Set[Path] = LakeTable.commitLock(table.root).synchronized {
-      val ref = table.snapshotIds.flatMap(id =>
-        table.snapshot(id).files.map(f => table.root.resolve(f.path).normalize))
+      // main chain + every LIVE branch chain: a branch's data files are
+      // referenced by no main snapshot until publish, but they are not
+      // orphans — only a DROPPED/crashed branch's files age out here
+      val chains = table +: table.branchEntries.map(b => table.branchTable(b._1))
+      val ref = chains.flatMap(t => t.snapshotIds.flatMap(id =>
+        t.snapshot(id).files.map(f => table.root.resolve(f.path).normalize)))
       (ref ++ ref.map(Bloom.sidecar)).toSet
     }
     val out = Vector.newBuilder[String]

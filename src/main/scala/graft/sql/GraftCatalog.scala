@@ -98,17 +98,29 @@ class GraftCatalog extends TableCatalog
     new GraftSqlTable(LakeTable.load(root), ident.toString)
   }
 
-  /** Time travel: `SELECT … FROM graft.t VERSION AS OF <snapshotId>`, or a
+  /** Time travel: `SELECT … FROM graft.t VERSION AS OF <snapshotId>`, a
     * quoted tag name (`VERSION AS OF 'release-1'`) created by
-    * [[graft.lake.LakeTable.createTag]] / `CALL graft.system.create_tag`. */
+    * [[graft.lake.LakeTable.createTag]] / `CALL graft.system.create_tag`,
+    * or a BRANCH name — the audit read of the write-audit-publish flow:
+    * validation queries run against the staged branch head
+    * ([[graft.lake.LakeTable.createBranch]]) before anyone publishes it.
+    * Numeric strings resolve as snapshot ids, then tags, then branches
+    * (branch names can't be all-digit — enforced at creation). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = rootOf(ident)
     if (!LakeTable.exists(root)) throw new NoSuchTableException(ident)
     val lake = LakeTable.load(root)
-    val id = version.toLongOption.getOrElse(
-      lake.tags.getOrElse(version, throw new IllegalArgumentException(
-        s"no tag '$version' for graft table $ident " +
-          s"(have ${lake.tags.keys.toSeq.sorted.mkString(", ")})")))
+    val id = version.toLongOption.orElse(lake.tags.get(version)).getOrElse {
+      if (lake.branchExists(version)) {
+        val bt = lake.branchTable(version)
+        return new GraftSqlTable(bt, s"$ident@b$version",
+          pinnedSnapshot = Some(bt.currentSnapshotId))
+      }
+      throw new IllegalArgumentException(
+        s"no tag or branch '$version' for graft table $ident " +
+          s"(tags: ${lake.tags.keys.toSeq.sorted.mkString(", ")}; " +
+          s"branches: ${lake.branchEntries.map(_._1).mkString(", ")})")
+    }
     require(lake.snapshotIds.contains(id),
       s"no snapshot $id for graft table $ident (have ${lake.snapshotIds.mkString(", ")})")
     new GraftSqlTable(lake, s"$ident@v$version", pinnedSnapshot = Some(id))

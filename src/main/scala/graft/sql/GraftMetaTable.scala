@@ -83,7 +83,7 @@ final class GraftMetaTable(lake: LakeTable, ident: String, kind: String)
 final case class GraftMetaRows(rows: Seq[Array[Any]]) extends InputPartition
 
 object GraftMetaTable {
-  val Kinds: Set[String] = Set("snapshots", "files", "batches", "tags")
+  val Kinds: Set[String] = Set("snapshots", "files", "batches", "tags", "branches")
 
   def schemaOf(kind: String): StructType = kind match {
     case "snapshots" => StructType(Seq(
@@ -123,6 +123,11 @@ object GraftMetaTable {
       StructField("tag", StringType, nullable = false),
       StructField("snapshot_id", LongType, nullable = false),
       StructField("created_ms", LongType, nullable = false)))
+    case "branches" => StructType(Seq(
+      StructField("branch", StringType, nullable = false),
+      StructField("head_snapshot_id", LongType, nullable = false),
+      StructField("fork_snapshot_id", LongType, nullable = false),
+      StructField("created_ms", LongType, nullable = false)))
     case other => throw new IllegalArgumentException(
       s"unknown metadata table '$other' (have ${Kinds.mkString(", ")})")
   }
@@ -154,6 +159,10 @@ object GraftMetaTable {
     case "tags" =>
       lake.tagEntries.map { case (name, id, createdMs) =>
         Array[Any](name, id, createdMs)
+      }
+    case "branches" =>
+      lake.branchEntries.map { case (name, head, fork, createdMs) =>
+        Array[Any](name, head, fork, createdMs)
       }
     case other => throw new IllegalArgumentException(s"unknown metadata table '$other'")
   }

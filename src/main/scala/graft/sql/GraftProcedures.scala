@@ -39,7 +39,8 @@ object GraftProcedures {
   def idents: Array[Identifier] =
     Array("rollback_to_snapshot", "expire_snapshots", "compact",
       "rebucket", "build_blooms", "remove_orphan_files",
-      "create_tag", "drop_tag")
+      "create_tag", "drop_tag",
+      "create_branch", "publish_branch", "drop_branch")
       .map(Identifier.of(Namespace, _))
 
   def load(ident: Identifier, warehouse: Path): UnboundProcedure = {
@@ -147,6 +148,35 @@ object GraftProcedures {
         args => {
           val t = LakeTable.load(root(args.getUTF8String(0).toString))
           Array[Any](t.dropTag(args.getUTF8String(1).toString))
+        })
+      case "create_branch" => proc("create_branch",
+        "Fork a staging branch at the current main head (write-audit-" +
+          "publish; VERSION AS OF '<branch>' reads its staged state)",
+        Seq(in("table", StringType), in("branch", StringType)),
+        Seq("branch" -> StringType, "fork_snapshot_id" -> LongType),
+        args => {
+          val t = LakeTable.load(root(args.getUTF8String(0).toString))
+          val name = args.getUTF8String(1).toString
+          val bt = t.createBranch(name)
+          Array[Any](name, bt.currentSnapshotId)
+        })
+      case "publish_branch" => proc("publish_branch",
+        "Squash-publish a staged branch onto main (fails if main advanced " +
+          "past the fork) and delete the branch",
+        Seq(in("table", StringType), in("branch", StringType)),
+        Seq("published_snapshot_id" -> LongType),
+        args => {
+          val t = LakeTable.load(root(args.getUTF8String(0).toString))
+          Array[Any](t.publishBranch(args.getUTF8String(1).toString).snapshotId)
+        })
+      case "drop_branch" => proc("drop_branch",
+        "Drop a staged branch without publishing; its files become " +
+          "orphan-GC-able",
+        Seq(in("table", StringType), in("branch", StringType)),
+        Seq("existed" -> BooleanType),
+        args => {
+          val t = LakeTable.load(root(args.getUTF8String(0).toString))
+          Array[Any](t.dropBranch(args.getUTF8String(1).toString))
         })
       case other =>
         throw new IllegalArgumentException(s"unknown procedure 'system.$other'")

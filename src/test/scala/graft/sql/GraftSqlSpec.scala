@@ -1170,4 +1170,62 @@ class GraftSqlSpec extends SparkSpec {
     assert(removed.exists(_.endsWith(".tag-crashed.tmp")), removed.toString)
     assert(!java.nio.file.Files.exists(debris) && lake.tags.keySet == Set("keeper"))
   }
+
+  test("branches in SQL: create_branch / VERSION AS OF '<branch>' / $branches / publish_branch / drop_branch") {
+    enable()
+    spark.sql("""CREATE TABLE graft.wap1 (url STRING, warc_ts TIMESTAMP,
+                |  html BINARY, text STRING, content_len BIGINT, lang STRING)
+                |USING graft TBLPROPERTIES('buckets'='2')""".stripMargin)
+    def mergeRange(target: String, lo: Int, hi: Int): Unit =
+      spark.sql(s"""MERGE INTO $target t USING (
+                |  SELECT concat('u', id) AS url, timestamp_micros(1700000000000000 + id) AS warc_ts,
+                |    cast(concat('<p>', id, '</p>') AS BINARY) AS html,
+                |    CAST(NULL AS STRING) AS text, CAST(NULL AS BIGINT) AS content_len,
+                |    'en' AS lang, CAST(id AS LONG) AS offset, CAST(0 AS INT) AS partition,
+                |    'upsert' AS op
+                |  FROM range($lo, $hi)) s
+                |ON t.url = s.url
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    mergeRange("graft.wap1", 0, 10)
+
+    val created = spark.sql("CALL graft.system.create_branch('wap1', 'audit')").collect()
+    assert(created.head.getString(0) == "audit")
+    val fork = created.head.getLong(1)
+
+    // audit writes go to the branch via the lake handle (the SQL write path
+    // binds `graft.t` to main by design — audits address the branch handle)
+    val lake = graft.lake.LakeTable.load(java.nio.file.Paths.get(wh, "wap1"))
+    val bt = lake.branchTable("audit")
+    import org.apache.spark.sql.functions._
+    val batch = spark.range(10, 25).selectExpr(
+      "concat('u', id) AS url", "timestamp_micros(1700000000000000 + id) AS warc_ts",
+      "cast(concat('<p>', id, '</p>') AS BINARY) AS html",
+      "CAST(NULL AS STRING) AS text", "CAST(NULL AS BIGINT) AS content_len",
+      "'en' AS lang", "CAST(id AS LONG) AS offset", "CAST(0 AS INT) AS partition",
+      "'upsert' AS op")
+    graft.cdc.Ingest.applyBatch(spark, bt)(batch,
+      graft.cdc.Ingest.branchBatchId("sql-audit", 0L))
+
+    // the audit read: staged state via VERSION AS OF; main unchanged
+    assert(spark.sql("SELECT * FROM graft.wap1 VERSION AS OF 'audit'").count() == 25)
+    assert(spark.sql("SELECT * FROM graft.wap1").count() == 10)
+    val br = spark.sql(
+      "SELECT branch, head_snapshot_id, fork_snapshot_id FROM graft.`wap1$branches`").collect()
+    assert(br.length == 1 && br.head.getString(0) == "audit" && br.head.getLong(2) == fork)
+
+    // publish: main sees the audit as one squash commit; branch gone
+    val pub = spark.sql("CALL graft.system.publish_branch('wap1', 'audit')").collect()
+    assert(pub.head.getLong(0) == fork + 1)
+    assert(spark.sql("SELECT * FROM graft.wap1").count() == 25)
+    assert(spark.sql("SELECT * FROM graft.`wap1$branches`").count() == 0)
+    intercept[Exception](
+      spark.sql("SELECT * FROM graft.wap1 VERSION AS OF 'audit'").collect())
+
+    // drop: staged-but-unwanted audit disappears without touching main
+    spark.sql("CALL graft.system.create_branch('wap1', 'audit2')").collect()
+    assert(spark.sql("CALL graft.system.drop_branch('wap1', 'audit2')")
+      .collect().head.getBoolean(0))
+    assert(spark.sql("SELECT * FROM graft.wap1").count() == 25)
+  }
 }

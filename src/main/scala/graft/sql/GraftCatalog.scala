@@ -95,7 +95,22 @@ class GraftCatalog extends TableCatalog
     }
     val root = rootOf(ident)
     if (!LakeTable.exists(root)) throw new NoSuchTableException(ident)
-    new GraftSqlTable(LakeTable.load(root), ident.toString)
+    val lake = LakeTable.load(root)
+    // write-audit-publish session binding (Iceberg's `spark.wap.branch`):
+    // while `spark.graft.sql.wapBranch` is set, reads AND writes on every
+    // graft table bind to that staging branch — see GraftSql.WapBranchConf.
+    // Fail-loud on a missing branch: the conf marks a dedicated audit
+    // session, and a typo silently writing to main is the exact hazard WAP
+    // exists to prevent.
+    GraftSql.wapBranchFor(org.apache.spark.sql.SparkSession.active) match {
+      case Some(b) =>
+        require(lake.branchExists(b),
+          s"${GraftSql.WapBranchConf}='$b' is set but table $ident has no " +
+            s"branch '$b' — CALL graft.system.create_branch('${ident.name}', " +
+            s"'$b') first, or unset the conf")
+        new GraftSqlTable(lake.branchTable(b), s"$ident@b$b")
+      case None => new GraftSqlTable(lake, ident.toString)
+    }
   }
 
   /** Time travel: `SELECT … FROM graft.t VERSION AS OF <snapshotId>`, a
@@ -173,7 +188,18 @@ class GraftCatalog extends TableCatalog
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = rootOf(ident)
     if (!LakeTable.exists(root)) throw new NoSuchTableException(ident)
-    val lake = LakeTable.load(root)
+    // schema evolution is part of what an audit validates: under the WAP
+    // session binding ALTER TABLE commits on the BRANCH chain (the squash
+    // carries schemaVersion, so publish lands the evolution with the data);
+    // table lifecycle (CREATE/DROP/RENAME) stays main-only
+    val lake = GraftSql.wapBranchFor(org.apache.spark.sql.SparkSession.active) match {
+      case Some(b) =>
+        val main = LakeTable.load(root)
+        require(main.branchExists(b),
+          s"${GraftSql.WapBranchConf}='$b' is set but table $ident has no branch '$b'")
+        main.branchTable(b)
+      case None => LakeTable.load(root)
+    }
     val from = lake.currentSnapshot.schemaVersion
     val fromSchema = GraftSqlTable.userSchemaFor(from)
     val toSchema = GraftSqlTable.userSchemaFor(TableSchemas.current)
@@ -198,7 +224,7 @@ class GraftCatalog extends TableCatalog
     }
     if (changes.nonEmpty && from < TableSchemas.current)
       lake.evolveSchema(TableSchemas.current): Unit
-    new GraftSqlTable(LakeTable.load(root), ident.toString)
+    loadTable(ident)
   }
 
   override def dropTable(ident: Identifier): Boolean = {

@@ -416,6 +416,25 @@ object GraftSql {
   /** Session conf key selecting the SQL surface's merge mode. */
   val MergeModeConf = "spark.graft.sql.mergeMode"
 
+  /** Session conf binding the WHOLE SQL surface to a staging branch —
+    * Iceberg's `spark.wap.branch` role for write-audit-publish: while set,
+    * every `graft.t` resolution (reads AND MERGE/INSERT/DELETE/UPDATE/
+    * TRUNCATE) binds to `t`'s branch of that name, so an audit session
+    * stages its whole body of work invisibly and validates it with the
+    * same statements production runs, then unsets the conf and
+    * `CALL graft.system.publish_branch`. The branch must EXIST
+    * ([[GraftProcedures]] `create_branch`) — a typo'd name failing loudly
+    * beats silently writing the audit to main. Explicit time travel
+    * (`VERSION/TIMESTAMP AS OF`) and the metadata/feed tables
+    * (`$snapshots`, `$changes`, …) stay MAIN-bound: branches are invisible
+    * to the change feed by design, and `VERSION AS OF '<branch>'` is
+    * already the explicit branch read. */
+  val WapBranchConf = "spark.graft.sql.wapBranch"
+
+  /** The staging branch THIS session's SQL surface is bound to, if any. */
+  def wapBranchFor(spark: SparkSession): Option[String] =
+    spark.conf.getOption(WapBranchConf).map(_.trim).filter(_.nonEmpty)
+
   /** The merge mode for THIS session: conf when set, global default else. */
   def mergeModeFor(spark: SparkSession): MergeMode =
     spark.conf.getOption(MergeModeConf).map(_.trim.toLowerCase) match {

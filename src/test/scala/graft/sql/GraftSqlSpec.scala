@@ -1228,4 +1228,91 @@ class GraftSqlSpec extends SparkSpec {
       .collect().head.getBoolean(0))
     assert(spark.sql("SELECT * FROM graft.wap1").count() == 25)
   }
+
+  test("spark.graft.sql.wapBranch binds the whole SQL session to a staging branch") {
+    enable()
+    spark.sql("""CREATE TABLE graft.wap2 (url STRING, warc_ts TIMESTAMP,
+                |  html BINARY, text STRING, content_len BIGINT, lang STRING)
+                |USING graft TBLPROPERTIES('buckets'='2')""".stripMargin)
+    def mergeRange(lo: Int, hi: Int): Unit =
+      spark.sql(s"""MERGE INTO graft.wap2 t USING (
+                |  SELECT concat('u', id) AS url, timestamp_micros(1700000000000000 + id) AS warc_ts,
+                |    cast(concat('<p>', id, '</p>') AS BINARY) AS html,
+                |    CAST(NULL AS STRING) AS text, CAST(NULL AS BIGINT) AS content_len,
+                |    'en' AS lang, CAST(id AS LONG) AS offset, CAST(0 AS INT) AS partition,
+                |    'upsert' AS op
+                |  FROM range($lo, $hi)) s
+                |ON t.url = s.url
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    mergeRange(0, 10)
+
+    // binding to a MISSING branch fails loudly — the typo hazard WAP
+    // exists to prevent is silently writing the audit to main
+    spark.conf.set(GraftSql.WapBranchConf, "audit")
+    val missing = intercept[Exception](spark.sql("SELECT * FROM graft.wap2").collect())
+    assert(missing.getMessage.contains("create_branch"), missing.getMessage)
+    spark.conf.unset(GraftSql.WapBranchConf)
+
+    spark.sql("CALL graft.system.create_branch('wap2', 'audit')").collect()
+    try {
+      spark.conf.set(GraftSql.WapBranchConf, "audit")
+      // the SAME statements production runs, all staged: MERGE, row-level
+      // UPDATE/DELETE, and reads see the staged state
+      mergeRange(10, 25)
+      spark.sql("UPDATE graft.wap2 SET lang = 'xx' WHERE url = 'u3'")
+      spark.sql("DELETE FROM graft.wap2 WHERE url = 'u24'")
+      assert(spark.sql("SELECT * FROM graft.wap2").count() == 24)
+      assert(spark.sql("SELECT lang FROM graft.wap2 WHERE url = 'u3'")
+        .head().getString(0) == "xx")
+      // metadata/feed surfaces stay MAIN-bound (branches are invisible to
+      // the change feed by design)
+      assert(spark.sql("SELECT count(*) FROM graft.`wap2$branches`").head().getLong(0) == 1)
+      spark.conf.unset(GraftSql.WapBranchConf)
+      // unbound session: main never saw any of it
+      assert(spark.sql("SELECT * FROM graft.wap2").count() == 10)
+      assert(spark.sql("SELECT lang FROM graft.wap2 WHERE url = 'u3'")
+        .head().getString(0) == "en")
+
+      // publish lands the whole audit as one squash on main
+      spark.sql("CALL graft.system.publish_branch('wap2', 'audit')").collect()
+      assert(spark.sql("SELECT * FROM graft.wap2").count() == 24)
+      assert(spark.sql("SELECT lang FROM graft.wap2 WHERE url = 'u3'")
+        .head().getString(0) == "xx")
+      assert(spark.sql("SELECT * FROM graft.wap2 WHERE url = 'u24'").count() == 0)
+    } finally spark.conf.unset(GraftSql.WapBranchConf)
+  }
+
+  test("wapBranch stages schema evolution: ALTER on the branch, main keeps v1 until publish") {
+    enable()
+    spark.sql("CREATE TABLE graft.wap3 (url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, content_len INT) USING graft TBLPROPERTIES('buckets'='2')")
+    spark.sql(
+      """INSERT INTO graft.wap3
+        |SELECT concat('e', id), timestamp_micros(1700000000000000 + id),
+        |  cast(concat('<p>v1-', id, '</p>') AS BINARY), CAST(NULL AS STRING), CAST(NULL AS INT)
+        |FROM range(10)""".stripMargin)
+    spark.sql("CALL graft.system.create_branch('wap3', 'evo')").collect()
+    try {
+      spark.conf.set(GraftSql.WapBranchConf, "evo")
+      spark.sql("ALTER TABLE graft.wap3 ADD COLUMN lang STRING")
+      assert(spark.table("graft.wap3").schema.fieldNames.contains("lang"))
+      spark.sql(
+        """MERGE INTO graft.wap3 t USING (
+          |  SELECT 'e3' AS url, timestamp_micros(1900000000000000) AS warc_ts,
+          |    cast('<p>v2</p>' AS BINARY) AS html, CAST(NULL AS STRING) AS text,
+          |    CAST(NULL AS BIGINT) AS content_len, 'fr' AS lang) s
+          |ON t.url = s.url
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      spark.conf.unset(GraftSql.WapBranchConf)
+      // main is untouched: still v1, no lang column, old e3 row
+      assert(!spark.table("graft.wap3").schema.fieldNames.contains("lang"))
+      spark.sql("CALL graft.system.publish_branch('wap3', 'evo')").collect()
+      // the squash lands evolution + data together
+      assert(spark.table("graft.wap3").schema.fieldNames.contains("lang"))
+      assert(spark.sql("SELECT lang FROM graft.wap3 WHERE url = 'e3'")
+        .head().getString(0) == "fr")
+      assert(spark.sql("SELECT * FROM graft.wap3").count() == 10)
+    } finally spark.conf.unset(GraftSql.WapBranchConf)
+  }
 }

@@ -1,6 +1,6 @@
 package graft.cdc
 
-import java.nio.file.{Path, Paths}
+import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -119,9 +119,10 @@ object Ingest {
     * "already-durable replays" (the mixed-writer data-loss class: every
     * writer sharing a marker space needs its own id domain — SQL commands
     * bit 62, bootstrap bit 61, mirrors bit 60, branches bit 59). Bits
-    * 32–59: per-audit salt from the checkpoint dir (stable across restarts
-    * of one audit, distinct across audits — two published audits must not
-    * collide either); bits 0–31: the epoch. */
+    * 32–58: 27-bit per-audit salt from the checkpoint dir (stable across
+    * restarts of one audit, distinct across audits — two published audits
+    * must not collide either; the mask stops at bit 58 so the salt can
+    * never alias the domain bit); bits 0–31: the epoch. */
   val BranchBatchIdBit: Long = 1L << 59
 
   /** `BranchBatchIdBit | salt<<32 | epochId` — see [[BranchBatchIdBit]]. */
@@ -252,7 +253,25 @@ object Ingest {
         "below a PROVISIONAL horizon (data loss if the branch is dropped)")
     val table = branch.fold(mainTable) { name =>
       if (mainTable.branchExists(name)) mainTable.branchTable(name)
-      else mainTable.createBranch(name)
+      else {
+        // fresh fork ONLY with a fresh checkpoint: if the checkpoint has
+        // committed offsets but the branch is gone, the branch was DROPPED
+        // after this stream ran — re-forking here while the checkpoint
+        // skips the already-read span would silently stage a hole-filled
+        // table (the dropped incarnation's applies are gone) and publish
+        // it without error. Fail loudly: re-audit from a fresh checkpoint.
+        val off = Paths.get(checkpointDir).resolve("offsets")
+        val hasProgress = Files.isDirectory(off) && {
+          val s = Files.list(off)
+          try s.findFirst().isPresent finally s.close()
+        }
+        require(!hasProgress,
+          s"branch '$name' does not exist but checkpoint $checkpointDir " +
+            "already has committed offsets — the branch was dropped after " +
+            "this stream ran, and re-forking would silently miss the " +
+            "pre-checkpoint span; restart the audit with a FRESH checkpoint dir")
+        mainTable.createBranch(name)
+      }
     }
     // lineage registry key = this query's checkpoint dir: unique per query
     // (Spark forbids checkpoint sharing), stable across restarts — other

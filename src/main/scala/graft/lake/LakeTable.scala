@@ -248,6 +248,12 @@ final class LakeTable(val root: Path, val ref: String = LakeTable.MainRef) {
     Files.write(vTmp, next.snapshotId.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(vTmp, versionFile, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // every branch commit heartbeats the fork lease: a multi-hour audit
+    // must not look like a crashed holder to a pin-horizon expiry
+    // (`ignorePinsOlderThanMs`) — main expiring the fork would delete files
+    // the branch head still lists, and a later publish would graft that
+    // dangling file list onto main.
+    if (!isMain) touchOwnedPins(s"branch_$ref")
     stamped
   }
 
@@ -525,16 +531,42 @@ final class LakeTable(val root: Path, val ref: String = LakeTable.MainRef) {
     new LakeTable(root, name)
   }
 
-  /** Handle on an existing branch chain. */
+  /** Handle on an existing branch chain. Loading one heartbeats the fork
+    * lease (see [[createBranch]]) — a long-lived audit that only READS for
+    * hours still refreshes its lease against a pin-horizon expiry. */
   def branchTable(name: String): LakeTable = {
     require(isMain, s"branches hang off main, not off branch '$ref'")
     require(branchExists(name), s"no branch '$name' for table at $root " +
       s"(have ${branchEntries.map(_._1).mkString(", ")})")
+    touchOwnedPins(s"branch_$name")
     new LakeTable(root, name)
   }
 
+  /** Name is CHARSET-CHECKED before touching the filesystem: branch names
+    * resolve to `meta/refs/<name>/` paths, and this predicate backs the SQL
+    * surface's `VERSION AS OF '<name>'` and `wapBranch` resolution — an
+    * unvalidated `'..'` would resolve `meta/refs/../VERSION` (= main's own
+    * VERSION) and silently read main while reporting a branch read. */
   def branchExists(name: String): Boolean =
-    Files.exists(metaDir.resolve("refs").resolve(name).resolve("VERSION"))
+    LakeTable.isValidBranchName(name) && name != LakeTable.MainRef &&
+      Files.exists(metaDir.resolve("refs").resolve(name).resolve("VERSION"))
+
+  /** Heartbeat every lease `owner` holds (bump mtime) so a pin-horizon
+    * expiry (`ignorePinsOlderThanMs`) doesn't mistake a LIVE long-lived
+    * holder for a crashed one. Missing-file races are benign (the lease was
+    * just released). */
+  private def touchOwnedPins(owner: String): Unit = {
+    val dir = metaDir.resolve("pins")
+    if (!Files.isDirectory(dir)) return
+    val now = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis())
+    val s = Files.list(dir)
+    try s.iterator().forEachRemaining { p =>
+      val parts = p.getFileName.toString.split("-")
+      if (parts.length == 4 && parts(0) == "pin" && parts(2) == owner)
+        try { Files.setLastModifiedTime(p, now): Unit }
+        catch { case _: java.nio.file.NoSuchFileException => () }
+    } finally s.close()
+  }
 
   /** All branches as (name, headSnapshotId, forkSnapshotId, createdMs).
     * Creation-crash debris (no VERSION yet) is skipped. */
@@ -582,11 +614,37 @@ final class LakeTable(val root: Path, val ref: String = LakeTable.MainRef) {
       LakeTable.deleteRecursively(metaDir.resolve("refs").resolve(name))
     }
     if (bHead.snapshotId == fork) { cleanup(); return cur } // empty audit
+    // marker-domain guard at the boundary where it matters: markers the
+    // BRANCH minted (not inherited from the fork) enter MAIN's exactly-once
+    // space at publish, where the main stream's own checkpoint epochs are
+    // small naturals — a raw small-natural branch marker would make the main
+    // stream silently SKIP its colliding epoch as an "already-durable
+    // replay". Every legitimate staging writer mints in a reserved high-bit
+    // domain ([[graft.cdc.Ingest.branchBatchId]] bit 59, SQL commands bit
+    // 62, bootstrap bit 61), so enforce that structurally instead of
+    // trusting every call site of `applyBatch(branchHandle)`.
+    locally {
+      val forkMarkers = bt.snapshot(fork).committedBatchIds
+      val bad = bHead.batches.filter(m =>
+        !forkMarkers.contains(m.batchId) && (m.batchId >>> 59) == 0L)
+      require(bad.isEmpty,
+        s"cannot publish branch '$name': it holds marker ids outside the " +
+          s"reserved staging domains (${bad.map(_.batchId).take(3).mkString(", ")}" +
+          s"${if (bad.length > 3) ", …" else ""}) — raw small-natural ids " +
+          "would collide with the main stream's checkpoint epochs after " +
+          "publish; mint branch markers via Ingest.branchBatchId")
+    }
     if (cur.snapshotId != fork) {
-      // crashed-publish retry: the main head already IS this branch's squash
-      if (cur.parentId == fork && cur.batches == bHead.batches) {
-        cleanup(); return cur
-      }
+      // crashed-publish retry: the main head already IS this branch's
+      // squash. Identity is the FULL squash content (files, schema version,
+      // bucket layout, row count AND markers) — matching on markers alone
+      // would false-positive on an unrelated marker-less main commit (its
+      // own ALTER/compaction) landing after the fork, silently discarding
+      // the audit where a CommitConflict is required.
+      val isOurSquash = cur.parentId == fork &&
+        cur.copy(snapshotId = 0L, parentId = 0L, commitTsMs = 0L) ==
+          bHead.copy(snapshotId = 0L, parentId = 0L, commitTsMs = 0L)
+      if (isOurSquash) { cleanup(); return cur }
       throw new CommitConflict(
         s"cannot publish branch '$name': main advanced to ${cur.snapshotId} " +
           s"past the fork point $fork — the audit ran against a stale base " +
@@ -880,12 +938,17 @@ object LakeTable {
     require(owner.forall(c => c.isLetterOrDigit || c == '_'),
       s"pin owner tag must match [A-Za-z0-9_]*, got '$owner'")
 
-  /** Tag names become `meta/tags/<name>.json` — validated (never rewritten:
-    * lossy sanitization could collapse two tags onto one file). ASCII
-    * letters/digits plus `._-`; must not start with a dot (hidden-file
-    * rule: staged `.tmp` files are dot-prefixed). */
   /** The main chain's ref name — the default for every handle. */
   val MainRef: String = "main"
+
+  /** Whether `name` is in the branch-name charset ([A-Za-z0-9_]+, ASCII).
+    * Used by LOOKUPS ([[LakeTable.branchExists]]) as well as creation:
+    * branch names resolve to `meta/refs/<name>/` paths, so an unvalidated
+    * lookup of `'..'` (or any path-traversing string) would resolve MAIN's
+    * own VERSION file and read main while claiming a branch read — the
+    * silent-to-main hazard the WAP fail-loud guard exists to prevent. */
+  private[lake] def isValidBranchName(name: String): Boolean =
+    name.nonEmpty && name.forall(c => (c.isLetterOrDigit && c < 128) || c == '_')
 
   /** Branch names ride inside `meta/refs/<name>/` dirs, `data/ref-<name>-`
     * data-dir prefixes AND `branch_<name>` pin-owner tags — VALIDATED
@@ -894,8 +957,7 @@ object LakeTable {
     * snapshot ids first, so such a branch would be unreadable by name) and
     * `main` is reserved. */
   private[lake] def validateBranchName(name: String): Unit = {
-    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_')
-        && name.forall(_ < 128),
+    require(isValidBranchName(name),
       s"invalid branch name '$name' — use [A-Za-z0-9_]+ (names are never rewritten)")
     require(name != MainRef, s"branch name '$name' is reserved")
     require(!name.forall(_.isDigit),
@@ -911,6 +973,10 @@ object LakeTable {
     finally s.close()
   }
 
+  /** Tag names become `meta/tags/<name>.json` — validated (never rewritten:
+    * lossy sanitization could collapse two tags onto one file). ASCII
+    * letters/digits plus `._-`; must not start with a dot (hidden-file
+    * rule: staged `.tmp` files are dot-prefixed). */
   private[lake] def validateTagName(name: String): Unit = {
     require(name.nonEmpty && !name.startsWith("."),
       s"tag name must be non-empty and not start with '.', got '$name'")

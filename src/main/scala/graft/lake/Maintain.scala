@@ -407,6 +407,30 @@ object Maintain {
           }
         } finally s.close()
       }
+    // crashed-createBranch lease debris: a creation that died between
+    // taking the `branch_<name>` fork lease and the branch VERSION move
+    // leaves a lease no branch owns — and since expireSnapshots honors
+    // leases forever by default, it would pin the fork's entire forward
+    // span for the rest of the table's life unless the SAME name is ever
+    // re-created. Released under the commit lock (createBranch holds it
+    // across pin→VERSION, so an in-JVM create can't be mid-flight here)
+    // and behind the mtime horizon (a cross-process create's fresh lease
+    // is always younger).
+    LakeTable.commitLock(table.root).synchronized {
+      val pinsDir = table.root.resolve("meta").resolve("pins")
+      if (Files.isDirectory(pinsDir)) {
+        val s = Files.list(pinsDir)
+        try s.forEach { p =>
+          val parts = p.getFileName.toString.split("-")
+          if (parts.length == 4 && parts(0) == "pin" &&
+              parts(2).startsWith("branch_") &&
+              !table.branchExists(parts(2).stripPrefix("branch_")) && ageOk(p)) {
+            out += table.root.relativize(p).toString
+            if (!dryRun) Files.deleteIfExists(p): Unit
+          }
+        } finally s.close()
+      }
+    }
     out.result()
   }
 }

@@ -98,17 +98,17 @@ class GraftCatalog extends TableCatalog
     val lake = LakeTable.load(root)
     // write-audit-publish session binding (Iceberg's `spark.wap.branch`):
     // while `spark.graft.sql.wapBranch` is set, reads AND writes on every
-    // graft table bind to that staging branch — see GraftSql.WapBranchConf.
-    // Fail-loud on a missing branch: the conf marks a dedicated audit
-    // session, and a typo silently writing to main is the exact hazard WAP
-    // exists to prevent.
+    // graft table THAT HAS the branch bind to it — see
+    // GraftSql.WapBranchConf. A table WITHOUT the branch reads main
+    // (Iceberg's fallback — production statements join read-only dimension
+    // tables that were never forked) but REJECTS writes loudly at write
+    // time: a typo'd branch name silently writing the audit to main is the
+    // exact hazard WAP exists to prevent.
     GraftSql.wapBranchFor(org.apache.spark.sql.SparkSession.active) match {
-      case Some(b) =>
-        require(lake.branchExists(b),
-          s"${GraftSql.WapBranchConf}='$b' is set but table $ident has no " +
-            s"branch '$b' — CALL graft.system.create_branch('${ident.name}', " +
-            s"'$b') first, or unset the conf")
+      case Some(b) if lake.branchExists(b) =>
         new GraftSqlTable(lake.branchTable(b), s"$ident@b$b")
+      case Some(b) =>
+        new GraftSqlTable(lake, ident.toString, wapUnbound = Some((b, ident.toString)))
       case None => new GraftSqlTable(lake, ident.toString)
     }
   }
@@ -263,14 +263,27 @@ object GraftSqlTable {
   * `(warc_ts, _seq_offset, _seq_part)` order, tombstones dropped — no
   * shuffle, no hash map, O(k) memory however large the bucket. */
 final class GraftSqlTable(val lake: LakeTable, ident: String,
-    pinnedSnapshot: Option[Long] = None) extends Table
+    pinnedSnapshot: Option[Long] = None,
+    wapUnbound: Option[(String, String)] = None) extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.TruncatableTable {
   override def name(): String = ident
+  /** The lake handle WRITE paths must use: under a `wapBranch` session
+    * binding, a table WITHOUT the branch resolves main for reads
+    * (dimension-table fallback, see [[GraftCatalog.loadTable]]) but every
+    * write against it must fail loudly — this is where it does. */
+  def writeLake: LakeTable = wapUnbound match {
+    case Some((b, id)) => throw new IllegalStateException(
+      s"${GraftSql.WapBranchConf}='$b' is set but table $id has no branch " +
+        s"'$b' — a write here would land on MAIN, the exact hazard the WAP " +
+        s"binding prevents. CALL graft.system.create_branch('$id', '$b') " +
+        "first, or unset the conf")
+    case None => lake
+  }
   /** `TRUNCATE TABLE graft.t`: rollback-to-empty as one metadata commit —
     * see [[graft.lake.LakeTable.truncate]] for the marker-clearing and
     * change-feed (fail-loud) semantics. */
-  override def truncateTable(): Boolean = { lake.truncate(); true }
+  override def truncateTable(): Boolean = { writeLake.truncate(); true }
   /** Schema follows the table's (or the pinned snapshot's) logical version —
     * a v1 table presents v1 columns until ALTERed; time travel to a
     * pre-evolution snapshot presents that era's schema. */
@@ -287,18 +300,23 @@ final class GraftSqlTable(val lake: LakeTable, ident: String,
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new org.apache.spark.sql.connector.write.WriteBuilder {
-      override def build(): org.apache.spark.sql.connector.write.Write =
+      // writeLake at BUILD (planning) time: under a wapBranch binding a
+      // table without the branch must reject INSERT/streaming writes before
+      // any task runs, not after (see writeLake's doc)
+      override def build(): org.apache.spark.sql.connector.write.Write = {
+        val wl = writeLake
         new org.apache.spark.sql.connector.write.Write {
           override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-            new GraftBatchWrite(lake, info.schema())
+            new GraftBatchWrite(wl, info.schema())
           // df.writeStream.toTable("graft.t"): user-schema rows as upsert
           // epochs (epoch id == exactly-once batch id)
           override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-            new graft.lake.LakeStreamingWrite(lake.root.toString,
-              lake.currentSnapshot.nBuckets,
+            new graft.lake.LakeStreamingWrite(wl.root.toString,
+              wl.currentSnapshot.nBuckets,
               GraftSql.mergeModeFor(org.apache.spark.sql.SparkSession.active),
               userSchemaRows = true)
         }
+      }
     }
 }
 

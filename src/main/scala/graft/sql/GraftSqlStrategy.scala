@@ -204,7 +204,7 @@ final case class GraftMergeExec(
       col("warc_ts").cast("timestamp").as("warc_ts"),
       (if (cols.contains("html")) col("html") else lit(null)).cast("binary").as("html"),
       (if (cols.contains("lang")) col("lang") else lit(null)).cast("string").as("lang"))
-    val lake = table.lake
+    val lake = table.writeLake
     val batchId = GraftRowLevel.nextSqlBatchId(lake)
     Merge(spark, lake, changelog, batchId, lineage = Nil, mode = GraftSql.mergeModeFor(spark)): Unit
   }
@@ -319,7 +319,7 @@ final case class GraftDeleteExec(
 
   private lazy val done: Unit = {
     val spark = SparkSession.active
-    val lake = table.lake
+    val lake = table.writeLake
     val rows = GraftRowLevel.resolvedWithEnvelope(spark, lake)
     val matched = rows.filter(!col("_deleted")).filter(GraftRowLevel.byName(cond))
     GraftRowLevel.maybeCapture(matched)
@@ -362,7 +362,7 @@ final case class GraftUpdateExec(
 
   private lazy val done: Unit = {
     val spark = SparkSession.active
-    val lake = table.lake
+    val lake = table.writeLake
     // assignment map by target-column name; identity carry-overs the
     // analyzer may add (t.col = t.col) are "unchanged", not overrides
     val overrides: Map[String, Column] = assignments.flatMap { a =>

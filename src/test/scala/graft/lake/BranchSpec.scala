@@ -224,6 +224,130 @@ class BranchSpec extends SparkSpec {
       s"dropped branch files must age out (reaped: $reaped)")
   }
 
+  test("publish guards: raw-id markers rejected; marker-less main advance conflicts, never discards the audit") {
+    val p = GenProfile.uniformSmall().copy(partitions = 1, eventsPerPartition = 300)
+    val binlog = tmpDir("pg-binlog")
+    ChangeEventGen.writeSegments(p, binlog, segmentEvents = 300)
+    val main = LakeTable.create(tmpDir("pg-tbl"), nBuckets = 4, schemaVersion = 1)
+    Ingest.applyBatch(spark, main)(BinlogRead.range(spark, binlog.toString, 0, 300), 0L)
+
+    // (1) a branch whose markers sit OUTSIDE the reserved staging domains
+    // (bits 59–62) is rejected at publish: raw small-natural ids would
+    // collide with the main stream's own checkpoint epochs after the squash
+    val raw = main.createBranch("raw")
+    Ingest.applyBatch(spark, raw)(BinlogRead.range(spark, binlog.toString, 0, 300), 7L)
+    val e = intercept[IllegalArgumentException](main.publishBranch("raw"))
+    assert(e.getMessage.contains("reserved staging domains"), e.getMessage)
+    assert(main.branchExists("raw"), "rejected publish must not destroy the branch")
+    assert(main.dropBranch("raw"))
+
+    // (2) crashed-publish retry identity is the FULL squash content, not
+    // markers alone: branch stages schema evolution (marker-less commit),
+    // main lands an unrelated marker-less commit (rebucket) — batches are
+    // EQUAL but the head is NOT our squash, so publish must raise
+    // CommitConflict instead of silently discarding the audit
+    val fork = main.currentSnapshotId
+    val audit = main.createBranch("audit")
+    audit.evolveSchema(2)
+    Maintain.rebucket(spark, main, 8)
+    assert(main.currentSnapshot.parentId == fork &&
+      main.currentSnapshot.committedBatchIds ==
+        audit.currentSnapshot.committedBatchIds,
+      "precondition: marker sets equal, head not the squash")
+    val c = intercept[CommitConflict](main.publishBranch("audit"))
+    assert(c.getMessage.contains("stale base"), c.getMessage)
+    assert(main.branchExists("audit"), "conflicted publish must keep the audit")
+    assert(main.currentSnapshot.schemaVersion == 1,
+      "main must not have absorbed the audit's evolution")
+  }
+
+  test("fork-lease hygiene: crashed-create debris reaped behind the horizon; live-audit leases heartbeat") {
+    import java.nio.file.attribute.FileTime
+    import scala.jdk.CollectionConverters._
+    val p = GenProfile.uniformSmall().copy(partitions = 1, eventsPerPartition = 400)
+    val binlog = tmpDir("lh-binlog")
+    ChangeEventGen.writeSegments(p, binlog, segmentEvents = 400)
+    val main = LakeTable.create(tmpDir("lh-tbl"), nBuckets = 4)
+    Ingest.applyBatch(spark, main)(BinlogRead.range(spark, binlog.toString, 0, 200), 0L)
+
+    def pinsFor(owner: String): Vector[Path] = {
+      val dir = main.root.resolve("meta").resolve("pins")
+      if (!Files.isDirectory(dir)) Vector.empty
+      else {
+        val s = Files.list(dir)
+        try s.iterator().asScala.toVector.filter { q =>
+          val parts = q.getFileName.toString.split("-")
+          parts.length == 4 && parts(2) == owner
+        } finally s.close()
+      }
+    }
+    val old = FileTime.fromMillis(System.currentTimeMillis() - 2 * 3600 * 1000L)
+    val horizon = System.currentTimeMillis() - 3600 * 1000L
+
+    // crashed createBranch: the fork lease exists but no branch VERSION ever
+    // published — aged debris is reaped by orphan GC, fresh debris (a
+    // cross-process create mid-flight) survives the mtime horizon
+    main.pin(main.currentSnapshotId, "branch_ghost")
+    pinsFor("branch_ghost").foreach(Files.setLastModifiedTime(_, old))
+    main.pin(main.currentSnapshotId, "branch_young")
+    Maintain.removeOrphanFiles(main, horizon)
+    assert(pinsFor("branch_ghost").isEmpty, "aged crashed-create lease must be reaped")
+    assert(pinsFor("branch_young").nonEmpty, "fresh lease must survive the horizon")
+
+    // a LIVE branch's aged lease is never debris (branch exists)…
+    val b = main.createBranch("live")
+    val fork = main.currentSnapshotId
+    pinsFor("branch_live").foreach(Files.setLastModifiedTime(_, old))
+    Maintain.removeOrphanFiles(main, horizon)
+    assert(pinsFor("branch_live").nonEmpty, "live branch lease is not debris")
+    // …and a multi-hour audit heartbeats it: loading the handle and every
+    // branch commit bump the lease mtime, so a pin-horizon expiry
+    // (`ignorePinsOlderThanMs`) never mistakes the audit for a crashed
+    // holder. (The orphan-GC walk above heartbeats too — it loads live
+    // branch handles to walk their chains — so re-backdate before each.)
+    def leaseAgeMs(): Long = pinsFor("branch_live")
+      .map(q => System.currentTimeMillis() - Files.getLastModifiedTime(q).toMillis).min
+    pinsFor("branch_live").foreach(Files.setLastModifiedTime(_, old))
+    assert(leaseAgeMs() > 3600 * 1000L)
+    main.branchTable("live")
+    assert(leaseAgeMs() < 60 * 1000L, "branchTable load must heartbeat the lease")
+    pinsFor("branch_live").foreach(Files.setLastModifiedTime(_, old))
+    Ingest.applyBatch(spark, b)(BinlogRead.range(spark, binlog.toString, 200, 300),
+      Ingest.branchBatchId("lh-ck", 0L))
+    assert(leaseAgeMs() < 60 * 1000L, "branch commit must heartbeat the lease")
+    // with the lease fresh, an aggressive pin-horizon expiry keeps the fork
+    Ingest.applyBatch(spark, main)(BinlogRead.range(spark, binlog.toString, 300, 400), 1L)
+    Maintain.expireSnapshots(main, keepLast = 1, ignorePinsOlderThanMs = 3600 * 1000L)
+    assert(main.snapshotIds.contains(fork), "heartbeated fork survives pin-horizon expiry")
+    assert(b.read(spark).count() > 0)
+  }
+
+  test("re-fork with a used checkpoint refused; path-traversing branch lookups rejected") {
+    val p = GenProfile.uniformSmall().copy(partitions = 1, eventsPerPartition = 200)
+    val binlog = tmpDir("rk-binlog")
+    ChangeEventGen.writeSegments(p, binlog, segmentEvents = 200)
+    val root = tmpDir("rk-tbl")
+    val ckpt = tmpDir("rk-ck").toString
+    Ingest.startStream(spark, binlog.toString, root, ckpt,
+      maxEventsPerBatch = 100, nBuckets = 4, branch = Some("audit")).awaitTermination()
+    val main = LakeTable.load(root)
+    assert(main.branchExists("audit"))
+    // the branch is dropped after the stream ran — restarting on the SAME
+    // checkpoint would re-fork and silently skip the already-read span
+    // (hole-filled staging table); it must fail loudly instead
+    assert(main.dropBranch("audit"))
+    val e = intercept[IllegalArgumentException](Ingest.startStream(
+      spark, binlog.toString, root, ckpt, branch = Some("audit")))
+    assert(e.getMessage.contains("FRESH checkpoint"), e.getMessage)
+    // lookups are charset-validated BEFORE touching the filesystem: '..'
+    // would resolve meta/refs/../VERSION — main's own VERSION — and read
+    // main while claiming a branch read
+    assert(!main.branchExists(".."))
+    assert(!main.branchExists("a/../b"))
+    assert(!main.branchExists("main"))
+    intercept[IllegalArgumentException](main.branchTable(".."))
+  }
+
   test("guards: names validated, branch-handle misuse rejected, maintenance cadences refused") {
     val main = LakeTable.create(tmpDir("gd-tbl"), nBuckets = 4)
     intercept[IllegalArgumentException](main.createBranch("main"))

@@ -1247,11 +1247,30 @@ class GraftSqlSpec extends SparkSpec {
                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     mergeRange(0, 10)
 
-    // binding to a MISSING branch fails loudly — the typo hazard WAP
-    // exists to prevent is silently writing the audit to main
+    // binding names a branch this table DOESN'T have: reads fall back to
+    // MAIN (Iceberg's rule — production statements join read-only dimension
+    // tables that were never forked) but every WRITE fails loudly: a typo'd
+    // branch silently writing the audit to main is the exact hazard WAP
+    // exists to prevent
     spark.conf.set(GraftSql.WapBranchConf, "audit")
-    val missing = intercept[Exception](spark.sql("SELECT * FROM graft.wap2").collect())
-    assert(missing.getMessage.contains("create_branch"), missing.getMessage)
+    assert(spark.sql("SELECT * FROM graft.wap2").count() == 10)
+    val mergeMissing = intercept[Exception](mergeRange(10, 11))
+    assert(mergeMissing.getMessage.contains("create_branch"), mergeMissing.getMessage)
+    val delMissing = intercept[Exception](
+      spark.sql("DELETE FROM graft.wap2 WHERE url = 'u3'"))
+    assert(delMissing.getMessage.contains("create_branch"), delMissing.getMessage)
+    val updMissing = intercept[Exception](
+      spark.sql("UPDATE graft.wap2 SET lang = 'xx' WHERE url = 'u3'"))
+    assert(updMissing.getMessage.contains("create_branch"), updMissing.getMessage)
+    val insMissing = intercept[Exception](spark.sql(
+      """INSERT INTO graft.wap2 SELECT 'u99', timestamp_micros(1700000000000000),
+        |cast('<p>x</p>' AS BINARY), CAST(NULL AS STRING), CAST(NULL AS BIGINT),
+        |'en'""".stripMargin))
+    assert(insMissing.getMessage.contains("create_branch"), insMissing.getMessage)
+    val truncMissing = intercept[Exception](spark.sql("TRUNCATE TABLE graft.wap2"))
+    assert(truncMissing.getMessage.contains("create_branch"), truncMissing.getMessage)
+    // none of the rejected writes touched main
+    assert(spark.sql("SELECT * FROM graft.wap2").count() == 10)
     spark.conf.unset(GraftSql.WapBranchConf)
 
     spark.sql("CALL graft.system.create_branch('wap2', 'audit')").collect()
@@ -1268,6 +1287,20 @@ class GraftSqlSpec extends SparkSpec {
       // metadata/feed surfaces stay MAIN-bound (branches are invisible to
       // the change feed by design)
       assert(spark.sql("SELECT count(*) FROM graft.`wap2$branches`").head().getLong(0) == 1)
+      // a production statement joining a never-forked dimension table still
+      // runs under the binding: the dim reads main, the fact reads the branch
+      spark.conf.unset(GraftSql.WapBranchConf)
+      spark.sql("""CREATE TABLE graft.wap2dim (url STRING, warc_ts TIMESTAMP,
+                  |  html BINARY, text STRING, content_len BIGINT, lang STRING)
+                  |USING graft TBLPROPERTIES('buckets'='2')""".stripMargin)
+      spark.sql(
+        """INSERT INTO graft.wap2dim SELECT 'u3', timestamp_micros(1700000000000000),
+          |cast('<p>d</p>' AS BINARY), CAST(NULL AS STRING), CAST(NULL AS BIGINT),
+          |'dim'""".stripMargin)
+      spark.conf.set(GraftSql.WapBranchConf, "audit")
+      assert(spark.sql(
+        """SELECT f.lang FROM graft.wap2 f JOIN graft.wap2dim d ON f.url = d.url""")
+        .head().getString(0) == "xx") // branch-staged value, dim resolved from main
       spark.conf.unset(GraftSql.WapBranchConf)
       // unbound session: main never saw any of it
       assert(spark.sql("SELECT * FROM graft.wap2").count() == 10)

@@ -1,6 +1,6 @@
 package graft.cdc
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Path, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -130,11 +130,36 @@ object Ingest {
     require((epochId >> 32) == 0L,
       s"epoch id $epochId overflows the 32-bit branch epoch field")
     val salt = java.security.MessageDigest.getInstance("MD5")
-      .digest(Paths.get(checkpointDir).toAbsolutePath.normalize
-        .toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .digest(checkpointKey(checkpointDir)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(4).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL)) & 0x7ffffffL
     BranchBatchIdBit | (salt << 32) | epochId
   }
+
+  /** Canonical identity string for a checkpoint location, used wherever a
+    * salt/owner tag must be "stable across restarts of one query": the
+    * Hadoop-QUALIFIED path, so `/ckpt`, `file:/ckpt` and `file:///ckpt` —
+    * and a restart from a different working directory naming the same
+    * absolute location — all derive the SAME key. Salt stability is thereby
+    * congruent with checkpoint identity: when a restart resolves to the
+    * same checkpoint Spark resumes from, the salt matches; when it resolves
+    * elsewhere, Spark itself starts a fresh stream (fresh epochs), so a
+    * fresh salt is correct. CWD-resolved `Paths.get(...).toAbsolutePath`
+    * is NOT a substitute: cluster-mode restarts land in a fresh container
+    * dir, and a replayed epoch hashed under a different salt would miss its
+    * own exactly-once marker. Falls back to JVM normalization when the
+    * scheme's filesystem isn't reachable (never on the local schemes). */
+  private[graft] def checkpointKey(checkpointDir: String): String =
+    try {
+      val p = new org.apache.hadoop.fs.Path(checkpointDir)
+      val conf = org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sessionState.newHadoopConf())
+        .getOrElse(new org.apache.hadoop.conf.Configuration())
+      p.getFileSystem(conf).makeQualified(p).toString
+    } catch {
+      case _: Exception =>
+        Paths.get(checkpointDir).toAbsolutePath.normalize.toString
+    }
 
   /** INITIAL-SNAPSHOT BOOTSTRAP — the "snapshot, then stream" handoff the
     * reference leaves to the operator (kafka-connect-s3 only tails the
@@ -260,11 +285,13 @@ object Ingest {
         // skips the already-read span would silently stage a hole-filled
         // table (the dropped incarnation's applies are gone) and publish
         // it without error. Fail loudly: re-audit from a fresh checkpoint.
-        val off = Paths.get(checkpointDir).resolve("offsets")
-        val hasProgress = Files.isDirectory(off) && {
-          val s = Files.list(off)
-          try s.findFirst().isPresent finally s.close()
-        }
+        // Probed through the HADOOP filesystem (same resolution Spark's
+        // checkpoint manager uses) — a java.nio probe of a URI-form or
+        // non-local checkpointDir would silently report "no progress" and
+        // disable the guard.
+        val off = new org.apache.hadoop.fs.Path(checkpointDir, "offsets")
+        val fs = off.getFileSystem(spark.sessionState.newHadoopConf())
+        val hasProgress = fs.exists(off) && fs.listStatus(off).nonEmpty
         require(!hasProgress,
           s"branch '$name' does not exist but checkpoint $checkpointDir " +
             "already has committed offsets — the branch was dropped after " +

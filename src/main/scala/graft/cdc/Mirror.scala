@@ -52,8 +52,8 @@ object Mirror {
   def batchId(checkpointDir: String, epochId: Long): Long = {
     require((epochId >> 32) == 0L, s"epoch id $epochId overflows the 32-bit mirror epoch field")
     val salt = java.security.MessageDigest.getInstance("MD5")
-      .digest(java.nio.file.Paths.get(checkpointDir).toAbsolutePath.normalize
-        .toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .digest(Ingest.checkpointKey(checkpointDir)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(4).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL)) & 0xfffffffL
     FeedBatchIdBit | (salt << 32) | epochId
   }

@@ -454,11 +454,14 @@ final class FeedMicroBatchStream(root: Path, pinnedVersion: Int,
 
   // lease owner tag: stable across restarts of THIS query (checkpoint dir is
   // unique per query), md5-derived like the curated stream's — see
-  // Curate.startCuratedStream for why hashCode tags are not enough.
+  // Curate.startCuratedStream for why hashCode tags are not enough, and
+  // Ingest.checkpointKey for why the hash input must be the Hadoop-qualified
+  // path (a CWD-resolved one re-tags a cluster-mode restart, stranding the
+  // crashed predecessor's lease as an unreleasable orphan).
   private val owner = pinOwner.getOrElse("feed" +
     java.security.MessageDigest.getInstance("MD5")
-      .digest(Paths.get(checkpointLocation).toAbsolutePath.normalize
-        .toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .digest(graft.cdc.Ingest.checkpointKey(checkpointLocation)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(8).map(b => f"$b%02x").mkString)
 
   private var pin: Option[SnapshotPin] = None

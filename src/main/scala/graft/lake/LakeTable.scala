@@ -148,7 +148,20 @@ final class LakeTable(val root: Path, val ref: String = LakeTable.MainRef) {
     * only age out via the expiry call's horizon, because leases are
     * otherwise anonymous (another reader may legitimately pin the same
     * snapshot). */
-  def pin(snapshotId: Long, owner: String = ""): SnapshotPin =
+  def pin(snapshotId: Long, owner: String = ""): SnapshotPin = {
+    // the fork-lease owner prefix is RESERVED: removeOrphanFiles reaps aged
+    // `branch_<name>` leases whose branch doesn't exist (crashed-create
+    // debris) — a user lease named into that prefix would be reaped as soon
+    // as it aged past the horizon, and the next expiry would GC its pinned
+    // span out from under the consumer
+    require(!owner.startsWith(LakeTable.ForkLeasePrefix),
+      s"pin owner prefix '${LakeTable.ForkLeasePrefix}' is reserved for " +
+        "branch fork leases (createBranch manages those)")
+    pinUnchecked(snapshotId, owner)
+  }
+
+  /** [[pin]] without the reserved-prefix guard — the fork-lease path. */
+  private[lake] def pinUnchecked(snapshotId: Long, owner: String): SnapshotPin =
       LakeTable.commitLock(root).synchronized {
     require(Files.exists(snapFile(snapshotId)), s"no snapshot $snapshotId")
     LakeTable.validateOwner(owner)
@@ -253,7 +266,7 @@ final class LakeTable(val root: Path, val ref: String = LakeTable.MainRef) {
     // (`ignorePinsOlderThanMs`) — main expiring the fork would delete files
     // the branch head still lists, and a later publish would graft that
     // dangling file list onto main.
-    if (!isMain) touchOwnedPins(s"branch_$ref")
+    if (!isMain) touchOwnedPins(s"${LakeTable.ForkLeasePrefix}$ref")
     stamped
   }
 
@@ -522,8 +535,8 @@ final class LakeTable(val root: Path, val ref: String = LakeTable.MainRef) {
     // the fork lease: main expiry must keep the fork's files readable for
     // the branch's lifetime. Owned, so publish/drop (or a re-fork after a
     // crash) can clean it up deterministically.
-    releaseOwnedPins(s"branch_$name")
-    pin(cur, s"branch_$name")
+    releaseOwnedPins(s"${LakeTable.ForkLeasePrefix}$name")
+    pinUnchecked(cur, s"${LakeTable.ForkLeasePrefix}$name")
     // branch VERSION last, atomically with content (existence keys on it)
     val tmp = dir.resolve(".VERSION.tmp")
     Files.write(tmp, cur.toString.getBytes(StandardCharsets.UTF_8))
@@ -538,7 +551,7 @@ final class LakeTable(val root: Path, val ref: String = LakeTable.MainRef) {
     require(isMain, s"branches hang off main, not off branch '$ref'")
     require(branchExists(name), s"no branch '$name' for table at $root " +
       s"(have ${branchEntries.map(_._1).mkString(", ")})")
-    touchOwnedPins(s"branch_$name")
+    touchOwnedPins(s"${LakeTable.ForkLeasePrefix}$name")
     new LakeTable(root, name)
   }
 
@@ -606,11 +619,10 @@ final class LakeTable(val root: Path, val ref: String = LakeTable.MainRef) {
     require(isMain, s"publish runs on the main handle, not branch '$ref'")
     val bt = branchTable(name)
     val bHead = bt.currentSnapshot
-    val fork = branchEntries.collectFirst { case (`name`, _, f, _) => f }
-      .getOrElse(throw new IllegalStateException(s"branch '$name' has no FORK record"))
+    val fork = bt.forkSnapshotId
     val cur = currentSnapshot
     def cleanup(): Unit = {
-      releaseOwnedPins(s"branch_$name")
+      releaseOwnedPins(s"${LakeTable.ForkLeasePrefix}$name")
       LakeTable.deleteRecursively(metaDir.resolve("refs").resolve(name))
     }
     if (bHead.snapshotId == fork) { cleanup(); return cur } // empty audit
@@ -665,7 +677,7 @@ final class LakeTable(val root: Path, val ref: String = LakeTable.MainRef) {
     require(isMain, s"drop runs on the main handle, not branch '$ref'")
     LakeTable.validateBranchName(name)
     val existed = branchExists(name)
-    releaseOwnedPins(s"branch_$name")
+    releaseOwnedPins(s"${LakeTable.ForkLeasePrefix}$name")
     LakeTable.deleteRecursively(metaDir.resolve("refs").resolve(name))
     existed
   }
@@ -940,6 +952,12 @@ object LakeTable {
 
   /** The main chain's ref name — the default for every handle. */
   val MainRef: String = "main"
+
+  /** Owner-tag prefix of branch fork leases (`branch_<name>`): RESERVED —
+    * the public [[LakeTable.pin]] rejects it, because
+    * [[Maintain.removeOrphanFiles]] reaps aged leases in this prefix whose
+    * branch doesn't exist (crashed-createBranch debris). */
+  val ForkLeasePrefix: String = "branch_"
 
   /** Whether `name` is in the branch-name charset ([A-Za-z0-9_]+, ASCII).
     * Used by LOOKUPS ([[LakeTable.branchExists]]) as well as creation:

@@ -423,8 +423,8 @@ object Maintain {
         try s.forEach { p =>
           val parts = p.getFileName.toString.split("-")
           if (parts.length == 4 && parts(0) == "pin" &&
-              parts(2).startsWith("branch_") &&
-              !table.branchExists(parts(2).stripPrefix("branch_")) && ageOk(p)) {
+              parts(2).startsWith(LakeTable.ForkLeasePrefix) &&
+              !table.branchExists(parts(2).stripPrefix(LakeTable.ForkLeasePrefix)) && ageOk(p)) {
             out += table.root.relativize(p).toString
             if (!dryRun) Files.deleteIfExists(p): Unit
           }

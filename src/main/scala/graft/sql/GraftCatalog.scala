@@ -310,11 +310,25 @@ final class GraftSqlTable(val lake: LakeTable, ident: String,
             new GraftBatchWrite(wl, info.schema())
           // df.writeStream.toTable("graft.t"): user-schema rows as upsert
           // epochs (epoch id == exactly-once batch id)
-          override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+            // a branch-bound handle must NOT reach the streaming sink: its
+            // commit() path re-loads the table from the root (= MAIN) —
+            // staging data would silently land on main with raw epoch ids
+            // in main's marker space, the exact hazard the WAP binding
+            // prevents. Audited streaming ingest goes through
+            // Ingest.startStream(branch = …), which mints salted
+            // branch-domain markers and branch-scoped staging.
+            require(wl.ref == graft.lake.LakeTable.MainRef,
+              s"streaming writes cannot bind to staging branch '${wl.ref}' " +
+                s"(session conf ${GraftSql.WapBranchConf}): the sink's epoch " +
+                "ids carry no branch marker domain — use " +
+                "Ingest.startStream(branch = …) for audited streaming " +
+                "ingest, or unset the conf to stream to main")
             new graft.lake.LakeStreamingWrite(wl.root.toString,
               wl.currentSnapshot.nBuckets,
               GraftSql.mergeModeFor(org.apache.spark.sql.SparkSession.active),
               userSchemaRows = true)
+          }
         }
       }
     }

@@ -284,12 +284,16 @@ class BranchSpec extends SparkSpec {
     val old = FileTime.fromMillis(System.currentTimeMillis() - 2 * 3600 * 1000L)
     val horizon = System.currentTimeMillis() - 3600 * 1000L
 
+    // the fork-lease owner prefix is reserved: a user lease named into it
+    // would be reaped as crashed-create debris once aged
+    intercept[IllegalArgumentException](main.pin(main.currentSnapshotId, "branch_mirror"))
     // crashed createBranch: the fork lease exists but no branch VERSION ever
-    // published — aged debris is reaped by orphan GC, fresh debris (a
-    // cross-process create mid-flight) survives the mtime horizon
-    main.pin(main.currentSnapshotId, "branch_ghost")
+    // published (simulated via the internal path the reservation protects) —
+    // aged debris is reaped by orphan GC, fresh debris (a cross-process
+    // create mid-flight) survives the mtime horizon
+    main.pinUnchecked(main.currentSnapshotId, "branch_ghost")
     pinsFor("branch_ghost").foreach(Files.setLastModifiedTime(_, old))
-    main.pin(main.currentSnapshotId, "branch_young")
+    main.pinUnchecked(main.currentSnapshotId, "branch_young")
     Maintain.removeOrphanFiles(main, horizon)
     assert(pinsFor("branch_ghost").isEmpty, "aged crashed-create lease must be reaped")
     assert(pinsFor("branch_young").nonEmpty, "fresh lease must survive the horizon")

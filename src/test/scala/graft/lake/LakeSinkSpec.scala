@@ -75,6 +75,45 @@ class LakeSinkSpec extends SparkSpec {
     })
   }
 
+  test("writeStream.toTable under a wapBranch binding is rejected loudly, never a silent write to main") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val wh = tmpDir("ttw-wh").toString
+    graft.sql.GraftSql.enable(spark, wh)
+    spark.sql("DROP TABLE IF EXISTS graft.ttw")
+    spark.sql("CREATE TABLE graft.ttw (url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, content_len BIGINT, lang STRING) USING graft TBLPROPERTIES('buckets'='4')")
+    spark.sql("CALL graft.system.create_branch('ttw', 'audit')").collect()
+    spark.conf.set(graft.sql.GraftSql.WapBranchConf, "audit")
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = MemoryStream[String]
+      mem.addData("x")
+      val df = mem.toDF().selectExpr(
+        "value AS url", "timestamp_micros(1700000000000000) AS warc_ts",
+        "cast(value AS BINARY) AS html", "CAST(NULL AS STRING) AS text",
+        "CAST(NULL AS BIGINT) AS content_len", "'en' AS lang")
+      // the streaming sink's commit() re-loads the table from the ROOT —
+      // a branch-bound handle reaching it would silently merge every epoch
+      // into MAIN (with raw epoch ids in main's marker space, on top).
+      // The binding must reject the stream loudly instead.
+      val e = intercept[Exception] {
+        df.writeStream.option("checkpointLocation", tmpDir("ttw-ck").toString)
+          .trigger(Trigger.AvailableNow()).toTable("graft.ttw")
+          .awaitTermination()
+      }
+      val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+        .flatMap(t => Option(t.getMessage)).mkString(" | ")
+      assert(chain.contains("streaming writes cannot bind"), chain)
+      // nothing landed on the branch or on main
+      assert(spark.sql("SELECT * FROM graft.ttw").count() == 0)
+      spark.conf.unset(graft.sql.GraftSql.WapBranchConf)
+      assert(spark.sql("SELECT * FROM graft.ttw").count() == 0)
+    } finally {
+      spark.conf.unset(graft.sql.GraftSql.WapBranchConf)
+      spark.sql("DROP TABLE IF EXISTS graft.ttw")
+    }
+  }
+
   test("writeStream.toTable(graft.t): user-schema streaming upserts through the catalog") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -164,6 +164,66 @@ object SparkEntry {
         col("content_len"))
     }),
 
+    // WAP × CONCURRENT MAINTENANCE: same split as cdc_branch_wap, but main
+    // COMPACTS while the audit is staged — maintenance-only movement of
+    // main (same markers/schema/layout, files rearranged) must not
+    // conflict the publish, and the squash supersedes the compacted files
+    // losslessly. The oracle is the plain-replay final state again.
+    "cdc_wap_maint_publish" -> ((s, dir) => {
+      val changelog = eventsChangelog(s, dir)
+      val bounds = t(s, dir, "events").agg(min("event_id"), max("event_id")).head()
+      val cut = (bounds.getLong(0) + bounds.getLong(1)) / 2
+      val root = Files.createTempDirectory("graft-q-wapm")
+      val main = graft.lake.LakeTable.create(root, nBuckets = 8)
+      graft.cdc.Ingest.applyBatch(s, main)(changelog.filter(col("offset") < cut), 0L)
+      val branch = main.createBranch("audit")
+      graft.cdc.Ingest.applyBatch(s, branch)(changelog.filter(col("offset") >= cut),
+        graft.cdc.Ingest.branchBatchId("q-wapm-audit", 0L))
+      graft.lake.Maintain.compact(s, main) // maintenance moves main past the fork
+      main.publishBranch("audit")
+      main.read(s).select(
+        col("url"),
+        unix_micros(col("warc_ts")).as("warc_us"),
+        col("text"),
+        col("content_len"))
+    }),
+
+    // WAP SQL SESSION BINDING: the cdc_sql_merge statement body runs
+    // UNCHANGED while `spark.graft.sql.wapBranch` binds the session to a
+    // staging branch — the MERGE lands on the branch, main stays empty
+    // until `CALL graft.system.publish_branch` squashes it. Oracle equals
+    // cdc_sql_merge's: staging + publish must be invisible to the result.
+    "cdc_wap_sql" -> ((s, dir) => {
+      val wh = Files.createTempDirectory("graft-sql-wapwh")
+      graft.sql.GraftSql.enable(s, wh.toString)
+      t(s, dir, "events").createOrReplaceTempView("graft_ev_wap_src")
+      s.sql("DROP TABLE IF EXISTS graft.wappages")
+      s.sql("""CREATE TABLE graft.wappages (url STRING, warc_ts TIMESTAMP,
+              |  html BINARY, text STRING, content_len BIGINT, lang STRING)
+              |USING graft TBLPROPERTIES('buckets'='8')""".stripMargin)
+      s.sql("CALL graft.system.create_branch('wappages', 'audit')").collect()
+      s.conf.set(graft.sql.GraftSql.WapBranchConf, "audit")
+      try {
+        s.sql("""MERGE INTO graft.wappages t USING (
+                |  SELECT concat('u', CAST(user_id AS STRING)) AS url,
+                |    CAST(ts AS TIMESTAMP) AS warc_ts,
+                |    CASE WHEN event_type = 'error' THEN CAST(NULL AS BINARY)
+                |         ELSE to_binary(props, 'utf-8') END AS html,
+                |    CAST(NULL AS STRING) AS text, CAST(NULL AS BIGINT) AS content_len,
+                |    'en' AS lang,
+                |    CAST(pmod(user_id, 4) AS INT) AS partition, event_id AS offset,
+                |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+                |  FROM graft_ev_wap_src) s
+                |ON t.url = s.url
+                |WHEN MATCHED AND s.op = 'delete' THEN DELETE
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      } finally s.conf.unset(graft.sql.GraftSql.WapBranchConf)
+      s.sql("CALL graft.system.publish_branch('wappages', 'audit')").collect()
+      s.sql("""SELECT url, unix_micros(warc_ts) AS warc_us, text, content_len
+              |FROM graft.wappages""".stripMargin)
+    }),
+
     // CHAINED CDC PIPELINES: table A ingests the changelog, then table B
     // tails A's change feed via the `graft-feed` streaming source (offsets
     // = A's snapshot ids; batch 0 = A's full state, increments follow) and
@@ -979,6 +1039,24 @@ object SparkEntry {
     // write-audit-publish converges to the plain-replay state exactly —
     // the oracle IS cdc_merge_final_state's
     "cdc_branch_wap" ->
+      """WITH ranked AS (
+        |  SELECT user_id, ts, event_id, event_type, props,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT 'u' || CAST(user_id AS VARCHAR) AS url, epoch_us(ts) AS warc_us,
+        |       props AS text, CAST(strlen(props) AS BIGINT) AS content_len
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    "cdc_wap_maint_publish" ->
+      """WITH ranked AS (
+        |  SELECT user_id, ts, event_id, event_type, props,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT 'u' || CAST(user_id AS VARCHAR) AS url, epoch_us(ts) AS warc_us,
+        |       props AS text, CAST(strlen(props) AS BIGINT) AS content_len
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    "cdc_wap_sql" ->
       """WITH ranked AS (
         |  SELECT user_id, ts, event_id, event_type, props,
         |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn

@@ -606,14 +606,24 @@ final class LakeTable(val root: Path, val ref: String = LakeTable.MainRef) {
     * commit at `mainHead + 1` carrying the branch head's files, schema
     * version, bucket layout, row count and batch markers, then branch
     * cleanup (fork lease released, `meta/refs/<name>/` deleted — the data
-    * files are now main's). Requires main to still be AT the fork point —
-    * if main advanced, the audit ran against a stale base and publishing
-    * would silently drop main's newer batches, so it throws
-    * [[CommitConflict]] (re-fork and re-run the audit, or drop the
-    * branch). Publishing an EMPTY branch (no commits since the fork) just
+    * files are now main's). Requires main's LOGICAL state to still be the
+    * fork's: if main applied new batches, evolved its schema or changed its
+    * bucket layout, the audit ran against a stale base and publishing would
+    * silently drop that work, so it throws [[CommitConflict]] (re-fork and
+    * re-run the audit, or drop the branch). MAINTENANCE-ONLY movement of
+    * main is tolerated: commits since the fork that carry the fork's exact
+    * batch markers, schema version and bucket count (compaction, bloom
+    * builds, a rollback BACK to the fork state) only rearranged the same
+    * logical rows, so the squash lands on the new head — superseding the
+    * maintenance rewrite (its files age out with their snapshots; the fork
+    * lease keeps the branch's forked inputs alive throughout). Without this
+    * tolerance a routine compaction cadence would conflict every long
+    * audit. Publishing an EMPTY branch (no commits since the fork) just
     * drops it. Crash-idempotent: a publish that died between the main
-    * commit and the cleanup is detected on retry (the head is the fork's
-    * child with exactly the branch's markers) and finishes the cleanup. */
+    * commit and the cleanup is detected on retry (the head carries exactly
+    * the branch head's content — files, schema, layout, markers; branch
+    * data paths are `ref-<name>-f<fork>-` prefixed, so no other writer's
+    * commit can collide with that identity) and finishes the cleanup. */
   def publishBranch(name: String): Snapshot =
       LakeTable.commitLock(root).synchronized {
     require(isMain, s"publish runs on the main handle, not branch '$ref'")
@@ -646,21 +656,42 @@ final class LakeTable(val root: Path, val ref: String = LakeTable.MainRef) {
           "would collide with the main stream's checkpoint epochs after " +
           "publish; mint branch markers via Ingest.branchBatchId")
     }
+    // crashed-publish retry: the main head already IS this branch's squash.
+    // Identity is the FULL squash content (files, schema version, bucket
+    // layout, row count AND markers) — matching on markers alone would
+    // false-positive on an unrelated marker-less main commit (its own
+    // ALTER/compaction) landing after the fork, silently discarding the
+    // audit where a CommitConflict is required. Content identity is safe
+    // without anchoring the parent to the fork (so a squash that landed on
+    // a maintenance-advanced head, below, is recognized too): any
+    // data-carrying audit lists `ref-<name>-f<fork>-` paths no other
+    // writer's commit can contain, and for a metadata-only audit a content
+    // match means main's head ALREADY equals the audit's exact outcome —
+    // finishing cleanup yields the same state a real publish would.
+    val isOurSquash =
+      cur.copy(snapshotId = 0L, parentId = 0L, commitTsMs = 0L) ==
+        bHead.copy(snapshotId = 0L, parentId = 0L, commitTsMs = 0L)
+    if (isOurSquash) { cleanup(); return cur }
     if (cur.snapshotId != fork) {
-      // crashed-publish retry: the main head already IS this branch's
-      // squash. Identity is the FULL squash content (files, schema version,
-      // bucket layout, row count AND markers) — matching on markers alone
-      // would false-positive on an unrelated marker-less main commit (its
-      // own ALTER/compaction) landing after the fork, silently discarding
-      // the audit where a CommitConflict is required.
-      val isOurSquash = cur.parentId == fork &&
-        cur.copy(snapshotId = 0L, parentId = 0L, commitTsMs = 0L) ==
-          bHead.copy(snapshotId = 0L, parentId = 0L, commitTsMs = 0L)
-      if (isOurSquash) { cleanup(); return cur }
-      throw new CommitConflict(
-        s"cannot publish branch '$name': main advanced to ${cur.snapshotId} " +
-          s"past the fork point $fork — the audit ran against a stale base " +
-          "(re-fork and re-run it, or dropBranch)")
+      // main moved past the fork. Tolerate MAINTENANCE-ONLY movement — the
+      // head still holds the fork's exact logical state (same batch
+      // markers, same schema version, same bucket count): compaction/bloom
+      // rewrites or a rollback back to the fork state only rearranged the
+      // rows the audit already read, so the squash supersedes them
+      // soundly. Anything else (new data batches, ALTER, rebucket,
+      // truncate, rollback past the fork) invalidated the audit base —
+      // conflict, never a silent discard.
+      val forkSnap = bt.snapshot(fork)
+      val maintenanceOnly = cur.batches == forkSnap.batches &&
+        cur.schemaVersion == forkSnap.schemaVersion &&
+        cur.nBuckets == forkSnap.nBuckets
+      if (!maintenanceOnly)
+        throw new CommitConflict(
+          s"cannot publish branch '$name': main advanced to ${cur.snapshotId} " +
+            s"past the fork point $fork with new batches, schema or layout — " +
+            "the audit ran against a stale base (re-fork and re-run it, or " +
+            "dropBranch); maintenance-only movement (compaction) would have " +
+            "been tolerated")
     }
     val next = bHead.copy(snapshotId = cur.snapshotId + 1, parentId = cur.snapshotId)
     val committed = commit(next, Some(cur.commitTsMs))

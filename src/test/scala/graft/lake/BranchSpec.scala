@@ -124,6 +124,52 @@ class BranchSpec extends SparkSpec {
     assertState(main.read(spark), Oracle.finalState(p), "re-forked audit published")
   }
 
+  test("publish tolerates maintenance-only movement of main; data movement still conflicts until rolled back") {
+    val p = GenProfile.uniformSmall().copy(partitions = 1, eventsPerPartition = 900)
+    val binlog = tmpDir("mt-binlog")
+    ChangeEventGen.writeSegments(p, binlog, segmentEvents = 300)
+    val main = LakeTable.create(tmpDir("mt-tbl"), nBuckets = 4)
+    Ingest.applyBatch(spark, main)(BinlogRead.range(spark, binlog.toString, 0, 300), 0L)
+
+    // audit stages the middle third; main COMPACTS concurrently — same
+    // markers/schema/layout, only the files rearranged. A routine
+    // maintenance cadence must not conflict the audit.
+    val b1 = main.createBranch("audit")
+    Ingest.applyBatch(spark, b1)(BinlogRead.range(spark, binlog.toString, 300, 600),
+      Ingest.branchBatchId("mt-audit", 0L))
+    val fork1 = main.currentSnapshotId
+    Maintain.compact(spark, main)
+    assert(main.currentSnapshotId > fork1, "precondition: main moved past the fork")
+    main.publishBranch("audit")
+    assert(!main.branchExists("audit") && main.pinnedSnapshotIds().isEmpty)
+
+    // second audit stages the last third; main applies a poison batch —
+    // DATA movement conflicts — then rolls BACK to the fork (markers equal
+    // the fork's again): the base is logically restored, publish proceeds.
+    val fork2 = main.currentSnapshotId
+    val b2 = main.createBranch("audit2")
+    Ingest.applyBatch(spark, b2)(BinlogRead.range(spark, binlog.toString, 600, 900),
+      Ingest.branchBatchId("mt-audit2", 0L))
+    Ingest.applyBatch(spark, main)(BinlogRead.range(spark, binlog.toString, 600, 900), 1L)
+    val e = intercept[CommitConflict](main.publishBranch("audit2"))
+    assert(e.getMessage.contains("stale base"))
+    assert(main.branchExists("audit2"), "conflicted publish must keep the audit")
+    main.rollbackTo(fork2)
+
+    // crash-sim: the squash lands on the maintenance-moved head but cleanup
+    // never runs — the retry must recognize content identity even though
+    // the squash's parent is NOT the fork, and just finish the cleanup
+    val bHead = main.branchTable("audit2").currentSnapshot
+    val cur = main.currentSnapshot
+    main.commit(bHead.copy(snapshotId = cur.snapshotId + 1, parentId = cur.snapshotId),
+      Some(cur.commitTsMs))
+    val retried = main.publishBranch("audit2")
+    assert(retried.snapshotId == cur.snapshotId + 1)
+    assert(!main.branchExists("audit2") && main.pinnedSnapshotIds().isEmpty)
+    assertState(main.read(spark), Oracle.finalState(p),
+      "both audits published across maintenance + rollback movement")
+  }
+
   test("publishing an untouched branch is a drop; crashed publish retry completes cleanup") {
     val p = GenProfile.uniformSmall().copy(partitions = 1, eventsPerPartition = 300)
     val binlog = tmpDir("em-binlog")

@@ -129,12 +129,21 @@ object Ingest {
   def branchBatchId(checkpointDir: String, epochId: Long): Long = {
     require((epochId >> 32) == 0L,
       s"epoch id $epochId overflows the 32-bit branch epoch field")
-    val salt = java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpointKey(checkpointDir)
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val salt = checkpointDigest(checkpointDir)
       .take(4).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL)) & 0x7ffffffL
     BranchBatchIdBit | (salt << 32) | epochId
   }
+
+  /** MD5 of [[checkpointKey]] — the ONE identity digest every
+    * checkpoint-derived salt and lease-owner tag is cut from
+    * ([[branchBatchId]], [[Mirror.batchId]], the feed and curator owner
+    * tags). Single-sourced so an identity fix lands everywhere at once: a
+    * site deriving its own digest from a different key form would silently
+    * re-salt one writer against the others. */
+  private[graft] def checkpointDigest(checkpointDir: String): Array[Byte] =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointKey(checkpointDir)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** Canonical identity string for a checkpoint location, used wherever a
     * salt/owner tag must be "stable across restarts of one query": the
@@ -147,19 +156,29 @@ object Ingest {
     * fresh salt is correct. CWD-resolved `Paths.get(...).toAbsolutePath`
     * is NOT a substitute: cluster-mode restarts land in a fresh container
     * dir, and a replayed epoch hashed under a different salt would miss its
-    * own exactly-once marker. Falls back to JVM normalization when the
-    * scheme's filesystem isn't reachable (never on the local schemes). */
-  private[graft] def checkpointKey(checkpointDir: String): String =
-    try {
-      val p = new org.apache.hadoop.fs.Path(checkpointDir)
-      val conf = org.apache.spark.sql.SparkSession.getActiveSession
-        .map(_.sessionState.newHadoopConf())
-        .getOrElse(new org.apache.hadoop.conf.Configuration())
-      p.getFileSystem(conf).makeQualified(p).toString
-    } catch {
-      case _: Exception =>
-        Paths.get(checkpointDir).toAbsolutePath.normalize.toString
-    }
+    * own exactly-once marker.
+    *
+    * FAILS LOUDLY when the scheme's filesystem can't resolve (bad URI, no
+    * FileSystem impl, transient NN outage at init): a silent fallback to
+    * some other normalization would make the key NONDETERMINISTIC across
+    * restarts — one run salting under the qualified form and a retry under
+    * the fallback form is exactly the instability this key exists to
+    * prevent. The stream can't run against an unreachable checkpoint
+    * anyway, so failing here loses nothing.
+    *
+    * UPGRADE NOTE: checkpoints whose salts were minted from the legacy
+    * CWD-resolved key (`/ckpt` vs the qualified `file:/ckpt`) hash
+    * differently — drain and republish (or restart from a fresh
+    * checkpoint) branch audits, mirrors and curated streams when crossing
+    * that change; a resumed legacy checkpoint would re-apply its last
+    * epoch under the new salt. */
+  private[graft] def checkpointKey(checkpointDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir)
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    p.getFileSystem(conf).makeQualified(p).toString
+  }
 
   /** INITIAL-SNAPSHOT BOOTSTRAP — the "snapshot, then stream" handoff the
     * reference leaves to the operator (kafka-connect-s3 only tails the

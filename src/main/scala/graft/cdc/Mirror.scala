@@ -51,9 +51,7 @@ object Mirror {
   /** `FeedBatchIdBit | salt<<32 | epochId` — see [[FeedBatchIdBit]]. */
   def batchId(checkpointDir: String, epochId: Long): Long = {
     require((epochId >> 32) == 0L, s"epoch id $epochId overflows the 32-bit mirror epoch field")
-    val salt = java.security.MessageDigest.getInstance("MD5")
-      .digest(Ingest.checkpointKey(checkpointDir)
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val salt = Ingest.checkpointDigest(checkpointDir)
       .take(4).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL)) & 0xfffffffL
     FeedBatchIdBit | (salt << 32) | epochId
   }

@@ -459,9 +459,7 @@ final class FeedMicroBatchStream(root: Path, pinnedVersion: Int,
   // path (a CWD-resolved one re-tags a cluster-mode restart, stranding the
   // crashed predecessor's lease as an unreleasable orphan).
   private val owner = pinOwner.getOrElse("feed" +
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(graft.cdc.Ingest.checkpointKey(checkpointLocation)
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    graft.cdc.Ingest.checkpointDigest(checkpointLocation)
       .take(8).map(b => f"$b%02x").mkString)
 
   private var pin: Option[SnapshotPin] = None

@@ -636,6 +636,10 @@ final class LakeTable(val root: Path, val ref: String = LakeTable.MainRef) {
       LakeTable.deleteRecursively(metaDir.resolve("refs").resolve(name))
     }
     if (bHead.snapshotId == fork) { cleanup(); return cur } // empty audit
+    // read the fork manifest ONCE — both the marker-domain guard and the
+    // maintenance-only comparison need it, and each parse holds the commit
+    // lock against concurrent ingest for the manifest's full size
+    val forkSnap = bt.snapshot(fork)
     // marker-domain guard at the boundary where it matters: markers the
     // BRANCH minted (not inherited from the fork) enter MAIN's exactly-once
     // space at publish, where the main stream's own checkpoint epochs are
@@ -646,7 +650,7 @@ final class LakeTable(val root: Path, val ref: String = LakeTable.MainRef) {
     // 62, bootstrap bit 61), so enforce that structurally instead of
     // trusting every call site of `applyBatch(branchHandle)`.
     locally {
-      val forkMarkers = bt.snapshot(fork).committedBatchIds
+      val forkMarkers = forkSnap.committedBatchIds
       val bad = bHead.batches.filter(m =>
         !forkMarkers.contains(m.batchId) && (m.batchId >>> 59) == 0L)
       require(bad.isEmpty,
@@ -681,7 +685,6 @@ final class LakeTable(val root: Path, val ref: String = LakeTable.MainRef) {
       // soundly. Anything else (new data batches, ALTER, rebucket,
       // truncate, rollback past the fork) invalidated the audit base —
       // conflict, never a silent discard.
-      val forkSnap = bt.snapshot(fork)
       val maintenanceOnly = cur.batches == forkSnap.batches &&
         cur.schemaVersion == forkSnap.schemaVersion &&
         cur.nBuckets == forkSnap.nBuckets

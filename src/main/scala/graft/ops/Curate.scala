@@ -353,9 +353,7 @@ object Curate {
     // leases without touching other readers' pins on the same snapshots.
     // md5-derived (a 32-bit hashCode can collide across two curators on one
     // table — a restart of one would then delete the OTHER's live lease)
-    val owner = "cur" + java.security.MessageDigest.getInstance("MD5")
-      .digest(graft.cdc.Ingest.checkpointKey(checkpointDir)
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val owner = "cur" + graft.cdc.Ingest.checkpointDigest(checkpointDir)
       .take(8).map(b => f"$b%02x").mkString
     var pin: Option[SnapshotPin] = None
     def swapPinTo(table: LakeTable, snapshotId: Long): Unit = {

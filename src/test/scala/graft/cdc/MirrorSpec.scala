@@ -132,6 +132,38 @@ class MirrorSpec extends SparkSpec {
       "a maintenance-only span changed the mirror's stored rows")
   }
 
+  test("mirror follows the source across a WAP publish; staged branch stays invisible") {
+    val p = GenProfile.adversarialOrder().copy(partitions = 2, eventsPerPartition = 1200)
+    val binlog = gen(p)
+    val (aRoot, bRoot, ckpt) = (tmpDir("feed-a"), tmpDir("feed-b"), tmpDir("feed-ck"))
+    val a = buildSource(binlog, aRoot, 600, n = 2)
+    mirror(aRoot, bRoot, ckpt)
+
+    // audit stages the tail on a branch: INVISIBLE to the feed until
+    // publish — a drain while staged must reproduce main's state only
+    val branch = a.createBranch("audit")
+    Ingest.applyBatch(spark, branch, mode = Mor)(
+      BinlogRead.range(spark, binlog.toString, 600, p.eventsPerPartition),
+      Ingest.branchBatchId("wap-mirror-ck", 0L))
+    mirror(aRoot, bRoot, ckpt)
+    assert(stateOf(LakeTable.load(bRoot)) == stateOf(a),
+      "staged branch leaked into the change feed")
+
+    // main compacts while the audit is staged, then the squash lands on
+    // the maintenance-advanced head — the adversarial increment shape for
+    // the feed: the squash's file diff REMOVES the compacted files and
+    // RE-ADDS fork-era + branch files, so prefix rows are re-emitted and
+    // the mirror must converge through LWW idempotence (the COW
+    // re-emission discipline), tombstones included
+    graft.lake.Maintain.compact(spark, a)
+    a.publishBranch("audit")
+    mirror(aRoot, bRoot, ckpt)
+    val oracle = Oracle.finalState(p)
+    assert(stateOf(LakeTable.load(aRoot)) == oracle)
+    assert(stateOf(LakeTable.load(bRoot)) == oracle,
+      "mirror diverged across the WAP publish")
+  }
+
   test("rollback on the source fails the feed loudly — no silent divergence") {
     val p = GenProfile.uniformSmall().copy(partitions = 2, eventsPerPartition = 900)
     val binlog = gen(p)

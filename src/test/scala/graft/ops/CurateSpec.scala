@@ -666,6 +666,66 @@ class CurateSpec extends SparkSpec {
     assert(probe(idx) == probe(ctlIdx))
   }
 
+  test("curation follows the table across a WAP publish: index converges to the from-scratch control") {
+    val p = GenProfile.uniformSmall().copy(eventsPerPartition = 1500)
+    val binlog = tmpDir("wapcbl")
+    ChangeEventGen.writeSegments(p, binlog, segmentEvents = 1000)
+    val params = LshIndex.Params(n = 3, bands = 4, rowsPerBand = 2, shards = 8)
+
+    // WAP path: prefix on main → curate → branch stages the tail → main
+    // COMPACTS while staged → publish. The squash's increment re-adds the
+    // fork-era files (the re-emission shape), so the post-publish curation
+    // re-indexes prefix docs into a new span — benign by the distinct-id
+    // cap discipline, reclaimed by GC.
+    val tbl = LakeTable.create(tmpDir("wapctbl"), nBuckets = 4)
+    Ingest.applyBatch(spark, tbl, mode = Mor)(
+      BinlogRead.range(spark, binlog.toString, 0, 800), 0L)
+    val idx = tmpDir("wapcidx")
+    LshIndex.create(idx, params)
+    Curate.curateToHead(spark, tbl, idx): Unit
+    val branch = tbl.createBranch("audit")
+    Ingest.applyBatch(spark, branch, mode = Mor)(
+      BinlogRead.range(spark, binlog.toString, 800, p.eventsPerPartition),
+      Ingest.branchBatchId("wapc-ck", 0L))
+    graft.lake.Maintain.compact(spark, tbl)
+    tbl.publishBranch("audit")
+    Curate.curateToHead(spark, tbl, idx): Unit
+    assert(Curate.curatedHead(idx).contains(tbl.currentSnapshotId))
+
+    // control: the SAME two spans applied plainly on main (no branch, no
+    // maintenance) and curated increment-by-increment — incremental
+    // curation legitimately retains prefix-era versions of later-updated /
+    // later-deleted urls until GC, so a single-shot control would differ
+    // for reasons unrelated to WAP
+    val ctbl = LakeTable.create(tmpDir("wapc2tbl"), nBuckets = 4)
+    val cidx = tmpDir("wapc2idx")
+    LshIndex.create(cidx, params)
+    Ingest.applyBatch(spark, ctbl, mode = Mor)(
+      BinlogRead.range(spark, binlog.toString, 0, 800), 0L)
+    Curate.curateToHead(spark, ctbl, cidx): Unit
+    Ingest.applyBatch(spark, ctbl, mode = Mor)(
+      BinlogRead.range(spark, binlog.toString, 800, p.eventsPerPartition), 1L)
+    Curate.curateToHead(spark, ctbl, cidx): Unit
+
+    def distinctRows(d: java.nio.file.Path) =
+      spark.read.parquet(d.resolve("bands").toString)
+        .select(col("id"), col("band"), col("bucket")).distinct()
+        .collect().map(_.toString).sorted.toSeq
+    assert(distinctRows(idx) == distinctRows(cidx),
+      "distinct signature set diverged across the WAP publish")
+
+    // GC rebuild reclaims the re-emission duplicates: both indexes converge
+    // bit-for-bit (the rebuild ≡ from-scratch contract applied across WAP)
+    Curate.rebuildIndex(spark, tbl, idx): Unit
+    Curate.rebuildIndex(spark, ctbl, cidx): Unit
+    def allRows(d: java.nio.file.Path) =
+      spark.read.parquet(d.resolve("bands").toString)
+        .select(col("id"), col("sig"), col("band"), col("bucket"))
+        .collect().map(_.toString).sorted.toSeq
+    assert(allRows(idx) == allRows(cidx),
+      "rebuilt indexes diverged across the WAP publish")
+  }
+
   test("incident rollback: curation fails loudly, rebuildIndex re-seeds, increments resume") {
     // the rollbackTo derived-state contract: a cursor PAST the rollback
     // target must fail its next increment (never silently keep rolled-back

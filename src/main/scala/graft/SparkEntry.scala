@@ -519,6 +519,76 @@ object SparkEntry {
               |ON t.url = d.url""".stripMargin)
     }),
 
+    // storage-partitioned join: two independently-ingested graft tables
+    // (full replay vs a stable user_id subset) joined on url. The scans
+    // report KeyGroupedPartitioning(bucket(n, url)) + ascending-url
+    // ordering, the catalog resolves the `bucket` transform
+    // (GraftBucketFunction), and Spark plans the join with ZERO Exchange
+    // and ZERO Sort on either side — the graft⋈graft plan at 100 TB
+    // (source vs mirror audits, table vs branch diffs). Values are
+    // oracle-graded; the in-query assert grades the PLAN too, since a
+    // silent fallback to a shuffled join would still pass the value check.
+    "cdc_spj_join" -> ((s, dir) => {
+      val wh = Files.createTempDirectory("graft-sql-wh")
+      graft.sql.GraftSql.enable(s, wh.toString)
+      t(s, dir, "events").createOrReplaceTempView("graft_ev_spj")
+      for ((tbl, where) <- Seq(("spja", ""), ("spjb", "WHERE user_id % 3 <> 0"))) {
+        s.sql(s"DROP TABLE IF EXISTS graft.$tbl")
+        s.sql(s"""CREATE TABLE graft.$tbl (url STRING, warc_ts TIMESTAMP,
+                |  html BINARY, text STRING, content_len BIGINT, lang STRING)
+                |USING graft TBLPROPERTIES('buckets'='8')""".stripMargin)
+        s.sql(s"""MERGE INTO graft.$tbl t USING (
+                |  SELECT concat('u', CAST(user_id AS STRING)) AS url,
+                |    CAST(ts AS TIMESTAMP) AS warc_ts,
+                |    CASE WHEN event_type = 'error' THEN CAST(NULL AS BINARY)
+                |         ELSE to_binary(props, 'utf-8') END AS html,
+                |    CAST(NULL AS STRING) AS text, CAST(NULL AS BIGINT) AS content_len,
+                |    'en' AS lang,
+                |    CAST(pmod(user_id, 4) AS INT) AS partition, event_id AS offset,
+                |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+                |  FROM graft_ev_spj $where) s
+                |ON t.url = s.url
+                |WHEN MATCHED AND s.op = 'delete' THEN DELETE
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      }
+      val spjConfs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        // manifest-exact stats would otherwise broadcast the small side
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val prev = spjConfs.map { case (k, _) => k -> s.conf.getOption(k) }
+      spjConfs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val df = s.sql(
+          """SELECT a.url AS url, unix_micros(a.warc_ts) AS a_warc_us,
+            |  a.content_len AS a_len, unix_micros(b.warc_ts) AS b_warc_us,
+            |  b.content_len AS b_len
+            |FROM graft.spja a JOIN graft.spjb b ON a.url = b.url""".stripMargin)
+        df.count() // materialize so the post-AQE plan is final
+        def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => flatten(q.plan)
+          case other => other +: other.children.flatMap(flatten)
+        }
+        val plan = df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            flatten(a.executedPlan)
+          case p => flatten(p)
+        }
+        require(!plan.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]),
+          s"cdc_spj_join must plan a storage-partitioned join (zero Exchange); got:\n${plan.head}")
+        // the driver re-executes the returned frame when dumping it; with
+        // confs restored below it may re-plan the join freely — values are
+        // identical under any strategy, and the SPJ plan is asserted above
+        df
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
     // TRUNCATE TABLE then full re-ingest: truncate is rollback-to-empty
     // (one metadata commit clearing files AND batch markers), so replaying
     // the complete changelog afterwards must land exactly the plain-replay
@@ -1196,6 +1266,29 @@ object SparkEntry {
         |SELECT 'u' || CAST(user_id AS VARCHAR) AS url, epoch_us(ts) AS warc_us,
         |       props AS text, CAST(strlen(props) AS BIGINT) AS content_len
         |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    // storage-partitioned join: LWW final state over ALL events inner-joined
+    // on url with the LWW final state over the user_id % 3 <> 0 subset
+    "cdc_spj_join" ->
+      """WITH ranked_a AS (
+        |  SELECT user_id, ts, event_id, event_type, props,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |finals_a AS (
+        |  SELECT 'u' || CAST(user_id AS VARCHAR) AS url, epoch_us(ts) AS warc_us,
+        |         CAST(strlen(props) AS BIGINT) AS content_len
+        |  FROM ranked_a WHERE rn = 1 AND event_type <> 'error'),
+        |ranked_b AS (
+        |  SELECT user_id, ts, event_id, event_type, props,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE user_id % 3 <> 0),
+        |finals_b AS (
+        |  SELECT 'u' || CAST(user_id AS VARCHAR) AS url, epoch_us(ts) AS warc_us,
+        |         CAST(strlen(props) AS BIGINT) AS content_len
+        |  FROM ranked_b WHERE rn = 1 AND event_type <> 'error')
+        |SELECT a.url AS url, a.warc_us AS a_warc_us, a.content_len AS a_len,
+        |       b.warc_us AS b_warc_us, b.content_len AS b_len
+        |FROM finals_a a JOIN finals_b b ON a.url = b.url""".stripMargin,
 
     "cdc_dedup_salted" ->
       """SELECT 'u' || CAST(user_id AS VARCHAR) AS url, epoch_us(ts) AS ts_us,

@@ -31,7 +31,8 @@ import graft.lake.{LakeTable, TableSchemas}
   * a user drives the engine by names and properties, not library calls.
   */
 class GraftCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catalogName: String = _
   private var warehouse: Path = _
 
@@ -54,6 +55,20 @@ class GraftCatalog extends TableCatalog
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(GraftProcedures.Namespace)) GraftProcedures.idents
+    else Array.empty
+
+  /** [[org.apache.spark.sql.connector.catalog.FunctionCatalog]]: exposes
+    * the table partitioner so Spark can resolve the `bucket(n, url)`
+    * transform [[GraftLakeScan]] reports — the hinge of storage-partitioned
+    * joins (see [[GraftBucketFunction]]). Registered at the catalog root
+    * (empty namespace), where `V2ExpressionUtils` looks transforms up. */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name() == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
     else Array.empty
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
@@ -292,6 +307,12 @@ final class GraftSqlTable(val lake: LakeTable, ident: String,
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE).asJava
+  /** The table's declared layout: hash-bucketed by url (SHOW/DESCRIBE
+    * surface; the read-side partitioning contract lives on the scan —
+    * [[GraftLakeScan.outputPartitioning]]). */
+  override def partitioning(): Array[Transform] = Array(
+    org.apache.spark.sql.connector.expressions.Expressions.bucket(
+      pinnedSnapshot.map(lake.snapshot).getOrElse(lake.currentSnapshot).nBuckets, "url"))
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLakeScan(lake,
       pinnedSnapshot.orElse(Option(options.get("snapshotId")).map(_.toLong))
@@ -366,14 +387,26 @@ final case class GraftBucketPartition(
     bucket: Int,
     files: Seq[(String, Long, Int)], // (absolute path, bytes, schemaVersion)
     currentVersion: Int,
-    raw: Boolean = false) extends InputPartition
+    raw: Boolean = false,
+    limit: Option[Int] = None)
+  extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  /** The value of the reported partition transform `bucket(n, url)` for
+    * every row this partition emits — what BatchScanExec groups and
+    * aligns across the two sides of a storage-partitioned join. */
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucket))
+}
 
 final class GraftLakeScan(lake: LakeTable, snapshotId: Option[Long],
     raw: Boolean = false, bucketFilter: Option[Set[Int]] = None)
     extends ScanBuilder with Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   /** The snapshot is resolved ONCE per scan: planInputPartitions and
     * createReaderFactory must see the same file/version set — a concurrent
@@ -400,6 +433,7 @@ final class GraftLakeScan(lake: LakeTable, snapshotId: Option[Long],
       (if (urlKeys.nonEmpty) s" urlKeys=${urlKeys.mkString(",")}" else "") +
       tsLower.fold("") { case (lo, strict) =>
         s" tsLower${if (strict) ">" else ">="}$lo" } +
+      pushedLimit.fold("")(l => s" limit=$l") +
       required.fold("")(r => s" columns=[${r.fieldNames.mkString(",")}]")
   override def toBatch: Batch = this
 
@@ -424,6 +458,16 @@ final class GraftLakeScan(lake: LakeTable, snapshotId: Option[Long],
   // bounds — see FeedScan). `tsLower` = (bound in epoch micros, strict).
   private var tsLower: Option[(Long, Boolean)] = None
   private var tsRowFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil
+
+  // --- LIMIT pushdown: a bucket's drain may stop after emitting `limit`
+  // winners — every row it has emitted by then IS a true final-state row
+  // (winner resolution is per-url and the drain completes a url's whole
+  // run before emitting it), and a LIMIT without ORDER BY is free to pick
+  // any subset. Partial push: Spark keeps the global limit above, we skip
+  // decoding the rest of every bucket below. Never set in raw mode
+  // (maintenance reads use the DataFrame path, which plans no limit).
+  private var pushedLimit: Option[Int] = None
+  override def pushLimit(l: Int): Boolean = { pushedLimit = Some(l); true }
 
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
@@ -539,9 +583,33 @@ final class GraftLakeScan(lake: LakeTable, snapshotId: Option[Long],
     selectedByBucket.toSeq.sortBy(_._1).map { case (b, fs) =>
       GraftBucketPartition(b,
         fs.map(f => (lake.root.resolve(f.path).toString, f.bytes, f.schemaVersion)),
-        snap.schemaVersion, raw)
+        snap.schemaVersion, raw, pushedLimit)
     }.toArray
   }
+
+  // --- the read-side partitioning contract: each input partition is ONE
+  // url-hash bucket (`bucket(nBuckets, url)` — resolved against the
+  // catalog's function, see [[GraftBucketFunction]]), and within it rows
+  // drain in ascending url order (the k-way merge pops the minimum url —
+  // UTF8String comparison, identical to Spark's StringType sort order).
+  // Reporting both makes graft⋈graft on url a storage-partitioned join
+  // with ZERO Exchange and ZERO Sort on either side, and a groupBy(url)
+  // aggregation shuffle-free (`spark.sql.sources.v2.bucketing.enabled`).
+  // Under column pruning that drops url the rule can't resolve the
+  // references and quietly claims nothing — a query that doesn't project
+  // url can't join or group on it anyway.
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+      Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
+        snap.nBuckets, "url")),
+      selectedByBucket.size)
+
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+      org.apache.spark.sql.connector.expressions.Expressions.column("url"),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
 
   /** Manifest-exact scan statistics (O(1), no file opens) so Catalyst can
     * plan broadcast joins against graft tables: without this, DSv2 falls
@@ -700,8 +768,12 @@ final class GraftBucketReader(
   }
 
   private var current: InternalRow = _
+  // pushed LIMIT: stop draining once this partition has emitted its quota
+  // (every already-emitted row is a complete, true winner — see pushLimit)
+  private var emitted = 0L
 
   override def next(): Boolean = {
+    if (p.limit.exists(emitted >= _)) return false
     while (true) {
       // min url among live heads (unsigned UTF-8 byte order == sort order)
       var minI = -1
@@ -761,7 +833,7 @@ final class GraftBucketReader(
         }
         k += 1
       }
-      if (p.raw || !deleted) return true
+      if (p.raw || !deleted) { emitted += 1; return true }
     }
     false
   }

@@ -1,0 +1,159 @@
+package graft.sql
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+import graft.SparkSpec
+
+/** Storage-partitioned joins: [[GraftLakeScan]] reports its per-bucket
+  * layout (`KeyGroupedPartitioning(bucket(n, url))` + ascending-url
+  * ordering), the catalog resolves the transform ([[GraftBucketFunction]]),
+  * and Spark plans graft⋈graft on url with ZERO Exchange and ZERO Sort —
+  * the join plan you want when both sides are 100 TB. */
+class SpjSpec extends SparkSpec {
+
+  private lazy val wh = tmpDir("graft-spj-wh").toString
+  private def enable(): Unit = GraftSql.enable(spark, wh)
+
+  /** Set session confs for the body, restoring previous values after. */
+  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private val SpjConfs = Seq(
+    "spark.sql.sources.v2.bucketing.enabled" -> "true",
+    "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+    // manifest-exact stats would otherwise broadcast these tiny tables —
+    // force the co-partitioned path the assert is about
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+  /** MERGE n synthetic pages into a fresh graft table. */
+  private def seed(table: String, n: Int, buckets: Int, langExpr: String): Unit = {
+    spark.sql(s"""CREATE TABLE graft.$table (url STRING, warc_ts TIMESTAMP,
+      |  html BINARY, text STRING, content_len BIGINT, lang STRING)
+      |  USING graft TBLPROPERTIES('buckets'='$buckets')""".stripMargin)
+    spark.range(n).createOrReplaceTempView(s"${table}_seed")
+    spark.sql(s"""MERGE INTO graft.$table t USING (
+      |  SELECT concat('u', id) AS url, timestamp_micros(1700000000000000 + id) AS warc_ts,
+      |    cast(concat('<p>', id, '</p>') AS BINARY) AS html,
+      |    concat('t', id) AS text, CAST(id AS BIGINT) AS content_len,
+      |    $langExpr AS lang, CAST(id AS LONG) AS offset, CAST(0 AS INT) AS partition,
+      |    'upsert' AS op FROM ${table}_seed) s
+      |ON t.url = s.url
+      |WHEN MATCHED THEN UPDATE SET *
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+  }
+
+  /** Post-AQE plan with query stages flattened (stages are leaf wrappers —
+    * a plain collect never descends into the materialized subtrees). */
+  private def finalPlan(df: DataFrame): Seq[SparkPlan] = {
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case q: QueryStageExec => flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    flatten(root)
+  }
+
+  private def shuffles(plan: Seq[SparkPlan]): Seq[SparkPlan] =
+    plan.filter(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+  private def sorts(plan: Seq[SparkPlan]): Seq[SparkPlan] =
+    plan.filter(_.isInstanceOf[org.apache.spark.sql.execution.SortExec])
+
+  test("graft.bucket catalog function equals the table partitioner") {
+    enable()
+    val urls = Seq("u0", "u17", "https://example.com/a?x=1", "ü-multibyte-é")
+    for (u <- urls; n <- Seq(2, 4, 32)) {
+      val got = spark.sql(s"SELECT graft.bucket($n, '$u')").collect().head.getInt(0)
+      assert(got == graft.lake.LakeTable.bucketIdOf(u, n),
+        s"bucket($n, '$u'): catalog function disagrees with LakeTable.bucketIdOf")
+    }
+  }
+
+  test("storage-partitioned join: zero Exchange, zero Sort, exact rows") {
+    enable()
+    seed("spj_a", 300, 4, "'en'")
+    seed("spj_b", 200, 4, "'de'")
+    withConf(SpjConfs: _*) {
+      val df = spark.sql(
+        """SELECT a.url, a.lang AS la, b.lang AS lb
+          |FROM graft.spj_a a JOIN graft.spj_b b ON a.url = b.url""".stripMargin)
+      val rows = df.collect()
+      assert(rows.length == 200, s"inner join must hit the 200 shared urls, got ${rows.length}")
+      assert(rows.forall(r => r.getString(1) == "en" && r.getString(2) == "de"))
+      val plan = finalPlan(df)
+      assert(shuffles(plan).isEmpty,
+        s"SPJ join must plan ZERO exchanges, got:\n${plan.head}")
+      assert(sorts(plan).isEmpty,
+        s"the scans' reported url ordering must eliminate SMJ local sorts:\n${plan.head}")
+    }
+  }
+
+  test("SPJ composes with LWW semantics: updates and tombstones join correctly") {
+    enable()
+    // rewrite half the urls in a, delete some from b — the join must see
+    // the RESOLVED final states of both sides, co-partitioned
+    spark.sql("UPDATE graft.spj_a SET lang = 'fr' WHERE url IN ('u3', 'u7')")
+    spark.sql("DELETE FROM graft.spj_b WHERE url IN ('u5', 'u7')")
+    withConf(SpjConfs: _*) {
+      val df = spark.sql(
+        """SELECT a.url, a.lang FROM graft.spj_a a JOIN graft.spj_b b ON a.url = b.url
+          |WHERE a.url IN ('u3', 'u5', 'u7', 'u9')""".stripMargin)
+      val got = df.collect().map(r => (r.getString(0), r.getString(1))).toMap
+      // u5, u7 deleted from b → gone; u3 carries its rewritten lang
+      assert(got == Map("u3" -> "fr", "u9" -> "en"), s"got $got")
+      assert(shuffles(finalPlan(df)).isEmpty)
+    }
+  }
+
+  test("groupBy(url) over a graft table plans without a shuffle") {
+    enable()
+    withConf(SpjConfs: _*) {
+      val df = spark.sql(
+        "SELECT url, count(*) AS c, max(content_len) AS m FROM graft.spj_a GROUP BY url")
+      val rows = df.collect()
+      assert(rows.length == 300 && rows.forall(_.getLong(1) == 1L))
+      val plan = finalPlan(df)
+      assert(shuffles(plan).isEmpty,
+        s"bucket(url) partitioning must satisfy the url aggregation's distribution:\n${plan.head}")
+    }
+  }
+
+  test("mismatched bucket counts fall back to a correct (shuffled) join") {
+    enable()
+    seed("spj_c", 120, 2, "'pt'")
+    withConf(SpjConfs: _*) {
+      val df = spark.sql(
+        "SELECT a.url FROM graft.spj_a a JOIN graft.spj_c c ON a.url = c.url")
+      assert(df.collect().length == 120,
+        "a 4-bucket ⋈ 2-bucket join must still produce exact results")
+    }
+  }
+
+  test("LIMIT pushes into the scan and stops the drain early") {
+    enable()
+    val df = spark.sql("SELECT url, text FROM graft.spj_a LIMIT 7")
+    assert(df.collect().length == 7)
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.getOrElse(fail("no BatchScanExec leaf"))
+    assert(scan.description().contains("limit=7"),
+      s"limit must reach the scan: ${scan.description()}")
+    // every returned row is a true final-state row (no partial winners)
+    val full = spark.sql("SELECT url, text FROM graft.spj_a").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val lim = spark.sql("SELECT url, text FROM graft.spj_a LIMIT 7").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(lim.subsetOf(full) && lim.size == 7)
+  }
+}

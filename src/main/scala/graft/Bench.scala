@@ -29,7 +29,7 @@ object Bench {
   // headline queries: the scale-relevant subset (skip tiny-dimension ones)
   private val headline = Seq(
     "cdc_merge_final_state", "cdc_merge_final_state_mor", "cdc_sql_merge",
-    "cdc_latest_per_key",
+    "cdc_spj_join", "cdc_latest_per_key",
     "cdc_dedup_salted", "cdc_window_tumbling", "cdc_flush_windows",
     "q1_pricing", "q3_shipping", "q_semi_join",
     "w_topn_per_group", "doc_exact_dedup", "doc_minhash_neardup",

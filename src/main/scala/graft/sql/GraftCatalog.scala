@@ -404,6 +404,7 @@ final class GraftLakeScan(lake: LakeTable, snapshotId: Option[Long],
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -468,6 +469,32 @@ final class GraftLakeScan(lake: LakeTable, snapshotId: Option[Long],
   // (maintenance reads use the DataFrame path, which plans no limit).
   private var pushedLimit: Option[Int] = None
   override def pushLimit(l: Int): Boolean = { pushedLimit = Some(l); true }
+
+  // --- TopN pushdown: `ORDER BY url [ASC] LIMIT k` reuses the same
+  // early-exit — the drain emits ascending url, so its first k rows ARE
+  // the bucket's k smallest urls. Partial push: Spark merges the buckets'
+  // prefixes above. url is non-null, so either null ordering is vacuously
+  // satisfied. Anything else (DESC, other columns) declines — the drain
+  // order can't serve it.
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    val urlAsc = orders.length == 1 && (orders(0).expression() match {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+        r.fieldNames.sameElements(Array("url")) &&
+          orders(0).direction() ==
+            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING
+      case _ => false
+    })
+    if (urlAsc) pushedLimit = Some(limit)
+    urlAsc
+  }
+
+  /** Both push interfaces: always PARTIAL — Spark keeps the global
+    * limit/TopN above the per-bucket prefixes. (Required explicitly:
+    * SupportsPushDownLimit and SupportsPushDownTopN each declare the
+    * default, and Scala demands one override to own it.) */
+  override def isPartiallyPushed(): Boolean = true
 
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {

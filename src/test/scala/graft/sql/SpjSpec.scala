@@ -129,6 +129,25 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("graft ⋈ non-graft: only the non-graft side shuffles into the bucket layout") {
+    enable()
+    // the other side is a plain in-memory relation: with
+    // v2.bucketing.shuffle.enabled Spark shuffles IT into the graft table's
+    // KeyGroupedPartitioning by EVALUATING the catalog bucket function
+    // (GraftBucketBound.invoke) — the graft side stays exchange-free
+    spark.range(150).selectExpr("concat('u', id) AS url", "id AS k")
+      .createOrReplaceTempView("spj_plain")
+    withConf((SpjConfs :+
+      ("spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true")): _*) {
+      val df = spark.sql(
+        "SELECT a.url, p.k FROM graft.spj_a a JOIN spj_plain p ON a.url = p.url")
+      assert(df.collect().length == 150)
+      val nShuffles = shuffles(finalPlan(df)).size
+      assert(nShuffles == 1,
+        s"expected exactly ONE exchange (the non-graft side), got $nShuffles:\n${finalPlan(df).head}")
+    }
+  }
+
   test("mismatched bucket counts fall back to a correct (shuffled) join") {
     enable()
     seed("spj_c", 120, 2, "'pt'")
@@ -155,5 +174,28 @@ class SpjSpec extends SparkSpec {
     val lim = spark.sql("SELECT url, text FROM graft.spj_a LIMIT 7").collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(lim.subsetOf(full) && lim.size == 7)
+  }
+
+  test("ORDER BY url LIMIT k pushes as TopN; DESC declines but stays correct") {
+    enable()
+    val allSorted = spark.sql("SELECT url FROM graft.spj_a")
+      .collect().map(_.getString(0)).sorted
+    val top = spark.sql("SELECT url FROM graft.spj_a ORDER BY url LIMIT 5")
+    assert(top.collect().map(_.getString(0)).toSeq == allSorted.take(5).toSeq,
+      "TopN prefix must be the 5 globally smallest urls")
+    val scan = top.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.getOrElse(fail("no BatchScanExec leaf"))
+    assert(scan.description().contains("limit=5"),
+      s"TopN must reach the scan as an early-exit limit: ${scan.description()}")
+    // descending order can't ride the ascending drain — declined, full sort
+    val bottom = spark.sql("SELECT url FROM graft.spj_a ORDER BY url DESC LIMIT 5")
+    assert(bottom.collect().map(_.getString(0)).toSeq ==
+      allSorted.takeRight(5).reverse.toSeq)
+    val bScan = bottom.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.getOrElse(fail("no BatchScanExec leaf"))
+    assert(!bScan.description().contains("limit="),
+      s"DESC TopN must NOT push a limit (the drain would keep the WRONG end): ${bScan.description()}")
   }
 }

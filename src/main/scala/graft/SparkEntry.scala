@@ -565,7 +565,10 @@ object SparkEntry {
             |  a.content_len AS a_len, unix_micros(b.warc_ts) AS b_warc_us,
             |  b.content_len AS b_len
             |FROM graft.spja a JOIN graft.spjb b ON a.url = b.url""".stripMargin)
-        df.count() // materialize so the post-AQE plan is final
+        // inspect the INITIAL physical plan without executing: the SPJ
+        // decision is made by EnsureRequirements at planning (AQE never
+        // re-introduces an exchange EnsureRequirements omitted), and an
+        // extra execution here would just double the bench cost
         def flatten(p: org.apache.spark.sql.execution.SparkPlan)
             : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
           case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => flatten(q.plan)

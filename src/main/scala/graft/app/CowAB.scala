@@ -26,8 +26,12 @@ object CowAB {
 
     def run(colocated: Boolean): (Double, Long) = {
       graft.cdc.Merge.useColocatedCow = colocated
+      // drain the async listener bus around the reset AND the read — late
+      // task-end events from the previous run must not bleed into this one
+      org.apache.spark.sql.GraftBridge.waitListenerBusEmpty(spark)
       shuffleBytes.set(0L)
       val (_, sec, eps) = timedCow(spark, binlog, batch)
+      org.apache.spark.sql.GraftBridge.waitListenerBusEmpty(spark)
       val sb = shuffleBytes.get()
       System.err.println(f"[cow-ab] colocated=$colocated $sec%.1f s  $eps%.0f ev/s  shuffle=${sb / 1e6}%.0f MB")
       (eps, sb)

@@ -43,6 +43,9 @@ object LateMatAB {
       val binlog = BenchUtil.ensureBinlog(p)
       def run(late: Boolean): (Double, Long) = {
         graft.cdc.Merge.lateMaterialize = late
+        // drain BEFORE the reset too: the previous run's late task-end
+        // events must not land after this zero and pollute the count
+        org.apache.spark.sql.GraftBridge.waitListenerBusEmpty(spark)
         shuffleBytes.set(0L)
         val work = java.nio.file.Files.createTempDirectory(
           java.nio.file.Paths.get(BenchUtil.scratch), "latemat")

@@ -45,10 +45,15 @@ object SpjAB {
     def run(spj: Boolean, sql: String): (Double, Long) = {
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", spj.toString)
       spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", spj.toString)
+      // drain the async listener bus around BOTH the reset and the read:
+      // a previous run's late task-end events must not bleed into this
+      // run's byte count (nor this run's trail be missed)
+      org.apache.spark.sql.GraftBridge.waitListenerBusEmpty(spark)
       shuffleBytes.set(0L)
       val t0 = System.nanoTime()
       spark.sql(sql).collect(): Unit
       val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.sql.GraftBridge.waitListenerBusEmpty(spark)
       (sec, shuffleBytes.get())
     }
 

@@ -571,10 +571,27 @@ final class GraftLakeScan(lake: LakeTable, snapshotId: Option[Long],
     }
   }
 
-  /** The post-pruning file set, per bucket — shared by partition planning
-    * and [[estimateStatistics]] so Catalyst's size estimate reflects
-    * exactly what this scan will read. */
+  /** The post-pruning file set, per bucket — shared by partition planning,
+    * [[estimateStatistics]] and [[outputPartitioning]] so Catalyst's size
+    * estimate reflects exactly what this scan will read. MEMOIZED on the
+    * mutable pushdown state (a plain lazy val would be wrong:
+    * [[filter]] narrows `urlKeys` at execution time and the re-plan must
+    * re-prune): the selection walks per-file bounds and stats bloom
+    * sidecars, and the three planning callers must not triple that
+    * driver-side I/O. Driver-single-threaded like the rest of the
+    * pushdown state. */
+  private var selMemoKey: (Seq[String], Option[(Long, Boolean)]) = _
+  private var selMemoVal: Map[Int, Seq[graft.lake.DataFile]] = _
   private def selectedByBucket: Map[Int, Seq[graft.lake.DataFile]] = {
+    val key = (urlKeys, tsLower)
+    if (selMemoVal == null || selMemoKey != key) {
+      selMemoVal = computeSelectedByBucket()
+      selMemoKey = key
+    }
+    selMemoVal
+  }
+
+  private def computeSelectedByBucket(): Map[Int, Seq[graft.lake.DataFile]] = {
     // event-time file prune (lower bound only — see tsLower above): a file
     // whose manifest tsMax lies strictly below the bound cannot hold the
     // emitted winner of any url that survives the residual filter

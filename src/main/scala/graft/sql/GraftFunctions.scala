@@ -27,10 +27,15 @@ object GraftBucketFunction extends UnboundFunction {
   override def description(): String =
     "bucket(n, url) — pmod(murmur3_hash(url), n), the graft table partitioner"
   override def bind(inputType: StructType): BoundFunction = {
-    require(inputType.fields.length == 2 &&
-      inputType.fields(0).dataType == IntegerType &&
-      inputType.fields(1).dataType == StringType,
-      s"graft.bucket expects (INT, STRING), got ${inputType.simpleString}")
+    // contract: bind declines with UnsupportedOperationException (Spark's
+    // resolution paths catch it for a clean analysis error / graceful
+    // fallback — an IllegalArgumentException would surface as an internal
+    // error and crash probing callers)
+    if (!(inputType.fields.length == 2 &&
+        inputType.fields(0).dataType == IntegerType &&
+        inputType.fields(1).dataType == StringType))
+      throw new UnsupportedOperationException(
+        s"graft.bucket expects (INT, STRING), got ${inputType.simpleString}")
     GraftBucketBound
   }
 }

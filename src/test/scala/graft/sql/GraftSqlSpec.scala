@@ -708,6 +708,32 @@ class GraftSqlSpec extends SparkSpec {
         try !s.findFirst().isPresent finally s.close() })
   }
 
+  test("CREATE TABLE AS SELECT: create + insert as one statement") {
+    enable()
+    // CTAS goes through createTable (schema validated against the web-page
+    // schema) then the same staged-upsert write INSERT uses — duplicates in
+    // the SELECT resolve LWW and text/content_len are engine-derived
+    spark.sql(
+      """CREATE TABLE graft.ctas USING graft TBLPROPERTIES('buckets'='4')
+        |AS SELECT concat('c', id % 20) AS url,
+        |  timestamp_micros(1700000000000000 + id) AS warc_ts,
+        |  cast(concat('<b>', id, '</b>') AS BINARY) AS html,
+        |  CAST(NULL AS STRING) AS text, CAST(NULL AS BIGINT) AS content_len,
+        |  'en' AS lang
+        |FROM range(40)""".stripMargin)
+    val rows = spark.sql("SELECT url, text FROM graft.ctas").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // 40 rows over 20 urls: the later id (higher warc_ts) wins each url
+    assert(rows.size == 20, s"got ${rows.size}")
+    assert(rows("c3") == "23" && rows("c19") == "39",
+      s"LWW winner must be the higher-timestamp duplicate: $rows")
+    // invalid CTAS schema fails loudly and leaves no table behind
+    intercept[Exception](spark.sql(
+      "CREATE TABLE graft.ctasbad USING graft AS SELECT 1 AS nope"))
+    assert(spark.sql("SHOW TABLES IN graft").collect()
+      .forall(_.getString(1) != "ctasbad"))
+  }
+
   test("metadata tables: $snapshots / $files / $batches") {
     enable()
     spark.sql("""CREATE TABLE graft.meta1 (url STRING, warc_ts TIMESTAMP,

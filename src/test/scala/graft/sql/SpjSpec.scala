@@ -176,6 +176,28 @@ class SpjSpec extends SparkSpec {
     assert(lim.subsetOf(full) && lim.size == 7)
   }
 
+  test("bucket function misuse fails as a clean analysis error, not an internal one") {
+    enable()
+    // wrong arg types decline in bind() (UnsupportedOperationException per
+    // the V2 contract) — Spark surfaces a resolution failure naming the
+    // function, not a raw internal crash
+    val e1 = intercept[Exception](spark.sql("SELECT graft.bucket('8', 'u1')").collect())
+    assert(e1.getMessage.contains("bucket"), s"got: ${e1.getMessage}")
+    val e2 = intercept[Exception](spark.sql("SELECT graft.bucket(8)").collect())
+    assert(e2.getMessage.contains("bucket"), s"got: ${e2.getMessage}")
+    val e3 = intercept[Exception](spark.sql("SELECT graft.no_such_fn(1)").collect())
+    assert(e3.getMessage.contains("no_such_fn"), s"got: ${e3.getMessage}")
+  }
+
+  test("declared partitioning renders in SHOW CREATE TABLE / DESCRIBE") {
+    enable()
+    val show = spark.sql("SHOW CREATE TABLE graft.spj_a").collect().head.getString(0)
+    assert(show.contains("bucket(4, url)"), s"got:\n$show")
+    val desc = spark.sql("DESCRIBE TABLE EXTENDED graft.spj_a").collect()
+      .map(r => s"${r.getString(0)} ${r.getString(1)}").mkString("\n")
+    assert(desc.contains("bucket(4, url)"), s"got:\n$desc")
+  }
+
   test("ORDER BY url LIMIT k pushes as TopN; DESC declines but stays correct") {
     enable()
     val allSorted = spark.sql("SELECT url FROM graft.spj_a")

@@ -359,6 +359,34 @@ object SparkEntry {
               |FROM graft.sqlins""".stripMargin)
     }),
 
+    // INSERT OVERWRITE: poison the table with a PARTIAL ingest (odd events
+    // only, so stale winners AND missing urls both exist), then one
+    // INSERT OVERWRITE from the full changelog — the atomic
+    // files-and-markers replacement must land exactly the latest-per-url
+    // state over ALL events, with none of the partial state surviving
+    "cdc_sql_overwrite" -> ((s, dir) => {
+      val wh = Files.createTempDirectory("graft-sql-wh")
+      graft.sql.GraftSql.enable(s, wh.toString)
+      t(s, dir, "events").createOrReplaceTempView("graft_ev_ovr")
+      s.sql("DROP TABLE IF EXISTS graft.sqlovr")
+      s.sql("""CREATE TABLE graft.sqlovr (url STRING, warc_ts TIMESTAMP,
+              |  html BINARY, text STRING, content_len BIGINT, lang STRING)
+              |USING graft TBLPROPERTIES('buckets'='8')""".stripMargin)
+      def insert(overwrite: Boolean, where: String): Unit = s.sql(
+        s"""INSERT ${if (overwrite) "OVERWRITE" else "INTO"} graft.sqlovr
+           |SELECT concat('u', CAST(user_id AS STRING)) AS url,
+           |  CAST(ts AS TIMESTAMP) AS warc_ts,
+           |  CASE WHEN event_type = 'error' THEN CAST(NULL AS BINARY)
+           |       ELSE to_binary(props, 'utf-8') END AS html,
+           |  CAST(NULL AS STRING) AS text, CAST(NULL AS BIGINT) AS content_len,
+           |  'en' AS lang
+           |FROM graft_ev_ovr $where""".stripMargin): Unit
+      insert(overwrite = false, "WHERE event_id % 2 = 1")
+      insert(overwrite = true, "")
+      s.sql("""SELECT url, unix_micros(warc_ts) AS warc_us, text, content_len
+              |FROM graft.sqlovr""".stripMargin)
+    }),
+
     // row-level SQL DELETE: build the merged table, DELETE a url slice,
     // read the final state — deletes plan onto the tombstone MERGE path
     // (stored envelope bumped by one offset), so the oracle is the merged
@@ -1157,6 +1185,20 @@ object SparkEntry {
         |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
 
     "cdc_sql_insert" ->
+      """WITH ranked AS (
+        |  SELECT user_id, ts, event_id, event_type, props,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT 'u' || CAST(user_id AS VARCHAR) AS url, epoch_us(ts) AS warc_us,
+        |       CASE WHEN event_type = 'error' THEN NULL ELSE props END AS text,
+        |       CASE WHEN event_type = 'error' THEN NULL
+        |            ELSE CAST(strlen(props) AS BIGINT) END AS content_len
+        |FROM ranked WHERE rn = 1""".stripMargin,
+
+    // INSERT OVERWRITE from the full changelog == latest-per-url over ALL
+    // events (the prior partial state must not survive) — the oracle IS
+    // cdc_sql_insert's
+    "cdc_sql_overwrite" ->
       """WITH ranked AS (
         |  SELECT user_id, ts, event_id, event_type, props,
         |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn

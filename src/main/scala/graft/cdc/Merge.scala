@@ -320,6 +320,21 @@ object Merge {
       case Mor => applyMor(spark, table, batch, batchId, lineage, opts)
     }
 
+  /** `INSERT OVERWRITE`: resolve the batch's LWW winners against an EMPTY
+    * base and commit them as the table's ENTIRE new state — ONE atomic
+    * commit replacing files AND batch markers (the truncate/rollback
+    * principle: state and exactly-once bookkeeping move together; the
+    * overwrite's own marker is the only one left). Incremental consumers
+    * (feed/mirror/curation) see a loud history-rewrite at this snapshot
+    * ([[graft.lake.LakeTable.incrementFilesBySnapshot]]'s marker-prefix
+    * guard — count alone would let a 1-marker overwrite masquerade as
+    * maintenance) and must re-seed. Always COW: an overwrite IS a full
+    * rewrite, so merge-on-read deltas have nothing to defer. */
+  def overwrite(spark: SparkSession, table: LakeTable, batch: DataFrame,
+      batchId: Long): Snapshot =
+    applyCow(spark, table, batch, batchId, lineage = Nil, MergeOptions(),
+      emptyBase = true)
+
   /** MERGE-ON-READ apply: dedup the batch to per-url winners (same single
     * bucket-aligned shuffle as COW, but the union side is EMPTY — the table
     * is never read), append the winners as per-bucket DELTA files, then
@@ -526,9 +541,18 @@ object Merge {
   /** COPY-ON-WRITE apply: see object doc — union of pruned target files and
     * the raw batch, one bucket-aligned shuffle, touched buckets rewritten. */
   private def applyCow(spark: SparkSession, table: LakeTable, batch: DataFrame,
-      batchId: Long, lineage: Seq[PartLineage], opts: MergeOptions): Snapshot = {
-    val snap = table.currentSnapshot
-    if (snap.committedBatchIds.contains(batchId)) return snap // exactly-once replay skip
+      batchId: Long, lineage: Seq[PartLineage], opts: MergeOptions,
+      emptyBase: Boolean = false): Snapshot = {
+    val head = table.currentSnapshot
+    if (head.committedBatchIds.contains(batchId)) return head // exactly-once replay skip
+    // emptyBase (INSERT OVERWRITE): merge against a VIRTUAL empty state at
+    // the real head's identity — untouched files come out empty and the
+    // marker list restarts at the overwrite's own, so the one commit below
+    // atomically replaces the whole table; its CAS still guards against
+    // concurrent writers (parentId = the head we read)
+    val snap = if (emptyBase)
+      head.copy(files = Vector.empty, batches = Vector.empty, totalRows = 0L)
+    else head
 
     val nBuckets = snap.nBuckets
     val timing = sys.env.contains("GRAFT_TIMING")
@@ -555,7 +579,10 @@ object Merge {
         sum(when(col("op") === "upsert", 1L).otherwise(0L)).as("ups"))
         .collect()
       mark("batch-stats")
-      if (stats.isEmpty) return snap
+      // empty batch: no-op on the REAL head (the synthetic empty base must
+      // never escape; an empty INSERT OVERWRITE is routed to truncate() by
+      // the write layer before reaching here)
+      if (stats.isEmpty) return head
       val srcBuckets = stats.map(r => r.getInt(0)).toSet
       val bounds = stats.map(r => r.getInt(0) -> (r.getString(2), r.getString(3))).toMap
       val upserts = stats.map(_.getLong(4)).sum

@@ -807,12 +807,23 @@ final class LakeTable(val root: Path, val ref: String = LakeTable.MainRef) {
           s"snapshot is ${prev.snapshotId} — the intermediate snapshots were " +
           "garbage-collected (pin the from-snapshot and heartbeat the lease " +
           "to keep the span readable)")
-      if (cur.batches.size < prev.batches.size) throw new IllegalStateException(
-        s"incremental read $fromSnapshotId -> $to crosses a ROLLBACK at " +
-          s"snapshot $id (batch markers ${prev.batches.size} -> " +
-          s"${cur.batches.size}): downstream state derived from the " +
-          "rolled-back span must be re-seeded — restart the consumer from " +
-          s"snapshot $id")
+      // a normal commit only APPENDS markers, so the parent's marker ids
+      // must survive as a prefix. Anything else — rollback (markers
+      // truncated), TRUNCATE (cleared), INSERT OVERWRITE (replaced by the
+      // overwrite's own marker, possibly at EQUAL count) — rewrote history
+      // without tombstones: an incremental consumer that crossed it
+      // silently would keep vanished rows forever. Count alone is NOT
+      // enough: overwriting a 1-marker table keeps the count at 1 and
+      // would masquerade as maintenance.
+      val prevIds = prev.batches.map(_.batchId)
+      val curIds = cur.batches.map(_.batchId)
+      if (curIds.take(prevIds.size) != prevIds) throw new IllegalStateException(
+        s"incremental read $fromSnapshotId -> $to crosses a history REWRITE " +
+          s"at snapshot $id (ROLLBACK / TRUNCATE / INSERT OVERWRITE: batch " +
+          s"markers ${prevIds.mkString("[", ",", "]")} -> " +
+          s"${curIds.mkString("[", ",", "]")}): downstream state derived " +
+          "from the rewritten span must be re-seeded — restart the " +
+          s"consumer from snapshot $id")
       val isMaintenance = cur.batches.size == prev.batches.size
       if (!(skipMaintenance && isMaintenance)) {
         val prevPaths = prev.files.map(_.path).toSet

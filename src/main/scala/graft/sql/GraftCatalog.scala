@@ -306,7 +306,11 @@ final class GraftSqlTable(val lake: LakeTable, ident: String,
     pinnedSnapshot.map(lake.snapshot).getOrElse(lake.currentSnapshot).schemaVersion)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE).asJava
+      TableCapability.STREAMING_WRITE,
+      // INSERT OVERWRITE (static mode plans OverwriteByExpression(true) →
+      // the builder's truncate(); filtered/dynamic overwrites stay
+      // unsupported and fail in the planner's capability check)
+      TableCapability.TRUNCATE).asJava
   /** The table's declared layout: hash-bucketed by url (SHOW/DESCRIBE
     * surface; the read-side partitioning contract lives on the scan —
     * [[GraftLakeScan.outputPartitioning]]). */
@@ -320,7 +324,18 @@ final class GraftSqlTable(val lake: LakeTable, ident: String,
           .map(ms => lake.snapshotAsOfTimestampMs(ms.toLong))))
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new org.apache.spark.sql.connector.write.WriteBuilder {
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      // `INSERT OVERWRITE graft.t …` / `df.writeTo(t).overwrite(lit(true))`:
+      // Spark's static overwrite plans through truncate() — the staged
+      // rows' LWW winners become the WHOLE table state in one atomic
+      // commit (Merge.overwrite; empty insert = plain truncate). Filtered
+      // overwrites and dynamic partition overwrite stay unsupported and
+      // fail loudly in Spark's planner.
+      private var overwrite = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwrite = true; this
+      }
       // writeLake at BUILD (planning) time: under a wapBranch binding a
       // table without the branch must reject INSERT/streaming writes before
       // any task runs, not after (see writeLake's doc)
@@ -328,7 +343,7 @@ final class GraftSqlTable(val lake: LakeTable, ident: String,
         val wl = writeLake
         new org.apache.spark.sql.connector.write.Write {
           override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-            new GraftBatchWrite(wl, info.schema())
+            new GraftBatchWrite(wl, info.schema(), overwrite)
           // df.writeStream.toTable("graft.t"): user-schema rows as upsert
           // epochs (epoch id == exactly-once batch id)
           override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {

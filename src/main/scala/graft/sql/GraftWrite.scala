@@ -26,7 +26,8 @@ import graft.model.ChangeEvent
   * `Merge.apply` as ONE exactly-once batch, then deletes the staging area.
   * Abort deletes the staging area without committing. */
 final class GraftBatchWrite(lake: LakeTable,
-    schema: org.apache.spark.sql.types.StructType) extends BatchWrite {
+    schema: org.apache.spark.sql.types.StructType,
+    overwrite: Boolean = false) extends BatchWrite {
 
   private val staging: Path =
     Files.createDirectories(lake.root.resolve("staging")).resolve(
@@ -47,8 +48,19 @@ final class GraftBatchWrite(lake: LakeTable,
       if (dirs.nonEmpty) {
         val batchId = GraftRowLevel.nextSqlBatchId(lake)
         val df = dirs.map(d => graft.binlog.BinlogRead.all(spark, d)).reduce(_.unionByName(_))
-        graft.cdc.Merge(spark, lake, df, batchId, lineage = Nil,
-          mode = GraftSql.mergeModeFor(spark)): Unit
+        if (overwrite)
+          // INSERT OVERWRITE: LWW winners of the insert become the ENTIRE
+          // table state in ONE atomic commit (files + markers replaced) —
+          // see Merge.overwrite. Always COW regardless of session merge
+          // mode: an overwrite is a full rewrite by definition.
+          graft.cdc.Merge.overwrite(spark, lake, df, batchId): Unit
+        else
+          graft.cdc.Merge(spark, lake, df, batchId, lineage = Nil,
+            mode = GraftSql.mergeModeFor(spark)): Unit
+      } else if (overwrite) {
+        // INSERT OVERWRITE from an empty SELECT: the new state is empty —
+        // truncate (one metadata commit clearing files AND markers)
+        lake.truncate(): Unit
       }
     } finally rm(staging)
   }

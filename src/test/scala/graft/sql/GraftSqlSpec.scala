@@ -708,6 +708,69 @@ class GraftSqlSpec extends SparkSpec {
         try !s.findFirst().isPresent finally s.close() })
   }
 
+  test("INSERT OVERWRITE replaces the whole table state in ONE atomic commit") {
+    enable()
+    spark.sql("""CREATE TABLE graft.ovr (url STRING, warc_ts TIMESTAMP,
+                |  html BINARY, text STRING, content_len BIGINT, lang STRING)
+                |USING graft TBLPROPERTIES('buckets'='4')""".stripMargin)
+    spark.range(20).createOrReplaceTempView("ovr_seed")
+    spark.sql("""MERGE INTO graft.ovr t USING (
+                |  SELECT concat('old', id) AS url, timestamp_micros(1700000000000000 + id) AS warc_ts,
+                |    cast(concat('<o>', id, '</o>') AS BINARY) AS html,
+                |    CAST(NULL AS STRING) AS text, CAST(NULL AS BIGINT) AS content_len,
+                |    'en' AS lang, CAST(id AS LONG) AS offset, CAST(0 AS INT) AS partition,
+                |    'upsert' AS op FROM ovr_seed) s
+                |ON t.url = s.url
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql("DELETE FROM graft.ovr WHERE url = 'old3'")
+    val lake = graft.lake.LakeTable.load(java.nio.file.Paths.get(wh, "ovr"))
+    val before = lake.currentSnapshotId
+    assert(lake.currentSnapshot.batches.size == 2) // merge + delete markers
+
+    // 40 rows over 20 urls: in-overwrite duplicates resolve LWW
+    spark.sql("""INSERT OVERWRITE graft.ovr
+                |SELECT concat('new', id % 20) AS url,
+                |  timestamp_micros(1800000000000000 + id) AS warc_ts,
+                |  cast(concat('<n>', id, '</n>') AS BINARY) AS html,
+                |  CAST(NULL AS STRING) AS text, CAST(NULL AS BIGINT) AS content_len,
+                |  'de' AS lang FROM range(40)""".stripMargin)
+    val rows = spark.sql("SELECT url, text, lang FROM graft.ovr").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(rows.size == 20 && rows.keys.forall(_.startsWith("new")),
+      s"overwrite must replace ALL old urls: ${rows.keys.toSeq.sorted.take(5)}")
+    assert(rows("new3") == (("23", "de")), s"LWW in-overwrite winner: ${rows("new3")}")
+    // ONE commit: files AND markers replaced together
+    val snap = lake.currentSnapshot
+    assert(lake.currentSnapshotId == before + 1,
+      "overwrite must be ONE atomic commit, not truncate-then-insert")
+    assert(snap.batches.size == 1 &&
+      (snap.batches.head.batchId & GraftRowLevel.SqlBatchIdBit) != 0L,
+      s"markers must restart at the overwrite's own SQL-domain marker: ${snap.batches}")
+    // pre-overwrite state stays time-travel readable
+    assert(spark.sql(s"SELECT count(*) FROM graft.ovr VERSION AS OF $before")
+      .head().getLong(0) == 19)
+
+    // an incremental consumer whose cursor predates the overwrite fails
+    // LOUDLY (marker-prefix guard): count-based detection would let this
+    // 1-marker-to-1-marker case masquerade as maintenance after a second
+    // overwrite — assert the guard keys on the ids, not the count
+    spark.sql("""INSERT OVERWRITE graft.ovr
+                |SELECT 'solo' AS url, timestamp_micros(1900000000000000) AS warc_ts,
+                |  cast('<s/>' AS BINARY) AS html, CAST(NULL AS STRING) AS text,
+                |  CAST(NULL AS BIGINT) AS content_len, 'fr' AS lang""".stripMargin)
+    val e = intercept[IllegalStateException](
+      lake.incrementFilesBySnapshot(before + 1, lake.currentSnapshotId))
+    assert(e.getMessage.contains("REWRITE") && e.getMessage.contains("OVERWRITE"),
+      s"got: ${e.getMessage}")
+
+    // empty-source overwrite == truncate (state empty, markers cleared)
+    spark.sql("INSERT OVERWRITE graft.ovr SELECT * FROM graft.ovr WHERE url = 'nope'")
+    assert(spark.sql("SELECT count(*) FROM graft.ovr").head().getLong(0) == 0)
+    assert(graft.lake.LakeTable.load(java.nio.file.Paths.get(wh, "ovr"))
+      .currentSnapshot.batches.isEmpty)
+  }
+
   test("CREATE TABLE AS SELECT: create + insert as one statement") {
     enable()
     // CTAS goes through createTable (schema validated against the web-page

@@ -1067,6 +1067,21 @@ object SparkEntry {
   )
 
   // ------------------------------ oracles ---------------------------------
+  /** Latest-per-url over ALL events, errors kept as null-payload rows —
+    * the INSERT-shaped final state (no deletes expressible). Shared by
+    * `cdc_sql_insert` and `cdc_sql_overwrite` so a future tie-break or
+    * NULL-handling fix cannot drift between the two checks. */
+  private val latestPerUrlAllEventsOracle: String =
+    """WITH ranked AS (
+      |  SELECT user_id, ts, event_id, event_type, props,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT 'u' || CAST(user_id AS VARCHAR) AS url, epoch_us(ts) AS warc_us,
+      |       CASE WHEN event_type = 'error' THEN NULL ELSE props END AS text,
+      |       CASE WHEN event_type = 'error' THEN NULL
+      |            ELSE CAST(strlen(props) AS BIGINT) END AS content_len
+      |FROM ranked WHERE rn = 1""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "cdc_merge_final_state" ->
@@ -1184,30 +1199,11 @@ object SparkEntry {
         |       props AS text, CAST(strlen(props) AS BIGINT) AS content_len
         |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
 
-    "cdc_sql_insert" ->
-      """WITH ranked AS (
-        |  SELECT user_id, ts, event_id, event_type, props,
-        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events)
-        |SELECT 'u' || CAST(user_id AS VARCHAR) AS url, epoch_us(ts) AS warc_us,
-        |       CASE WHEN event_type = 'error' THEN NULL ELSE props END AS text,
-        |       CASE WHEN event_type = 'error' THEN NULL
-        |            ELSE CAST(strlen(props) AS BIGINT) END AS content_len
-        |FROM ranked WHERE rn = 1""".stripMargin,
+    "cdc_sql_insert" -> latestPerUrlAllEventsOracle,
 
     // INSERT OVERWRITE from the full changelog == latest-per-url over ALL
-    // events (the prior partial state must not survive) — the oracle IS
-    // cdc_sql_insert's
-    "cdc_sql_overwrite" ->
-      """WITH ranked AS (
-        |  SELECT user_id, ts, event_id, event_type, props,
-        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events)
-        |SELECT 'u' || CAST(user_id AS VARCHAR) AS url, epoch_us(ts) AS warc_us,
-        |       CASE WHEN event_type = 'error' THEN NULL ELSE props END AS text,
-        |       CASE WHEN event_type = 'error' THEN NULL
-        |            ELSE CAST(strlen(props) AS BIGINT) END AS content_len
-        |FROM ranked WHERE rn = 1""".stripMargin,
+    // events (the prior partial state must not survive)
+    "cdc_sql_overwrite" -> latestPerUrlAllEventsOracle,
 
     "cdc_sql_delete" ->
       """WITH ranked AS (

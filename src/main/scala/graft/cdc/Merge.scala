@@ -331,9 +331,17 @@ object Merge {
     * maintenance) and must re-seed. Always COW: an overwrite IS a full
     * rewrite, so merge-on-read deltas have nothing to defer. */
   def overwrite(spark: SparkSession, table: LakeTable, batch: DataFrame,
-      batchId: Long): Snapshot =
-    applyCow(spark, table, batch, batchId, lineage = Nil, MergeOptions(),
-      emptyBase = true)
+      batchId: Long): Snapshot = {
+    val committed = applyCow(spark, table, batch, batchId, lineage = Nil,
+      MergeOptions(), emptyBase = true)
+    // an EMPTY batch falls through applyCow's stats-empty no-op — but the
+    // overwrite contract is "the batch IS the new state", so empty means
+    // TRUNCATE (one metadata commit clearing files and markers), never a
+    // silent keep-everything. Detected by the unchanged head rather than a
+    // pre-count so the non-empty path stays single-pass.
+    if (committed.committedBatchIds.contains(batchId)) committed
+    else table.truncate()
+  }
 
   /** MERGE-ON-READ apply: dedup the batch to per-url winners (same single
     * bucket-aligned shuffle as COW, but the union side is EMPTY — the table

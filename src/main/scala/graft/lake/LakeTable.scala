@@ -402,8 +402,9 @@ final class LakeTable(val root: Path, val ref: String = LakeTable.MainRef) {
     * re-ingests the full binlog (re-seed semantics), while a LIVE stream
     * keeps going from its own offsets and only new data lands. It also
     * makes the truncate LOUD for incremental consumers: the change feed's
-    * rollback guard ([[incrementFilesBySnapshot]]) keys on a batch-marker
-    * count decrease, so a mirror or curated stream whose cursor predates
+    * rewrite guard ([[incrementFilesBySnapshot]]) keys on the parent's
+    * marker ids surviving as a PREFIX (cleared markers trip it), so a
+    * mirror or curated stream whose cursor predates
     * the truncate fails with re-seed guidance instead of silently keeping
     * rows the source no longer has (a metadata-only truncate emits no
     * tombstones for them). Truncating an already-empty table is a no-op
@@ -788,11 +789,14 @@ final class LakeTable(val root: Path, val ref: String = LakeTable.MainRef) {
     * snapshots (no new batch markers — compaction, tier folds, blooms,
     * expiry) rewrite rows without changing content and are skipped by
     * default. Fails loudly when the span crosses an EXPIRED gap (the
-    * parent chain is broken) or a ROLLBACK snapshot (batch markers
-    * SHRANK): a rollback rewinds table state, so its ancestor files are
-    * not "changes" — an incremental consumer that crossed it silently
-    * would keep the rolled-back rows forever. Re-seed the consumer from
-    * the rollback snapshot instead (pass it as the new `from`). */
+    * parent chain is broken) or a history REWRITE — any commit where the
+    * parent's batch-marker ids do NOT survive as a prefix: ROLLBACK
+    * (markers truncated), TRUNCATE (cleared), INSERT OVERWRITE (replaced,
+    * possibly at EQUAL count — why the check is on ids, not length). A
+    * rewrite replaces table state without tombstones, so its ancestor
+    * files are not "changes" — an incremental consumer that crossed it
+    * silently would keep vanished rows forever. Re-seed the consumer from
+    * the rewrite snapshot instead (pass it as the new `from`). */
   def incrementFilesBySnapshot(fromSnapshotId: Long, to: Long,
       skipMaintenance: Boolean = true): Seq[(Long, Vector[DataFile])] = {
     require(to >= fromSnapshotId, s"$to < $fromSnapshotId")

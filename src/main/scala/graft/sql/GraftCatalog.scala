@@ -347,6 +347,19 @@ final class GraftSqlTable(val lake: LakeTable, ident: String,
           // df.writeStream.toTable("graft.t"): user-schema rows as upsert
           // epochs (epoch id == exactly-once batch id)
           override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+            // SupportsTruncate exists for BATCH INSERT OVERWRITE only. It
+            // also makes Spark's Complete-output-mode streaming gate pass
+            // (V2Writes requires SupportsTruncate and calls truncate()) —
+            // but the sink below applies epochs as UPSERT merges, not
+            // full-table replacement, so a Complete-mode aggregation would
+            // SILENTLY diverge (a recomputed row with an older warc_ts
+            // loses to the stale stored row under LWW). Keep the old loud
+            // failure for that case.
+            require(!overwrite,
+              "graft-lake streaming writes are append/update upserts — " +
+                "Complete output mode (per-epoch full-table replacement) " +
+                "is not supported; use outputMode(\"update\") or " +
+                "outputMode(\"append\")")
             // a branch-bound handle must NOT reach the streaming sink: its
             // commit() path re-loads the table from the root (= MAIN) —
             // staging data would silently land on main with raw epoch ids

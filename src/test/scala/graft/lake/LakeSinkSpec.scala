@@ -75,6 +75,39 @@ class LakeSinkSpec extends SparkSpec {
     })
   }
 
+  test("Complete-output-mode streaming writes are rejected loudly, never silent upserts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val wh = tmpDir("cmw-wh").toString
+    graft.sql.GraftSql.enable(spark, wh)
+    spark.sql("DROP TABLE IF EXISTS graft.cmw")
+    spark.sql("CREATE TABLE graft.cmw (url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, content_len BIGINT, lang STRING) USING graft TBLPROPERTIES('buckets'='4')")
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = MemoryStream[String]
+      mem.addData("a", "a", "b")
+      // Complete mode promises per-epoch FULL-TABLE REPLACEMENT; the sink
+      // applies epochs as LWW upserts, which would silently diverge (a
+      // recomputed aggregate row with an older/equal warc_ts loses to the
+      // stale stored row). SupportsTruncate on the batch builder makes
+      // Spark's Complete gate pass, so the WRITE must reject it loudly.
+      val agg = mem.toDF().groupBy($"value").count().selectExpr(
+        "value AS url", "timestamp_micros(1700000000000000) AS warc_ts",
+        "CAST(NULL AS BINARY) AS html", "CAST(NULL AS STRING) AS text",
+        "count AS content_len", "'en' AS lang")
+      val e = intercept[Exception] {
+        agg.writeStream.option("checkpointLocation", tmpDir("cmw-ck").toString)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow()).toTable("graft.cmw")
+          .awaitTermination()
+      }
+      val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+        .flatMap(t => Option(t.getMessage)).mkString(" | ")
+      assert(chain.contains("Complete output mode") || chain.contains("not supported"), chain)
+      assert(spark.sql("SELECT * FROM graft.cmw").count() == 0)
+    } finally spark.sql("DROP TABLE IF EXISTS graft.cmw")
+  }
+
   test("writeStream.toTable under a wapBranch binding is rejected loudly, never a silent write to main") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -1405,6 +1405,43 @@ class GraftSqlSpec extends SparkSpec {
     } finally spark.conf.unset(GraftSql.WapBranchConf)
   }
 
+  test("wapBranch stages INSERT OVERWRITE; publish lands the rewrite loudly") {
+    enable()
+    spark.sql("""CREATE TABLE graft.wapov (url STRING, warc_ts TIMESTAMP,
+                |  html BINARY, text STRING, content_len BIGINT, lang STRING)
+                |USING graft TBLPROPERTIES('buckets'='2')""".stripMargin)
+    spark.sql("""INSERT INTO graft.wapov
+                |SELECT concat('old', id), timestamp_micros(1700000000000000 + id),
+                |  cast('<p/>' AS BINARY), CAST(NULL AS STRING),
+                |  CAST(NULL AS BIGINT), 'en' FROM range(10)""".stripMargin)
+    val lake = graft.lake.LakeTable.load(java.nio.file.Paths.get(wh, "wapov"))
+    val preFork = lake.currentSnapshotId
+    spark.sql("CALL graft.system.create_branch('wapov', 'aud')").collect()
+    try {
+      spark.conf.set(GraftSql.WapBranchConf, "aud")
+      // the audited overwrite: staged invisibly, branch reads see ONLY it
+      spark.sql("""INSERT OVERWRITE graft.wapov
+                  |SELECT concat('new', id), timestamp_micros(1800000000000000 + id),
+                  |  cast('<q/>' AS BINARY), CAST(NULL AS STRING),
+                  |  CAST(NULL AS BIGINT), 'de' FROM range(3)""".stripMargin)
+      assert(spark.sql("SELECT * FROM graft.wapov").count() == 3)
+      spark.conf.unset(GraftSql.WapBranchConf)
+      assert(spark.sql("SELECT * FROM graft.wapov").count() == 10,
+        "main must not see the staged overwrite")
+      // publish: the squash IS the overwrite — marker list replaced, and
+      // the change feed reports the rewrite loudly across the publish
+      spark.sql("CALL graft.system.publish_branch('wapov', 'aud')").collect()
+      assert(spark.sql("SELECT url FROM graft.wapov").collect()
+        .map(_.getString(0)).forall(_.startsWith("new")))
+      val snap = graft.lake.LakeTable.load(java.nio.file.Paths.get(wh, "wapov"))
+      assert(snap.currentSnapshot.batches.size == 1 &&
+        (snap.currentSnapshot.batches.head.batchId & GraftRowLevel.SqlBatchIdBit) != 0L)
+      val e = intercept[IllegalStateException](
+        snap.incrementFilesBySnapshot(preFork, snap.currentSnapshotId))
+      assert(e.getMessage.contains("REWRITE"), e.getMessage)
+    } finally spark.conf.unset(GraftSql.WapBranchConf)
+  }
+
   test("wapBranch stages schema evolution: ALTER on the branch, main keeps v1 until publish") {
     enable()
     spark.sql("CREATE TABLE graft.wap3 (url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, content_len INT) USING graft TBLPROPERTIES('buckets'='2')")

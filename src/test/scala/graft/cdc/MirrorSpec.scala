@@ -183,6 +183,36 @@ class MirrorSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("ROLLBACK")), s"wrong failure: $e")
   }
 
+  test("INSERT OVERWRITE on the source fails the feed loudly — equal marker count is not maintenance") {
+    // the adversarial shape for the old count-based guard: source has ONE
+    // marker, the overwrite leaves ONE marker (count 1 → 1) — a count
+    // check would classify it as maintenance and the mirror would
+    // silently keep every overwritten row; the marker-PREFIX guard must
+    // fail the stream loudly through the real feed path
+    val p = GenProfile.uniformSmall().copy(partitions = 2, eventsPerPartition = 400)
+    val binlog = gen(p)
+    val (aRoot, bRoot, ckpt) = (tmpDir("ovr-a"), tmpDir("ovr-b"), tmpDir("ovr-ck"))
+    val a = buildSource(binlog, aRoot, 2L * p.eventsPerPartition, n = 2) // one batch, one marker
+    assert(a.currentSnapshot.batches.size == 1)
+    mirror(aRoot, bRoot, ckpt)
+    val replacement = spark.range(5).selectExpr(
+      "concat('ovr', id) AS url",
+      "timestamp_micros(1900000000000000 + id) AS warc_ts",
+      "cast('<o/>' AS BINARY) AS html", "'en' AS lang",
+      "CAST(0 AS INT) AS partition", "id AS offset", "'upsert' AS op")
+    Merge.overwrite(spark, a, replacement, (1L << 62) | 7L): Unit // SQL-domain id
+    assert(LakeTable.load(aRoot).currentSnapshot.batches.size == 1,
+      "test shape requires the equal-marker-count rewrite")
+    val q = Mirror.startMirror(spark, aRoot, bRoot, ckpt.toString,
+      trigger = Trigger.AvailableNow())
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("REWRITE")), s"wrong failure: $e")
+  }
+
   test("schema pin guard: a stream pinned at v1 fails loudly on v2 files") {
     val p = GenProfile.uniformSmall().copy(partitions = 1, eventsPerPartition = 300)
     val binlog = gen(p)

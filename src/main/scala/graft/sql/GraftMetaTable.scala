@@ -27,7 +27,11 @@ import graft.lake.LakeTable
   *    manifest pruning sees;
   *  - `$batches`: one row per (committed batch, lineage run) of the current
   *    snapshot — the exactly-once audit trail (SQL/bootstrap batches carry
-  *    no lineage and surface as a single null-partition row).
+  *    no lineage and surface as a single null-partition row);
+  *  - `$partitions`: per-bucket rollup of the current snapshot (files,
+  *    delta depth, bytes, stored rows, url bounds) — the skew/compaction
+  *    dashboard: hot buckets by bytes, merge-on-read depth vs the fold
+  *    trigger, at a glance.
   *
   * Metadata is O(snapshots + files + batches) — driver-small by the same
   * argument the snapshot JSON itself relies on — so the scan ships the rows
@@ -83,7 +87,8 @@ final class GraftMetaTable(lake: LakeTable, ident: String, kind: String)
 final case class GraftMetaRows(rows: Seq[Array[Any]]) extends InputPartition
 
 object GraftMetaTable {
-  val Kinds: Set[String] = Set("snapshots", "files", "batches", "tags", "branches")
+  val Kinds: Set[String] =
+    Set("snapshots", "files", "batches", "tags", "branches", "partitions")
 
   def schemaOf(kind: String): StructType = kind match {
     case "snapshots" => StructType(Seq(
@@ -119,6 +124,16 @@ object GraftMetaTable {
       StructField("start_offset", LongType, nullable = true),
       StructField("count", LongType, nullable = true),
       StructField("rows", LongType, nullable = true)))
+    case "partitions" => StructType(Seq(
+      StructField("bucket", IntegerType, nullable = false),
+      StructField("n_files", IntegerType, nullable = false),
+      // merge-on-read depth: files above tier 0 — the per-bucket read
+      // amplification a compaction cadence should keep bounded
+      StructField("n_delta_files", IntegerType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("row_count", LongType, nullable = false),
+      StructField("url_min", StringType, nullable = true),
+      StructField("url_max", StringType, nullable = true)))
     case "tags" => StructType(Seq(
       StructField("tag", StringType, nullable = false),
       StructField("snapshot_id", LongType, nullable = false),
@@ -155,6 +170,25 @@ object GraftMetaTable {
         else b.lineage.map(l =>
           Array[Any](b.batchId, b.upserts, b.deletes, l.partition,
             l.startOffset, l.count, l.rows))
+      }
+    case "partitions" =>
+      // per-bucket rollup of the CURRENT snapshot: the skew / compaction
+      // dashboard (hot buckets by bytes, delta depth vs the fold trigger).
+      // Stored rows incl. shadowed versions and tombstones — what a scan
+      // of the bucket READS, which is the quantity that skews
+      lake.currentSnapshot.files.groupBy(_.bucket).toSeq.sortBy(_._1).map {
+        case (b, fs) =>
+          // bounds folded in unsigned-UTF-8 byte order (the order pruning
+          // and parquet stats use — Java String order would mis-rank
+          // supplementary-plane urls); sentinel-bounded files report null
+          val mins = fs.map(_.urlMin).filterNot(_ == LakeTable.NoStatsMin)
+          val maxs = fs.map(_.urlMax).filterNot(_ == LakeTable.NoStatsMax)
+          Array[Any](b, fs.size, fs.count(_.tier > 0),
+            fs.map(_.bytes).sum, fs.map(_.rowCount).sum,
+            if (mins.isEmpty) null
+            else mins.reduce((x, y) => if (LakeTable.compareUtf8(x, y) <= 0) x else y),
+            if (maxs.isEmpty) null
+            else maxs.reduce((x, y) => if (LakeTable.compareUtf8(x, y) >= 0) x else y))
       }
     case "tags" =>
       lake.tagEntries.map { case (name, id, createdMs) =>

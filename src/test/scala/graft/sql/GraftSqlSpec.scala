@@ -837,6 +837,24 @@ class GraftSqlSpec extends SparkSpec {
     assert(batches.forall(r => r.isNullAt(1) &&
       (r.getLong(0) & GraftRowLevel.SqlBatchIdBit) != 0L))
 
+    // $partitions: per-bucket rollup consistent with $files (the skew /
+    // delta-depth dashboard); bounds contain every file's bounds
+    val parts = spark.sql(
+      """SELECT bucket, n_files, n_delta_files, bytes, row_count, url_min, url_max
+        |FROM graft.`meta1$partitions` ORDER BY bucket""".stripMargin).collect()
+    val byBucket = lake.currentSnapshot.files.groupBy(_.bucket)
+    assert(parts.length == byBucket.size)
+    parts.foreach { r =>
+      val fs = byBucket(r.getInt(0))
+      assert(r.getInt(1) == fs.size && r.getLong(3) == fs.map(_.bytes).sum &&
+        r.getLong(4) == fs.map(_.rowCount).sum &&
+        r.getInt(2) == fs.count(_.tier > 0))
+      assert(fs.forall(f =>
+        graft.lake.LakeTable.compareUtf8(r.getString(5), f.urlMin) <= 0 &&
+          graft.lake.LakeTable.compareUtf8(f.urlMax, r.getString(6)) <= 0))
+    }
+    assert(parts.map(_.getLong(4)).sum == lake.currentSnapshot.files.map(_.rowCount).sum)
+
     // deleted url is gone from the data but the tombstone batch is audited
     assert(spark.sql("SELECT * FROM graft.meta1 WHERE url = 'u1'").count() == 0)
     // unknown base table still errors

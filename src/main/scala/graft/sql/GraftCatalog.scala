@@ -317,6 +317,18 @@ final class GraftSqlTable(val lake: LakeTable, ident: String,
   override def partitioning(): Array[Transform] = Array(
     org.apache.spark.sql.connector.expressions.Expressions.bucket(
       pinnedSnapshot.map(lake.snapshot).getOrElse(lake.currentSnapshot).nBuckets, "url"))
+  /** DESCRIBE EXTENDED / SHOW TBLPROPERTIES surface: the layout facts an
+    * operator reads first (snapshot resolved once per call — this is a
+    * metadata view, not a contract; the scan re-resolves its own). */
+  override def properties(): util.Map[String, String] = {
+    val s = pinnedSnapshot.map(lake.snapshot).getOrElse(lake.currentSnapshot)
+    Map(
+      "buckets" -> s.nBuckets.toString,
+      "schema_version" -> s.schemaVersion.toString,
+      "current_snapshot_id" -> s.snapshotId.toString,
+      "total_rows" -> s.totalRows.toString,
+      "format" -> "graft/parquet").asJava
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLakeScan(lake,
       pinnedSnapshot.orElse(Option(options.get("snapshotId")).map(_.toLong))

@@ -196,6 +196,12 @@ class SpjSpec extends SparkSpec {
     val desc = spark.sql("DESCRIBE TABLE EXTENDED graft.spj_a").collect()
       .map(r => s"${r.getString(0)} ${r.getString(1)}").mkString("\n")
     assert(desc.contains("bucket(4, url)"), s"got:\n$desc")
+    // layout facts surface as table properties
+    val props = spark.sql("SHOW TBLPROPERTIES graft.spj_a").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("buckets").contains("4") &&
+      props.contains("current_snapshot_id") && props.contains("total_rows"),
+      s"got: $props")
   }
 
   test("ORDER BY url LIMIT k pushes as TopN; DESC declines but stays correct") {

@@ -802,6 +802,11 @@ final class LakeTable(val root: Path, val ref: String = LakeTable.MainRef) {
     require(to >= fromSnapshotId, s"$to < $fromSnapshotId")
     val ids = snapshotIds.filter(id => id > fromSnapshotId && id <= to)
     var prev = snapshot(fromSnapshotId)
+    // marker ids carried ACROSS the walk: each snapshot's vector is built
+    // once, not once as `cur` and again as the next step's `prev` (the
+    // manifest parse already materialized the markers, so the prefix
+    // compare below only adds a constant factor to an O(markers) step)
+    var prevIds = prev.batches.map(_.batchId)
     val added = Seq.newBuilder[(Long, Vector[DataFile])]
     ids.foreach { id =>
       val cur = snapshot(id)
@@ -819,21 +824,24 @@ final class LakeTable(val root: Path, val ref: String = LakeTable.MainRef) {
       // silently would keep vanished rows forever. Count alone is NOT
       // enough: overwriting a 1-marker table keeps the count at 1 and
       // would masquerade as maintenance.
-      val prevIds = prev.batches.map(_.batchId)
       val curIds = cur.batches.map(_.batchId)
-      if (curIds.take(prevIds.size) != prevIds) throw new IllegalStateException(
-        s"incremental read $fromSnapshotId -> $to crosses a history REWRITE " +
-          s"at snapshot $id (ROLLBACK / TRUNCATE / INSERT OVERWRITE: batch " +
-          s"markers ${prevIds.mkString("[", ",", "]")} -> " +
-          s"${curIds.mkString("[", ",", "]")}): downstream state derived " +
-          "from the rewritten span must be re-seeded — restart the " +
-          s"consumer from snapshot $id")
+      if (curIds.take(prevIds.size) != prevIds) {
+        def tail(v: Vector[Long]): String =
+          s"${v.size} markers" + (if (v.isEmpty) "" else s", last ${v.takeRight(3).mkString(",")}")
+        throw new IllegalStateException(
+          s"incremental read $fromSnapshotId -> $to crosses a history REWRITE " +
+            s"at snapshot $id (ROLLBACK / TRUNCATE / INSERT OVERWRITE: batch " +
+            s"markers [${tail(prevIds)}] -> [${tail(curIds)}]): downstream " +
+            "state derived from the rewritten span must be re-seeded — " +
+            s"restart the consumer from snapshot $id")
+      }
       val isMaintenance = cur.batches.size == prev.batches.size
       if (!(skipMaintenance && isMaintenance)) {
         val prevPaths = prev.files.map(_.path).toSet
         added += id -> cur.files.filterNot(f => prevPaths.contains(f.path))
       }
       prev = cur
+      prevIds = curIds
     }
     added.result()
   }
@@ -1248,10 +1256,17 @@ object LakeTable {
   /** Driver/kernel-side evaluation of [[bucketOf]] for one key — the same
     * murmur3-seed-42 over UTF-8 bytes Spark's `hash()` computes; lets a
     * point lookup prune to its single possible bucket without a plan. */
-  def bucketIdOf(url: String, nBuckets: Int): Int = {
+  def bucketIdOf(url: String, nBuckets: Int): Int =
+    bucketIdOf(org.apache.spark.unsafe.types.UTF8String.fromString(url), nBuckets)
+
+  /** The ONE kernel every bucket-id consumer must share — the String
+    * overload above and the catalog V2 function
+    * ([[graft.sql.GraftBucketBound]]) both delegate here, so the
+    * bit-for-bit agreement the storage-partitioned-join path depends on
+    * cannot drift between call sites. */
+  def bucketIdOf(url: org.apache.spark.unsafe.types.UTF8String, nBuckets: Int): Int = {
     val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction.hash(
-      org.apache.spark.unsafe.types.UTF8String.fromString(url),
-      org.apache.spark.sql.types.StringType, 42L).toInt
+      url, org.apache.spark.sql.types.StringType, 42L).toInt
     val m = h % nBuckets
     if (m < 0) m + nBuckets else m
   }

@@ -50,14 +50,12 @@ object GraftBucketBound extends ScalarFunction[Integer] {
 
   /** Magic-method form (StaticInvoke, codegen'd) — used when Spark
     * evaluates the transform itself, e.g. a KeyGroupedShuffle on the
-    * unbucketed side under `v2.bucketing.shuffle.enabled`. Must agree
-    * bit-for-bit with [[graft.lake.LakeTable.bucketIdOf]]. */
-  def invoke(n: Int, url: UTF8String): Int = {
-    val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
-      .hash(url, StringType, 42L).toInt
-    val m = h % n
-    if (m < 0) m + n else m
-  }
+    * unbucketed side under `v2.bucketing.shuffle.enabled`. Delegates to
+    * THE shared kernel ([[graft.lake.LakeTable.bucketIdOf]]) — the
+    * bit-for-bit agreement SPJ depends on must have exactly one
+    * implementation. */
+  def invoke(n: Int, url: UTF8String): Int =
+    graft.lake.LakeTable.bucketIdOf(url, n)
 
   override def produceResult(input: InternalRow): Integer =
     invoke(input.getInt(0), input.getUTF8String(1))

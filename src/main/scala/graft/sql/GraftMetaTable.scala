@@ -180,15 +180,19 @@ object GraftMetaTable {
         case (b, fs) =>
           // bounds folded in unsigned-UTF-8 byte order (the order pruning
           // and parquet stats use — Java String order would mis-rank
-          // supplementary-plane urls); sentinel-bounded files report null
-          val mins = fs.map(_.urlMin).filterNot(_ == LakeTable.NoStatsMin)
-          val maxs = fs.map(_.urlMax).filterNot(_ == LakeTable.NoStatsMax)
+          // supplementary-plane urls). A SENTINEL bound on ANY file makes
+          // the whole bucket's bound UNKNOWN (null): dropping the sentinel
+          // from the fold would report a range NARROWER than the bucket
+          // can hold, misleading exactly the pruning/skew reasoning this
+          // view exists for
           Array[Any](b, fs.size, fs.count(_.tier > 0),
             fs.map(_.bytes).sum, fs.map(_.rowCount).sum,
-            if (mins.isEmpty) null
-            else mins.reduce((x, y) => if (LakeTable.compareUtf8(x, y) <= 0) x else y),
-            if (maxs.isEmpty) null
-            else maxs.reduce((x, y) => if (LakeTable.compareUtf8(x, y) >= 0) x else y))
+            if (fs.exists(_.urlMin == LakeTable.NoStatsMin)) null
+            else fs.map(_.urlMin)
+              .reduce((x, y) => if (LakeTable.compareUtf8(x, y) <= 0) x else y),
+            if (fs.exists(_.urlMax == LakeTable.NoStatsMax)) null
+            else fs.map(_.urlMax)
+              .reduce((x, y) => if (LakeTable.compareUtf8(x, y) >= 0) x else y))
       }
     case "tags" =>
       lake.tagEntries.map { case (name, id, createdMs) =>

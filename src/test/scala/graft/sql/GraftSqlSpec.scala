@@ -849,9 +849,13 @@ class GraftSqlSpec extends SparkSpec {
       assert(r.getInt(1) == fs.size && r.getLong(3) == fs.map(_.bytes).sum &&
         r.getLong(4) == fs.map(_.rowCount).sum &&
         r.getInt(2) == fs.count(_.tier > 0))
+      // null bound = some file's bound is unknown (sentinel) — the view
+      // must say "unknown" rather than a range narrower than the bucket
+      assert(r.isNullAt(5) == fs.exists(_.urlMin == graft.lake.LakeTable.NoStatsMin))
+      assert(r.isNullAt(6) == fs.exists(_.urlMax == graft.lake.LakeTable.NoStatsMax))
       assert(fs.forall(f =>
-        graft.lake.LakeTable.compareUtf8(r.getString(5), f.urlMin) <= 0 &&
-          graft.lake.LakeTable.compareUtf8(f.urlMax, r.getString(6)) <= 0))
+        (r.isNullAt(5) || graft.lake.LakeTable.compareUtf8(r.getString(5), f.urlMin) <= 0) &&
+          (r.isNullAt(6) || graft.lake.LakeTable.compareUtf8(f.urlMax, r.getString(6)) <= 0)))
     }
     assert(parts.map(_.getLong(4)).sum == lake.currentSnapshot.files.map(_.rowCount).sum)
 

@@ -148,6 +148,28 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("SPJ across time travel: current vs earlier snapshot diffs with zero exchanges") {
+    enable()
+    // the "what changed since the release" audit: both sides are the SAME
+    // table (identical bucket layout by construction), one pinned at an
+    // earlier snapshot — the version diff must plan exchange-free
+    val lake = graft.lake.LakeTable.load(
+      java.nio.file.Paths.get(wh).resolve("spj_a"))
+    val before = lake.currentSnapshotId
+    spark.sql("UPDATE graft.spj_a SET lang = 'it' WHERE url IN ('u11', 'u13')")
+    withConf(SpjConfs: _*) {
+      val df = spark.sql(
+        s"""SELECT cur.url, cur.lang AS now, old.lang AS was
+           |FROM graft.spj_a cur
+           |JOIN graft.spj_a VERSION AS OF $before old ON cur.url = old.url
+           |WHERE cur.lang <> old.lang""".stripMargin)
+      val got = df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(got == Set(("u11", "it", "en"), ("u13", "it", "en")), s"got $got")
+      assert(shuffles(finalPlan(df)).isEmpty,
+        s"a same-table version diff must be storage-partitioned:\n${finalPlan(df).head}")
+    }
+  }
+
   test("mismatched bucket counts fall back to a correct (shuffled) join") {
     enable()
     seed("spj_c", 120, 2, "'pt'")
